@@ -1,13 +1,290 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ExactDedup, MinHash}
+import graft.pipeline.{CorpusPipeline, Synth}
+
+/** Driver contract (see SURVEY.md §5.4/§7): `entry` is the flagship
+  * end-to-end corpus pipeline; `queries` maps SURVEY.md §2 operators onto
+  * the driver's parquet tables; `oracleSql` gives the DuckDB-equivalent
+  * ANSI SQL for every SQL-expressible query (identical column aliases —
+  * the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Deterministic Page-shaped view of the driver's `documents` table
+    * (input_hint shape: url, warc_ts, html, text, lang) so corpus
+    * operators run over driver data too, not only the synthetic corpus.
+    */
+  def pagesFromDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        concat(lit("https://docs.example.com/"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("url"),
+        (lit(1696118400L) + col("doc_id")).cast("timestamp").as("warc_ts"),
+        col("text").cast("binary").as("html"),
+        col("text"),
+        col("lang"))
+
+  /** Flagship: full filter+scrub+dedup pipeline over the synthetic corpus
+    * (driver smoke-checks rows > 0 on sf0.001).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CorpusPipeline.run(Synth.pages(spark, 2000L))
+      .filter(col("keep"))
+      .select("url", "scrubbed_text", "n_tokens", "perplexity")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Shared email/IP regexes — kept RE2-compatible so the same pattern
+  // string runs in DuckDB (oracle) and Spark (engine).
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2 partial+final aggregation (domain_statistic.py semantics)
+    "q_agg_sum" -> ((s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum("l_quantity").as("sum_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))),
+
+    // A1 group-count by a low-cardinality key
+    "q_group_count" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))),
+
+    // A3 group-count by higher-cardinality key
+    "q_url_count" -> ((s, dir) => t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))),
+
+    // J1 + A5: inner equi-join then guarded ratio (process_data.py:107-128)
+    "q_join_ratio" -> ((s, dir) => {
+      // decimal accumulation: double sums are order-dependent and land on
+      // rounding boundaries (observed: 4201.315 → .31 vs .32)
+      val c = t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+      t(s, dir, "nation").join(c, col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("n_cust"),
+          round(when(col("n_cust") =!= 0, col("bal") / col("n_cust")), 2)
+            .cast("double").as("avg_bal"))
+    }),
+
+    // J2 semi-join membership keep (filter_by_url.py semantics)
+    "q_semi_join" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, dir, "lineitem").join(broadcast(f), Seq("l_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // J3 anti-join decontamination (process_data.py:157-171)
+    "q_anti_join" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, dir, "lineitem").join(broadcast(f), Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // D1 deterministic keep-first exact dedup
+    "q_dedup_exact" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy("text").agg(min("doc_id").as("doc_id"))),
+
+    // A4 duplicate-count metric (pd_util.py:97-98)
+    "q_dup_count" -> ((s, dir) => t(s, dir, "documents")
+      .agg((count(lit(1)) - countDistinct(col("text"))).as("dups"))),
+
+    // D2 hash-keyed dedup groups (dedup_large_csv.py:8-13 md5('|'.join))
+    "q_hash_dedup" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy(md5(concat_ws("|", col("lang"), col("text"))).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)),
+
+    // O1/O2 global sort + limit with total tie-break
+    "q_topk" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+      .orderBy(col("chars").desc, col("source"))
+      .limit(5)),
+
+    // P4 length-band filter (20 < len < 100000)
+    "q_len_filter" -> ((s, dir) => t(s, dir, "documents")
+      .filter(length(col("text")).between(21, 99999))
+      .select("doc_id", "n_chars")),
+
+    // A6 histogram by fixed-width bins
+    "q_histogram" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy(floor(col("n_chars") / 100).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))),
+
+    // F6 word count via split
+    "q_word_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("words"))),
+
+    // P11/P12-ish normalization chain (lower, strip urls, collapse ws)
+    "q_clean_text" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "http\\S+", ""),
+          "\\s+", " ")).as("cleaned"))),
+
+    // U1 union of two filtered slices
+    "q_union" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("lang") === "en").select("doc_id")
+        .unionByName(d.filter(col("n_chars") > 400).select("doc_id"))
+    }),
+
+    // U3 split-by-predicate as a label column (infer.py pos/neg split)
+    "q_split_label" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("n_chars") >= 300, lit("long")).otherwise(lit("short"))
+          .as("label"))),
+
+    // M2 stratified sampling, deterministic via content-hash ranking
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "lang")
+    }),
+
+    // P21 token counting (regex word tokens)
+    "q_token_count" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .as("tokens"))),
+
+    // F12 document fingerprinting
+    "q_fingerprint" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))),
+
+    // P19 PII scrub as a relational op (regex parity with the oracle)
+    "q_pii_scrub" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), EmailPat, "email@example.com")
+          .as("scrubbed"))),
+
+    // D5–D8 MinHash marking over Page-shaped driver docs (rows-only check:
+    // LSH banding is not ANSI-SQL-expressible)
+    "q_minhash_mark" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      MinHash.mark(pagesFromDocs(s, dir), "url", "text")
+        .select(col("url"), col("is_near_dup"),
+          col("minhash_cluster").cast("string").as("minhash_cluster"))
+    }),
+
+    // D1 windowed keep-first over Page shape (rows-only companion)
+    "q_exact_dedup_pages" -> ((s, dir) => {
+      ExactDedup.dedup(pagesFromDocs(s, dir), Seq("text"), Seq("warc_ts", "url"))
+        .select("url")
+    }),
+
+    // Full pipeline over Page-shaped driver docs (rows-only: verdict cols)
+    "q_pipeline_full" -> ((s, dir) => {
+      CorpusPipeline.run(pagesFromDocs(s, dir))
+        .select("url", "keep", "drop_stage")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_sum" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
+        |max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_group_count" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+
+    "q_url_count" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+
+    "q_join_ratio" ->
+      """SELECT n_name, n_cust,
+        |CAST(round(CASE WHEN n_cust <> 0 THEN bal / n_cust END, 2) AS DOUBLE)
+        |  AS avg_bal
+        |FROM nation
+        |JOIN (SELECT c_nationkey, count(*) AS n_cust,
+        |             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |      FROM customer GROUP BY c_nationkey) c
+        |ON n_nationkey = c_nationkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_orderkey IN
+        |(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT count(*) AS n FROM lineitem
+        |WHERE l_orderkey NOT IN
+        |(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "q_dup_count" ->
+      "SELECT count(*) - count(DISTINCT text) AS dups FROM documents",
+
+    "q_hash_dedup" ->
+      """SELECT md5(concat_ws('|', lang, text)) AS h, count(*) AS cnt
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT source, count(*) AS cnt, sum(n_chars) AS chars
+        |FROM documents GROUP BY source
+        |ORDER BY chars DESC, source LIMIT 5""".stripMargin,
+
+    "q_len_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE length(text) BETWEEN 21 AND 99999""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_word_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS words
+        |FROM documents""".stripMargin,
+
+    "q_clean_text" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), 'http\S+', '', 'g'),
+        |'\s+', ' ', 'g')) AS cleaned
+        |FROM documents""".stripMargin,
+
+    "q_union" ->
+      """SELECT doc_id FROM documents WHERE lang = 'en'
+        |UNION ALL
+        |SELECT doc_id FROM documents WHERE n_chars > 400""".stripMargin,
+
+    "q_split_label" ->
+      """SELECT doc_id,
+        |CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS label
+        |FROM documents""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER
+        |(PARTITION BY lang ORDER BY md5(text), doc_id) <= 3""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS tokens
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |regexp_replace(text,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |'email@example.com', 'g') AS scrubbed
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication with deterministic keep-first semantics.
+  *
+  * Reimplements the reference's exact-dedup family
+  * (/root/reference/utils/pd_util.py:95-106 `drop_duplicates(keep="first")`,
+  * /root/reference/utils/dedup_large_csv.py:8-110 chunked global-hash
+  * dedup, /root/reference/utils/dedup_dataset.py Bloom-service variant) as
+  * one shuffle-dedup: the reference's chunk/global split and sharded Bloom
+  * service are single-machine-memory artifacts — Spark's hash shuffle IS
+  * the 2000-shard routing (utils/bloom_service.py:36-47), done natively.
+  *
+  * "First" is made deterministic (unlike `dropDuplicates`) by ranking
+  * within each duplicate group over explicit order columns — at web scale,
+  * nondeterministic survivor choice breaks resume/lineage reproducibility.
+  */
+object ExactDedup {
+
+  /** 64-bit content key. For parity runs the reference hashes
+    * `'|'.join(cols)` with md5/blake2b/sha256 (dedup_large_csv.py:8-13);
+    * xxhash64 is the performance path, sha2 available via `strongKey`.
+    */
+  def key(cols: Seq[Column]): Column = xxhash64(cols: _*)
+
+  def strongKey(cols: Seq[Column]): Column =
+    sha2(concat_ws("|", cols: _*), 256)
+
+  /** Adds `is_exact_dup` (true for every row except the deterministic
+    * first of its duplicate group). One shuffle on the content hash.
+    */
+  def mark(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(key(dupCols.map(col)))
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("is_exact_dup", row_number().over(w) > 1)
+  }
+
+  /** Keep-first dedup: survivors only. */
+  def dedup(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    mark(df, dupCols, orderCols).filter(!col("is_exact_dup")).drop("is_exact_dup")
+}

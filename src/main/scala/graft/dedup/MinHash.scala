@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** MinHash-LSH near-duplicate detection, expressed as Catalyst-friendly
+  * DataFrame ops end to end: posexplode word shingles → seeded 64-bit
+  * min-hashes → per-band hashes → groupBy(band) candidate edges →
+  * distributed connected components → anti-join removal.
+  *
+  * Mirrors the reference's 4-stage datatrove MinHash flow
+  * (/root/reference/datatrove/3-local_dedupe_minhash.py:50-124, config at
+  * /root/reference/datatrove/findweb.py:134-142: 5-gram shingles, 14
+  * bands × 8 hashes, 64-bit) with two deliberate departures for scale:
+  *
+  *  1. Stage 2's per-bucket sort-merge over signature files becomes a
+  *     `groupBy(band_id, band_hash)` — partial aggregation + AQE skew-join
+  *     handle hot band hashes that would serialize a single worker.
+  *  2. Stage 3's single-task union-find (tasks=1, workers=1 at
+  *     3-local:96-97 — a global single-node reduce) becomes symmetric
+  *     min-label propagation via iterative joins, fully distributed.
+  *
+  * Hash family: permutation i = xxhash64(xxhash64(shingle), i) — one
+  * string hash per shingle, then 112 cheap fixed-width mixes (the
+  * reference derives its 112 hashes from sha1 slices; any pairwise-
+  * independent 64-bit family gives the same banding math).
+  */
+object MinHash {
+
+  case class Config(
+      bands: Int = 14,
+      rowsPerBand: Int = 8,
+      shingleSize: Int = 5,
+      seed: Long = 42L
+  ) {
+    def numHashes: Int = bands * rowsPerBand
+  }
+
+  /** Word-shingle column: k-word windows joined by a single space; docs
+    * shorter than k words contribute their whole text as one shingle.
+    */
+  def shingles(textCol: Column, k: Int): Column = {
+    val ws = split(textCol, "\\s+")
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => array_join(slice(ws, i + 1, lit(k)), " ")))
+      .otherwise(array(textCol))
+  }
+
+  /** (id, band_id, band_hash) signature table — one row per doc per band.
+    * Plan shape: narrow explode → xxhash64 → partial-agg 112 mins →
+    * single shuffle on id → band hash explode.
+    */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 cfg: Config = Config()): DataFrame = {
+    // permutation i = xxhash64(shingle_hash, i): a fresh 64-bit mix per
+    // permutation with no arithmetic that can overflow under ANSI mode
+    val mins: Seq[Column] = (0 until cfg.numHashes).map { i =>
+      min(xxhash64(col("sh_hash"), lit(i))).as(s"m$i")
+    }
+    val bandCols: Column = array((0 until cfg.bands).map { b =>
+      val slice = (0 until cfg.rowsPerBand).map(r => col(s"m${b * cfg.rowsPerBand + r}"))
+      xxhash64(slice :+ lit(b): _*)
+    }: _*)
+
+    df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), cfg.shingleSize)).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh_hash"))
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), posexplode(bandCols).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate duplicate edges (src → smaller dst) from shared bands.
+    * Sharing any band hash marks a pair as duplicates (datatrove stage-2
+    * semantics — no Jaccard re-verification, 3-local:69-85).
+    */
+  def candidateEdges(sigs: DataFrame): DataFrame = {
+    val reps = sigs.groupBy("band_id", "band_hash")
+      .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
+    sigs.join(reps, Seq("band_id", "band_hash"))
+      .filter(col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"))
+      .distinct()
+  }
+
+  /** Connected components by symmetric min-label propagation over the
+    * (undirected) candidate edges: every vertex starts labeled with itself;
+    * each round every vertex takes the min label among itself and its
+    * neighbors; fixpoint when no label changes. Converges in O(diameter)
+    * rounds — LSH duplicate clusters are dense star-unions, so diameters
+    * stay small. Each round is two equi-joins + one partial-agg groupBy on
+    * the duplicate subgraph only (tiny relative to the corpus), with
+    * persist/unpersist to cut lineage. Returns (id, cluster) for every
+    * vertex of the duplicate graph; cluster = component min id.
+    */
+  def clusters(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    val maxIter = 30
+    while (!converged && iter < maxIter) {
+      val bySrc = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val byDst = e.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      // localCheckpoint (not persist): truncates the logical plan each
+      // round, otherwise the iterated union/join lineage grows without
+      // bound and planning itself OOMs after ~10 rounds
+      val next = labels.union(bySrc).union(byDst)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist(false)
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Ids to drop: every clustered node except its component representative
+    * (the min id) — datatrove stage-3 remove_ids semantics
+    * (3-local:88-101 keeps one doc per cluster).
+    */
+  def removeIds(cl: DataFrame): DataFrame =
+    cl.filter(col("id") =!= col("cluster")).select("id")
+
+  /** End-to-end: mark near-duplicate non-representatives in `df`.
+    * Adds `is_near_dup` and `minhash_cluster` (null for unclustered docs).
+    */
+  def mark(df: DataFrame, idCol: String, textCol: String,
+           cfg: Config = Config())(implicit spark: SparkSession): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, cfg)
+    val edges = candidateEdges(sigs)
+    val cl = clusters(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    df.join(
+        cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster")),
+        Seq(idCol), "left")
+      .withColumn("is_near_dup",
+        col("minhash_cluster").isNotNull && col(idCol) =!= col("minhash_cluster"))
+  }
+}

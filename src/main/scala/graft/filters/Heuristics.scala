@@ -1,0 +1,128 @@
+package graft.filters
+
+import graft.model.{DropStage, HeuristicConfig}
+import graft.text.TextStats
+
+/** Result of the single-pass heuristic analysis of one document.
+  * `drop_stage` covers stages 2–5 only (repetition/quality/C4/FineWeb);
+  * language-ID (stage 1) and dedup (6–7) are separate pipeline steps.
+  * `scrubbed_text` is the byte-exact C4-line-scrub + PII/toxicity output —
+  * the per-row invariant the tests pin (BASELINE.json:15).
+  */
+case class AnalyzeResult(
+    drop_stage: String,
+    scrubbed_text: String,
+    n_tokens: Int,
+    n_words: Int,
+    n_chars: Int,
+    n_lines: Int,
+    n_sentences: Int
+)
+
+/** The reference's heuristic quality stack, reimplemented as pure Scala.
+  * Stage order and thresholds mirror the executed pipeline
+  * (/root/reference/datatrove/findweb.py:90-115): GopherRepetition →
+  * GopherQuality → C4 (the only byte-mutating stage) → FineWeb (evaluated
+  * on the C4-scrubbed text, matching the in-place mutation order).
+  */
+object Heuristics {
+
+  private val PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+    "javascript"
+  )
+  private val CitationRe = "\\[?\\bcitation needed\\b\\]?".r
+  private val TerminalPunct: Set[Char] = Set('.', '!', '?', '"')
+
+  /** GopherRepetitionFilter (findweb.py:101-103). Returns null if passing. */
+  def gopherRepetition(st: graft.text.DocStats, cfg: HeuristicConfig): Boolean = {
+    if (st.dupLineFrac > cfg.dupLineFrac) return true
+    if (st.dupParaFrac > cfg.dupParaFrac) return true
+    if (st.dupLineCharFrac > cfg.dupLineCharFrac) return true
+    if (st.dupParaCharFrac > cfg.dupParaCharFrac) return true
+    cfg.topNgramThresholds.foreach { case (n, thr) =>
+      if (st.topNgramCharFrac(n) > thr) return true
+    }
+    cfg.dupNgramThresholds.foreach { case (n, thr) =>
+      if (st.dupNgramCharFrac(n) > thr) return true
+    }
+    false
+  }
+
+  /** GopherQualityFilter (findweb.py:104-106). */
+  def gopherQuality(st: graft.text.DocStats, cfg: HeuristicConfig): Boolean = {
+    if (st.nWords < cfg.minDocWords || st.nWords > cfg.maxDocWords) return true
+    if (st.meanWordLen < cfg.minAvgWordLength ||
+        st.meanWordLen > cfg.maxAvgWordLength) return true
+    if (st.hashRatio > cfg.maxSymbolWordRatio) return true
+    if (st.ellipsisRatio > cfg.maxSymbolWordRatio) return true
+    if (st.bulletLineFrac > cfg.maxBulletLinesRatio) return true
+    if (st.ellipsisLineFrac > cfg.maxEllipsisLinesRatio) return true
+    if (st.nonAlphaWordFrac > cfg.maxNonAlphaWordsRatio) return true
+    if (st.stopWordCount < cfg.minStopWords) return true
+    false
+  }
+
+  /** C4QualityFilter (findweb.py:107-110) — line-level edit + doc filter.
+    * Returns (scrubbedText, docDropped). Terminal-punct line filtering is
+    * disabled in the reference run (filter_no_terminal_punct=False).
+    */
+  def c4Process(text: String, cfg: HeuristicConfig): (String, Boolean) = {
+    val lower = text.toLowerCase
+    if (lower.contains("lorem ipsum") || text.contains("{")) return (text, true)
+    val kept = TextStats.lines(text).filter { line =>
+      val t = line.trim
+      if (t.isEmpty) true
+      else {
+        val lw = t.toLowerCase
+        val cleaned = CitationRe.replaceAllIn(t, "")
+        val wc = TextStats.words(cleaned).length
+        if (wc < cfg.c4MinWordsPerLine) false
+        else if (PolicyPhrases.exists(lw.contains)) false
+        else if (cfg.c4FilterNoTerminalPunct &&
+                 !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) false
+        else true
+      }
+    }.map(l => CitationRe.replaceAllIn(l, ""))
+    val scrubbed = kept.mkString("\n")
+    var sentences = 0
+    scrubbed.foreach(c => if (c == '.' || c == '!' || c == '?') sentences += 1)
+    (scrubbed, sentences < cfg.c4MinSentences)
+  }
+
+  /** FineWebQualityFilter (findweb.py:111-113), evaluated on post-C4 text. */
+  def fineWeb(st: graft.text.DocStats, cfg: HeuristicConfig): Boolean = {
+    if (st.linePunctRatio < cfg.fwLinePunctRatio) return true
+    if (st.shortLineFrac > cfg.fwShortLineFrac) return true
+    if (st.dupLineCharFrac > cfg.fwDupLineCharFrac) return true
+    if (st.newLineRatio > cfg.fwNewLineRatio) return true
+    false
+  }
+
+  /** Single-pass analysis: one DocStats on the raw text drives stages 2–3,
+    * C4 produces the scrubbed bytes, one DocStats on the scrubbed text
+    * drives stage 5, and PII/toxicity scrubbing finalizes the output bytes.
+    * Exactly two tokenization passes per document total.
+    */
+  def analyze(text: String, cfg: HeuristicConfig): AnalyzeResult = {
+    val t = if (text == null) "" else text
+    val st = TextStats.compute(t)
+    if (gopherRepetition(st, cfg))
+      return AnalyzeResult(DropStage.GopherRep, null, 0, st.nWords, st.nChars,
+        st.nLines, st.nSentences)
+    if (gopherQuality(st, cfg))
+      return AnalyzeResult(DropStage.GopherQual, null, 0, st.nWords, st.nChars,
+        st.nLines, st.nSentences)
+    val (c4Text, c4Drop) = c4Process(t, cfg)
+    if (c4Drop)
+      return AnalyzeResult(DropStage.C4, null, 0, st.nWords, st.nChars,
+        st.nLines, st.nSentences)
+    val st2 = TextStats.compute(c4Text)
+    if (fineWeb(st2, cfg))
+      return AnalyzeResult(DropStage.FineWeb, null, 0, st.nWords, st.nChars,
+        st.nLines, st.nSentences)
+    val finalText = Pii.scrub(c4Text)
+    AnalyzeResult(null, finalText, TextStats.words(finalText).length,
+      st.nWords, st.nChars, st.nLines, st.nSentences)
+  }
+}

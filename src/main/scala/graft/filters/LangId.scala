@@ -1,0 +1,172 @@
+package graft.filters
+
+import scala.util.Random
+
+/** From-scratch fastText-style supervised classifier: hashed character
+  * n-gram bag → mean-pooled embedding → linear → softmax.
+  *
+  * This is the engine's reimplementation of the model family behind the
+  * reference's LanguageFilter (datatrove's lid.176 fastText model,
+  * /root/reference/datatrove/1_local_language_and_filter.py:54) and its
+  * domain classifier (dim 256, wordNgrams 3, lr 0.1, epoch 5 —
+  * /root/reference/fasttext/train.py:56-83). Architecture matches fastText
+  * supervised (Joulin et al. 2016): shared input embedding matrix averaged
+  * over features, one linear output layer, softmax cross-entropy SGD with
+  * linearly decaying learning rate. Fully deterministic (seeded, fixed
+  * iteration order) so tests are reproducible.
+  *
+  * The model is broadcast-friendly (one flat float array per matrix,
+  * ~`buckets*dim*4` bytes) and scored via `mapPartitions` batched inference
+  * — one deserialize per executor, matching the reference's
+  * per-process model load (/root/reference/fasttext/mult_infer.py:56-66).
+  */
+class FastTextModel(
+    val dim: Int,
+    val buckets: Int,
+    val labels: Array[String],
+    val emb: Array[Float],  // buckets x dim
+    val out: Array[Float]   // labels x dim
+) extends Serializable {
+
+  @inline private def bucket(h: Long): Int =
+    ((h % buckets + buckets) % buckets).toInt
+
+  /** Hashed char n-grams (n = 1..3) over the first `maxChars` chars of the
+    * lowercased text with boundary padding — the lid-style feature space.
+    */
+  def features(text: String, maxChars: Int = 1000): Array[Int] = {
+    val t = " " + text.toLowerCase.take(maxChars) + " "
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](t.length * 3)
+    var i = 0
+    while (i < t.length) {
+      var h1 = 1125899906842597L
+      var n = 0
+      while (n < 3 && i + n < t.length) {
+        h1 = h1 * 31 + t.charAt(i + n)
+        buf += bucket(h1)
+        n += 1
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** Pooled hidden vector for a feature bag. fastText mean-pools; we use
+    * 1/sqrt(n) normalization so the hidden magnitude is independent of the
+    * (large, char-n-gram) bag size — same linear family, much faster SGD
+    * convergence at small sample counts.
+    */
+  private[filters] def hidden(feats: Array[Int]): Array[Float] = {
+    val h = new Array[Float](dim)
+    if (feats.isEmpty) return h
+    var i = 0
+    while (i < feats.length) {
+      val off = feats(i) * dim
+      var d = 0
+      while (d < dim) { h(d) += emb(off + d); d += 1 }
+      i += 1
+    }
+    val inv = (1.0 / math.sqrt(feats.length.toDouble)).toFloat
+    var d = 0
+    while (d < dim) { h(d) *= inv; d += 1 }
+    h
+  }
+
+  private[filters] def softmax(h: Array[Float]): Array[Double] = {
+    val z = new Array[Double](labels.length)
+    var l = 0
+    while (l < labels.length) {
+      var s = 0.0
+      val off = l * dim
+      var d = 0
+      while (d < dim) { s += out(off + d) * h(d); d += 1 }
+      z(l) = s
+      l += 1
+    }
+    val m = z.max
+    var tot = 0.0
+    l = 0
+    while (l < labels.length) { z(l) = math.exp(z(l) - m); tot += z(l); l += 1 }
+    l = 0
+    while (l < labels.length) { z(l) /= tot; l += 1 }
+    z
+  }
+
+  /** (label, probability) of the argmax class. */
+  def predict(text: String): (String, Double) = {
+    val p = softmax(hidden(features(text)))
+    var best = 0
+    var i = 1
+    while (i < p.length) { if (p(i) > p(best)) best = i; i += 1 }
+    (labels(best), p(best))
+  }
+}
+
+object FastTextTrainer {
+
+  /** Deterministic SGD training. `samples` are (label, text) pairs. */
+  def train(
+      samples: IndexedSeq[(String, String)],
+      dim: Int = 32,
+      buckets: Int = 1 << 15,
+      epochs: Int = 5,
+      lr: Double = 0.1,
+      seed: Long = 42L
+  ): FastTextModel = {
+    val labels = samples.map(_._1).distinct.sorted.toArray
+    val labelIdx = labels.zipWithIndex.toMap
+    val rng = new Random(seed)
+    val emb = Array.fill(buckets * dim)(((rng.nextFloat() - 0.5f) / dim))
+    val out = new Array[Float](labels.length * dim)
+    val model = new FastTextModel(dim, buckets, labels, emb, out)
+
+    val featCache = samples.map { case (l, t) => (labelIdx(l), model.features(t)) }
+    val order = featCache.indices.toArray
+    val total = epochs.toLong * samples.length
+    var step = 0L
+
+    for (_ <- 0 until epochs) {
+      // deterministic Fisher-Yates shuffle per epoch
+      var i = order.length - 1
+      while (i > 0) { val j = rng.nextInt(i + 1); val tmp = order(i); order(i) = order(j); order(j) = tmp; i -= 1 }
+      order.foreach { idx =>
+        val (y, feats) = featCache(idx)
+        if (feats.nonEmpty) {
+          val curLr = (lr * (1.0 - step.toDouble / total)).max(lr * 0.01)
+          val h = model.hidden(feats)
+          val p = model.softmax(h)
+          // gradient wrt hidden from the PRE-update output weights,
+          // then the output-layer update
+          val gh = new Array[Float](dim)
+          val g = new Array[Double](labels.length)
+          var l = 0
+          while (l < labels.length) {
+            g(l) = (p(l) - (if (l == y) 1.0 else 0.0)) * curLr
+            val off = l * dim
+            var d = 0
+            while (d < dim) { gh(d) += (g(l) * out(off + d)).toFloat; d += 1 }
+            l += 1
+          }
+          l = 0
+          while (l < labels.length) {
+            val off = l * dim
+            var d = 0
+            while (d < dim) { out(off + d) -= (g(l) * h(d)).toFloat; d += 1 }
+            l += 1
+          }
+          // input embedding update (matches the forward 1/sqrt(n) pooling)
+          val inv = (1.0 / math.sqrt(feats.length.toDouble)).toFloat
+          var fi = 0
+          while (fi < feats.length) {
+            val off = feats(fi) * dim
+            var d = 0
+            while (d < dim) { emb(off + d) -= gh(d) * inv; d += 1 }
+            fi += 1
+          }
+        }
+        step += 1
+      }
+    }
+    model
+  }
+}

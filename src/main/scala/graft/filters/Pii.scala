@@ -1,0 +1,75 @@
+package graft.filters
+
+/** Regex-based PII + toxicity scrubbing — reimplements the semantics of
+  * datatrove's PIIFormatter as imported by the reference
+  * (/root/reference/datatrove/findweb.py:14): emails and globally-routable
+  * IPv4 addresses are replaced with fixed anonymized values. Toxicity
+  * scrubbing (north-rule requirement) masks wordlist hits. All
+  * replacements are deterministic so scrubbed bytes are reproducible.
+  */
+object Pii {
+  val EmailReplacement = "email@example.com"
+  val IpReplacement = "22.214.171.124"
+  val ToxicReplacement = "[removed]"
+
+  val EmailRe =
+    "[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}".r
+  val Ipv4Re =
+    "(?<![0-9.])((?:[0-9]{1,3}\\.){3}[0-9]{1,3})(?![0-9.])".r
+
+  /** Default toxicity wordlist (masking targets, not an endorsement);
+    * callers can extend via [[scrub]]'s `toxicWords`.
+    */
+  val DefaultToxicWords: Seq[String] =
+    Seq("fuck", "fucking", "shit", "bitch", "asshole", "bastard", "cunt")
+
+  private def toxicRe(words: Seq[String]) =
+    ("(?i)\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b").r
+
+  private val defaultToxicRe = toxicRe(DefaultToxicWords)
+
+  /** True if the dotted-quad is a valid, globally routable IPv4 address
+    * (mirrors Python `ipaddress.is_global` for the common ranges).
+    */
+  def isGlobalIpv4(ip: String): Boolean = {
+    val parts = ip.split('.')
+    if (parts.length != 4) return false
+    val o = new Array[Int](4)
+    var i = 0
+    while (i < 4) {
+      val p = parts(i)
+      if (p.isEmpty || p.length > 3) return false
+      val v = p.toInt
+      if (v > 255) return false
+      o(i) = v; i += 1
+    }
+    val (a, b) = (o(0), o(1))
+    if (a == 0 || a == 10 || a == 127) return false
+    if (a == 100 && b >= 64 && b <= 127) return false
+    if (a == 169 && b == 254) return false
+    if (a == 172 && b >= 16 && b <= 31) return false
+    if (a == 192 && b == 168) return false
+    if (a == 192 && b == 0 && (o(2) == 0 || o(2) == 2)) return false
+    if (a == 198 && (b == 18 || b == 19)) return false
+    if (a == 198 && b == 51 && o(2) == 100) return false
+    if (a == 203 && b == 0 && o(2) == 113) return false
+    if (a >= 224) return false
+    true
+  }
+
+  def scrubEmails(text: String): String =
+    EmailRe.replaceAllIn(text, EmailReplacement)
+
+  def scrubIps(text: String): String =
+    Ipv4Re.replaceAllIn(text, m =>
+      if (isGlobalIpv4(m.group(1))) IpReplacement else m.group(1))
+
+  def scrubToxic(text: String, words: Seq[String] = DefaultToxicWords): String = {
+    val re = if (words eq DefaultToxicWords) defaultToxicRe else toxicRe(words)
+    re.replaceAllIn(text, java.util.regex.Matcher.quoteReplacement(ToxicReplacement))
+  }
+
+  /** Full scrub chain, fixed order: emails → IPs → toxicity. */
+  def scrub(text: String, toxicWords: Seq[String] = DefaultToxicWords): String =
+    scrubToxic(scrubIps(scrubEmails(text)), toxicWords)
+}

@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.dedup.{ExactDedup, MinHash}
+import graft.filters.{FastTextModel, FastTextTrainer, Heuristics, KneserNeyLM}
+import graft.model.{DropStage, PipelineConfig}
+
+/** The end-to-end corpus-cleaning pipeline: one declarative DataFrame DAG
+  * reproducing the reference's flagship flow
+  * (/root/reference/datatrove/findweb.py:57-232):
+  *
+  *   read → langid (broadcast model + mapPartitions batched inference)
+  *        → heuristic filters (one analyze pass: Gopher rep/qual, C4 scrub,
+  *          FineWeb) → PII/toxicity scrub → perplexity score
+  *        → exact dedup (shuffle keep-first) → MinHash-LSH near-dup removal
+  *
+  * Filter short-circuiting (a doc dropped at stage k never reaches k+1) is
+  * preserved as first-failing-stage semantics: `drop_stage` records the
+  * first stage whose predicate fails, and dedup stages only consider rows
+  * still alive. Everything upstream of the dedup shuffles is narrow and
+  * whole-stage-codegen-fused except the two model/analyze functions, which
+  * are deliberately single-pass per row.
+  */
+object CorpusPipeline {
+
+  /** Broadcastable model bundle. Training is driver-side, deterministic,
+    * and off the hot path (mirrors the reference: models are trained once,
+    * then broadcast per process — /root/reference/fasttext/mult_infer.py:56-66).
+    */
+  case class Models(lang: FastTextModel, lm: KneserNeyLM)
+
+  /** Default models trained on the deterministic synthetic distributions.
+    * ~2s of driver CPU, cached for the JVM lifetime.
+    */
+  lazy val defaultModels: Models = {
+    val lang = FastTextTrainer.train(Synth.langSamples(300), dim = 24,
+      buckets = 1 << 14, epochs = 4, lr = 0.25, seed = 42L)
+    val lm = KneserNeyLM.train(Synth.lmSamples(300))
+    Models(lang, lm)
+  }
+
+  /** Language-ID stage: broadcast the model once per executor, score in
+    * partition-local batches, append `lang_pred`/`lang_prob` columns.
+    */
+  def withLangId(df: DataFrame, model: FastTextModel,
+                 batchSize: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val outSchema = df.schema
+      .add("lang_pred", StringType).add("lang_prob", DoubleType)
+    val enc = Encoders.row(outSchema)
+    val textIdx = df.schema.fieldIndex("text")
+    df.mapPartitions { it =>
+      val m = bc.value
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val t = r.getString(textIdx)
+          val (l, p) = m.predict(if (t == null) "" else t)
+          Row.fromSeq(r.toSeq :+ l :+ p)
+        }
+      }
+    }(enc)
+  }
+
+  private val scoreObserveId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stages 1–5 + scrub + perplexity: adds lang_pred, lang_prob,
+    * drop_stage (nullable, stages 1–5 only so far), scrubbed_text,
+    * n_tokens, perplexity.
+    */
+  def score(pages: DataFrame, cfg: PipelineConfig = PipelineConfig(),
+            models: Models = defaultModels): DataFrame = {
+    val spark = pages.sparkSession
+    val heurCfg = cfg.heur
+    val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
+    val bcLm = spark.sparkContext.broadcast(models.lm)
+    val pplUdf = udf((t: String) => bcLm.value.perplexity(if (t == null) "" else t))
+    val keepLangs = cfg.keepLanguages.toSeq
+
+    val scored = withLangId(pages, models.lang)
+      .withColumn("_h", analyzeUdf(col("text")))
+      .withColumn("_langFail",
+        !col("lang_pred").isin(keepLangs: _*) ||
+          col("lang_prob") < cfg.minLangProb)
+      .withColumn("drop_stage",
+        when(col("_langFail"), lit(DropStage.NonEnglish))
+          .otherwise(col("_h.drop_stage")))
+      .withColumn("scrubbed_text",
+        when(col("drop_stage").isNull, col("_h.scrubbed_text")))
+      .withColumn("n_tokens",
+        when(col("drop_stage").isNull, col("_h.n_tokens")).otherwise(lit(0)))
+      .withColumn("perplexity",
+        when(col("drop_stage").isNull, pplUdf(col("scrubbed_text"))))
+
+    val withPpl = cfg.maxPerplexity match {
+      case Some(maxP) =>
+        scored.withColumn("drop_stage",
+          when(col("drop_stage").isNull && col("perplexity") > maxP,
+            lit(DropStage.Perplexity)).otherwise(col("drop_stage")))
+      case None => scored
+    }
+
+    withPpl
+      .select(col("url"), col("warc_ts"), col("lang"), col("lang_pred"),
+        col("lang_prob"), col("drop_stage"), col("scrubbed_text"),
+        col("n_tokens"), col("perplexity"))
+      // unique name per invocation: two scored frames in one query (e.g. a
+      // determinism A/B compare) would otherwise collide on the metric name
+      .observe(s"graft_score_${scoreObserveId.incrementAndGet()}",
+        count(lit(1)).as("docs_in"),
+        count(when(col("drop_stage").isNull, 1)).as("docs_alive"),
+        sum(col("n_tokens")).as("tokens_alive"))
+  }
+
+  /** Stages 6–7 on the survivors of 1–5: deterministic keep-first exact
+    * dedup, then MinHash-LSH near-dup removal, both keyed on the scrubbed
+    * bytes. Early-dropped rows pass through untouched (their exclusion
+    * columns null), mirroring the reference's per-stage exclusion sinks.
+    */
+  def dedup(scored: DataFrame, cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    implicit val spark: SparkSession = scored.sparkSession
+    val alive = scored.filter(col("drop_stage").isNull)
+    val dead = scored.filter(col("drop_stage").isNotNull)
+      .withColumn("minhash_cluster", lit(null).cast("string"))
+
+    val afterExact =
+      if (cfg.exactDedup)
+        ExactDedup.mark(alive, Seq("scrubbed_text"), Seq("warc_ts", "url"))
+          .withColumn("drop_stage",
+            when(col("is_exact_dup"), lit(DropStage.ExactDup)))
+          .drop("is_exact_dup")
+      else alive
+
+    val afterMinhash =
+      if (cfg.minhashDedup) {
+        val stillAlive = afterExact.filter(col("drop_stage").isNull)
+        val exactDead = afterExact.filter(col("drop_stage").isNotNull)
+          .withColumn("minhash_cluster", lit(null).cast("string"))
+        val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
+          cfg.shingleSize)
+        val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg)
+          .withColumn("drop_stage",
+            when(col("is_near_dup"), lit(DropStage.MinhashDup)))
+          .drop("is_near_dup")
+          .withColumn("minhash_cluster", col("minhash_cluster").cast("string"))
+        marked.unionByName(exactDead)
+      } else afterExact.withColumn("minhash_cluster", lit(null).cast("string"))
+
+    afterMinhash.unionByName(dead)
+      .withColumn("keep", col("drop_stage").isNull)
+      .withColumn("scrubbed_text",
+        when(col("keep"), col("scrubbed_text")))
+  }
+
+  /** Full run. Persists the scored frame because the dedup stages traverse
+    * it more than once (exact window + signatures + cluster joins) — at
+    * cluster scale this persist becomes a checkpointed intermediate table
+    * via [[Lineage]].
+    */
+  def run(pages: DataFrame, cfg: PipelineConfig = PipelineConfig(),
+          models: Models = defaultModels): DataFrame = {
+    val scored = score(pages, cfg, models).persist(StorageLevel.MEMORY_AND_DISK)
+    dedup(scored, cfg)
+  }
+
+  /** Exclusion-sink split (reference: per-stage removed-doc audit dirs,
+    * findweb.py:95-113): returns (kept, dropped) without recomputation
+    * when `result` is persisted; the dropped side is partitioned by
+    * drop_stage at write time.
+    */
+  def split(result: DataFrame): (DataFrame, DataFrame) =
+    (result.filter(col("keep")), result.filter(!col("keep")))
+}

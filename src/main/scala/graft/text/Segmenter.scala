@@ -1,0 +1,119 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Abbreviation-aware sentence splitting + long-text segmentation.
+  *
+  * Reimplements the semantics of the reference's long-text segmenter
+  * (/root/reference/utils/split_long_text.py:14-127): split text into
+  * sentences (not breaking on known abbreviations / decimals), then greedily
+  * pack sentences into segments of [minWords, maxWords] (default 500–1000),
+  * merging short tails and splitting over-long sentences at logical
+  * connectives. The Spark surface is a `text -> Array[String]` function
+  * used with `posexplode` — the engine's only UDTF-shaped operator.
+  */
+object Segmenter {
+
+  private val Abbrev: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "e.g",
+    "i.e", "inc", "ltd", "co", "corp", "fig", "al", "no", "vol", "pp"
+  )
+
+  private val Connectives: Seq[String] = Seq(
+    " and ", " but ", " or ", " because ", " however ", " therefore ",
+    " while ", " although ", ", "
+  )
+
+  /** Sentence split on [.!?] followed by whitespace, protecting known
+    * abbreviations and decimal numbers (split_long_text.py:14-47).
+    */
+  def sentences(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      sb.append(c)
+      if ((c == '.' || c == '!' || c == '?') &&
+          (i + 1 >= n || Character.isWhitespace(text.charAt(i + 1)))) {
+        val cur = sb.toString
+        val lastTok = cur.trim.split("\\s+").lastOption.getOrElse("")
+        val bare = lastTok.stripSuffix(".").toLowerCase
+        val isAbbrev = c == '.' &&
+          (Abbrev.contains(bare) || bare.matches("[a-z]") ||
+            bare.matches("\\d+\\.\\d*"))
+        if (!isAbbrev) {
+          val t = cur.trim
+          if (t.nonEmpty) out += t
+          sb.clear()
+        }
+      }
+      i += 1
+    }
+    val tail = sb.toString.trim
+    if (tail.nonEmpty) out += tail
+    out.toArray
+  }
+
+  private def wordCount(s: String): Int = TextStats.words(s).length
+
+  /** Split an over-long sentence at the latest connective that keeps the
+    * head under maxWords; fall back to a hard word split.
+    */
+  private def splitLong(sentence: String, maxWords: Int): Seq[String] = {
+    if (wordCount(sentence) <= maxWords) return Seq(sentence)
+    val ws = TextStats.words(sentence)
+    val headLimitChars = {
+      // approximate char position of word maxWords
+      var chars = 0; var i = 0
+      while (i < maxWords && i < ws.length) { chars += ws(i).length + 1; i += 1 }
+      chars
+    }
+    val cut = Connectives
+      .map(c => sentence.lastIndexOf(c, math.min(headLimitChars, sentence.length - 1)))
+      .filter(_ > 0)
+      .sorted(Ordering.Int.reverse)
+      .headOption
+    cut match {
+      case Some(pos) =>
+        val head = sentence.substring(0, pos).trim
+        val tail = sentence.substring(pos).trim
+        if (head.isEmpty || tail.isEmpty) hardSplit(sentence, maxWords)
+        else head +: splitLong(tail, maxWords)
+      case None => hardSplit(sentence, maxWords)
+    }
+  }
+
+  private def hardSplit(sentence: String, maxWords: Int): Seq[String] =
+    TextStats.words(sentence).grouped(maxWords).map(_.mkString(" ")).toSeq
+
+  /** Greedy segmentation into [minWords, maxWords]-word segments. Tails
+    * shorter than minWords merge into the previous segment (which may then
+    * exceed maxWords — documented reference behavior for final tails).
+    */
+  def segment(text: String, minWords: Int = 500, maxWords: Int = 1000): Array[String] = {
+    val sents = sentences(text).flatMap(splitLong(_, maxWords))
+    if (sents.isEmpty) return Array.empty
+    val segs = ArrayBuffer.empty[String]
+    val cur = ArrayBuffer.empty[String]
+    var curWords = 0
+    sents.foreach { s =>
+      val w = wordCount(s)
+      if (curWords + w > maxWords && curWords >= minWords) {
+        segs += cur.mkString(" ")
+        cur.clear(); curWords = 0
+      }
+      cur += s; curWords += w
+    }
+    if (cur.nonEmpty) {
+      val tail = cur.mkString(" ")
+      if (curWords < minWords && segs.nonEmpty) {
+        val last = segs.remove(segs.length - 1)
+        segs += (last + " " + tail)
+      } else segs += tail
+    }
+    segs.toArray
+  }
+}

@@ -1,0 +1,241 @@
+package graft.text
+
+import scala.collection.mutable
+
+/** One-pass per-document statistics feeding every heuristic filter
+  * (Gopher quality / Gopher repetition / FineWeb). All fields are computed
+  * in a single tokenize+scan so the whole heuristic stack costs one pass
+  * per document regardless of how many filters consume it — the Spark plan
+  * calls this once per row and evaluates every threshold as a Column
+  * expression over the resulting struct.
+  *
+  * Semantics follow the public datatrove filters the reference configures
+  * (/root/reference/datatrove/findweb.py:101-113); word n-grams are
+  * word-based, "char fraction" is the character share of the affected words
+  * relative to total word characters.
+  */
+case class DocStats(
+    nChars: Int,
+    nWords: Int,
+    meanWordLen: Double,
+    hashRatio: Double,          // '#' occurrences / word
+    ellipsisRatio: Double,      // '...' or '…' occurrences / word
+    bulletLineFrac: Double,     // lines starting with a bullet
+    ellipsisLineFrac: Double,   // lines ending with an ellipsis
+    nonAlphaWordFrac: Double,   // words with NO alphabetic char
+    stopWordCount: Int,         // distinct stop words present
+    nLines: Int,
+    dupLineFrac: Double,
+    dupLineCharFrac: Double,
+    dupParaFrac: Double,
+    dupParaCharFrac: Double,
+    topNgramCharFrac2: Double,
+    topNgramCharFrac3: Double,
+    topNgramCharFrac4: Double,
+    dupNgramCharFrac5: Double,
+    dupNgramCharFrac6: Double,
+    dupNgramCharFrac7: Double,
+    dupNgramCharFrac8: Double,
+    dupNgramCharFrac9: Double,
+    dupNgramCharFrac10: Double,
+    linePunctRatio: Double,     // lines ending in . ' " ! ?
+    shortLineFrac: Double,      // lines shorter than 30 chars
+    newLineRatio: Double,       // '\n' count / word count
+    nSentences: Int             // '.'/'!'/'?' terminated segments
+) {
+  def topNgramCharFrac(n: Int): Double = n match {
+    case 2 => topNgramCharFrac2
+    case 3 => topNgramCharFrac3
+    case 4 => topNgramCharFrac4
+    case _ => 0.0
+  }
+  def dupNgramCharFrac(n: Int): Double = n match {
+    case 5 => dupNgramCharFrac5
+    case 6 => dupNgramCharFrac6
+    case 7 => dupNgramCharFrac7
+    case 8 => dupNgramCharFrac8
+    case 9 => dupNgramCharFrac9
+    case 10 => dupNgramCharFrac10
+    case _ => 0.0
+  }
+}
+
+object TextStats {
+
+  /** Gopher stop-word list (public Gopher paper / datatrove default). */
+  val StopWords: Set[String] =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val BulletChars: Set[Char] = Set('•', '-', '*', '‣', '◦')
+  private val PunctEnd: Set[Char] = Set('.', '\'', '"', '!', '?')
+
+  def words(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  def lines(text: String): Array[String] = text.split("\n", -1)
+
+  def paragraphs(text: String): Array[String] = text.split("\n\n", -1)
+
+  private def hasAlpha(w: String): Boolean = {
+    var i = 0
+    while (i < w.length) { if (Character.isLetter(w.charAt(i))) return true; i += 1 }
+    false
+  }
+
+  private def countOcc(s: String, sub: String): Int = {
+    var c = 0; var i = s.indexOf(sub)
+    while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+    c
+  }
+
+  /** Fraction of (items, item-chars) appearing more than once. Returns
+    * (dupItemFrac, dupCharFrac) where duplicate occurrences beyond the
+    * first count toward both numerators.
+    */
+  private def dupFractions(items: Array[String]): (Double, Double) = {
+    val nonEmpty = items.filter(_.trim.nonEmpty)
+    if (nonEmpty.isEmpty) return (0.0, 0.0)
+    val counts = mutable.HashMap.empty[String, Int]
+    nonEmpty.foreach(it => counts.update(it, counts.getOrElse(it, 0) + 1))
+    var dupItems = 0; var dupChars = 0; var totChars = 0
+    nonEmpty.foreach(it => totChars += it.length)
+    counts.foreach { case (it, c) =>
+      if (c > 1) { dupItems += c - 1; dupChars += (c - 1) * it.length }
+    }
+    (dupItems.toDouble / nonEmpty.length,
+      if (totChars == 0) 0.0 else dupChars.toDouble / totChars)
+  }
+
+  /** Character share of the single most frequent word n-gram (counted over
+    * all its occurrences) relative to total word characters.
+    */
+  private def topNgramCharFrac(ws: Array[String], n: Int, totWordChars: Int): Double = {
+    if (ws.length < n || totWordChars == 0) return 0.0
+    // count n-grams via rolling join; track chars per n-gram key
+    val counts = mutable.HashMap.empty[String, (Int, Int)] // key -> (count, chars)
+    var i = 0
+    while (i + n <= ws.length) {
+      var chars = 0
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { val w = ws(i + j); chars += w.length; sb.append(w).append('\u0001'); j += 1 }
+      val k = sb.toString
+      val (c, _) = counts.getOrElse(k, (0, chars))
+      counts.update(k, (c + 1, chars))
+      i += 1
+    }
+    var best = 0.0
+    counts.foreach { case (_, (c, chars)) =>
+      if (c > 1) { val share = c.toDouble * chars / totWordChars; if (share > best) best = share }
+    }
+    math.min(best, 1.0)
+  }
+
+  /** Character fraction of words covered by non-first occurrences of any
+    * duplicated n-gram (overlap-deduped by word index).
+    */
+  private def dupNgramCharFrac(ws: Array[String], n: Int, totWordChars: Int): Double = {
+    if (ws.length < n || totWordChars == 0) return 0.0
+    val seen = mutable.HashSet.empty[String]
+    val dupWordIdx = new Array[Boolean](ws.length)
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < n) { sb.append(ws(i + j)).append('\u0001'); j += 1 }
+      val k = sb.toString
+      if (!seen.add(k)) {
+        var j2 = 0
+        while (j2 < n) { dupWordIdx(i + j2) = true; j2 += 1 }
+      }
+      i += 1
+    }
+    var dupChars = 0
+    i = 0
+    while (i < ws.length) { if (dupWordIdx(i)) dupChars += ws(i).length; i += 1 }
+    dupChars.toDouble / totWordChars
+  }
+
+  def compute(text: String): DocStats = {
+    val ws = words(text)
+    val ls = lines(text)
+    val ps = paragraphs(text)
+    val nWords = ws.length
+    var totWordChars = 0
+    ws.foreach(totWordChars += _.length)
+    val meanWordLen = if (nWords == 0) 0.0 else totWordChars.toDouble / nWords
+
+    val nHash = countOcc(text, "#")
+    val nEll = countOcc(text, "...") + countOcc(text, "…")
+    val hashRatio = if (nWords == 0) 0.0 else nHash.toDouble / nWords
+    val ellipsisRatio = if (nWords == 0) 0.0 else nEll.toDouble / nWords
+
+    val nonEmptyLines = ls.filter(_.trim.nonEmpty)
+    val nLines = nonEmptyLines.length
+    var bullet = 0; var ellEnd = 0; var punctEnd = 0; var short = 0
+    nonEmptyLines.foreach { l =>
+      val t = l.trim
+      if (t.nonEmpty && BulletChars.contains(t.charAt(0))) bullet += 1
+      if (t.endsWith("...") || t.endsWith("…")) ellEnd += 1
+      if (t.nonEmpty && PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
+      if (l.length < 30) short += 1
+    }
+    val bulletFrac = if (nLines == 0) 0.0 else bullet.toDouble / nLines
+    val ellFrac = if (nLines == 0) 0.0 else ellEnd.toDouble / nLines
+    val punctRatio = if (nLines == 0) 0.0 else punctEnd.toDouble / nLines
+    val shortFrac = if (nLines == 0) 0.0 else short.toDouble / nLines
+
+    var nonAlpha = 0
+    val stopsSeen = mutable.HashSet.empty[String]
+    ws.foreach { w =>
+      if (!hasAlpha(w)) nonAlpha += 1
+      val lw = w.toLowerCase.replaceAll("[^a-z]", "")
+      if (StopWords.contains(lw)) stopsSeen += lw
+    }
+    val nonAlphaFrac = if (nWords == 0) 0.0 else nonAlpha.toDouble / nWords
+
+    val (dlf, dlcf) = dupFractions(nonEmptyLines.map(_.trim))
+    val (dpf, dpcf) = dupFractions(ps.map(_.trim).filter(_.nonEmpty))
+
+    val newLineRatio =
+      if (nWords == 0) 0.0 else countOcc(text, "\n").toDouble / nWords
+
+    var sentences = 0
+    var k = 0
+    while (k < text.length) {
+      val c = text.charAt(k)
+      if (c == '.' || c == '!' || c == '?') sentences += 1
+      k += 1
+    }
+
+    DocStats(
+      nChars = text.length,
+      nWords = nWords,
+      meanWordLen = meanWordLen,
+      hashRatio = hashRatio,
+      ellipsisRatio = ellipsisRatio,
+      bulletLineFrac = bulletFrac,
+      ellipsisLineFrac = ellFrac,
+      nonAlphaWordFrac = nonAlphaFrac,
+      stopWordCount = stopsSeen.size,
+      nLines = nLines,
+      dupLineFrac = dlf,
+      dupLineCharFrac = dlcf,
+      dupParaFrac = dpf,
+      dupParaCharFrac = dpcf,
+      topNgramCharFrac2 = topNgramCharFrac(ws, 2, totWordChars),
+      topNgramCharFrac3 = topNgramCharFrac(ws, 3, totWordChars),
+      topNgramCharFrac4 = topNgramCharFrac(ws, 4, totWordChars),
+      dupNgramCharFrac5 = dupNgramCharFrac(ws, 5, totWordChars),
+      dupNgramCharFrac6 = dupNgramCharFrac(ws, 6, totWordChars),
+      dupNgramCharFrac7 = dupNgramCharFrac(ws, 7, totWordChars),
+      dupNgramCharFrac8 = dupNgramCharFrac(ws, 8, totWordChars),
+      dupNgramCharFrac9 = dupNgramCharFrac(ws, 9, totWordChars),
+      dupNgramCharFrac10 = dupNgramCharFrac(ws, 10, totWordChars),
+      linePunctRatio = punctRatio,
+      shortLineFrac = shortFrac,
+      newLineRatio = newLineRatio,
+      nSentences = sentences
+    )
+  }
+}

@@ -1,0 +1,108 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ExactDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keep-first is deterministic by order columns") {
+    val df = Seq(
+      ("u3", 3L, "same text"), ("u1", 1L, "same text"), ("u2", 2L, "same text"),
+      ("u9", 9L, "other text")
+    ).toDF("url", "ts", "text")
+    val out = ExactDedup.dedup(df, Seq("text"), Seq("ts", "url"))
+      .select("url").as[String].collect().sorted
+    assert(out.toSeq == Seq("u1", "u9"))
+  }
+
+  test("mark flags all but the first") {
+    val df = Seq(("a", 1L, "x"), ("b", 2L, "x"), ("c", 3L, "y")).toDF("url", "ts", "text")
+    val marked = ExactDedup.mark(df, Seq("text"), Seq("ts", "url"))
+    assert(marked.filter($"is_exact_dup").select("url").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("strong key is sha256 of '|'-joined columns (reference parity)") {
+    val df = Seq(("a", "b")).toDF("c1", "c2")
+    val h = df.select(ExactDedup.strongKey(Seq($"c1", $"c2")).as("h"))
+      .as[String].head()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expected = md.digest("a|b".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(h == expected)
+  }
+}
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(seed: Long, lines: Int = 10): String =
+    graft.pipeline.Synth.cleanDoc(graft.pipeline.Synth.rngFor(seed, 0),
+      graft.pipeline.Synth.EnVocab, lines)
+
+  test("identical docs always share every band") {
+    val d = doc(1)
+    val df = Seq(("a", d), ("b", d)).toDF("id", "text")
+    val sigs = MinHash.signatures(df, "id", "text")
+    val shared = sigs.groupBy("band_id", "band_hash").count().filter($"count" === 2).count()
+    assert(shared == 14)
+  }
+
+  test("near-duplicates cluster, distinct docs do not") {
+    val base = doc(2)
+    val rows = Seq(
+      ("a", base),
+      ("b", base + "\nExtra note number one was appended to the record here."),
+      ("c", base + "\nExtra note number two was appended to the record here."),
+      ("d", doc(3)),
+      ("e", doc(4))
+    )
+    implicit val s = spark
+    val marked = MinHash.mark(rows.toDF("id", "text"), "id", "text")
+    val clustered = marked.filter($"minhash_cluster".isNotNull)
+      .select("id", "minhash_cluster").as[(String, String)].collect().toMap
+    assert(clustered.keySet == Set("a", "b", "c"))
+    assert(clustered.values.toSet == Set("a"))
+    val dropped = marked.filter($"is_near_dup").select("id").as[String].collect().toSet
+    assert(dropped == Set("b", "c"))
+  }
+
+  test("connected components merge chained clusters to one representative") {
+    // star edges as candidateEdges would emit: chain a<-b<-c via two bands
+    val edges = Seq(("b", "a"), ("c", "b"), ("e", "d"), ("f", "d"))
+      .toDF("src", "dst")
+    val cl = MinHash.clusters(edges).as[(String, String)].collect().toMap
+    assert(cl("a") == "a" && cl("b") == "a" && cl("c") == "a")
+    assert(cl("d") == "d" && cl("e") == "d" && cl("f") == "d")
+  }
+
+  test("cc matches a driver-side union-find oracle on random graphs") {
+    val rng = new scala.util.Random(7)
+    val n = 60
+    val edges = (1 to 80).map { _ =>
+      val a = rng.nextInt(n); val b = rng.nextInt(n)
+      (f"n${math.max(a, b)}%03d", f"n${math.min(a, b)}%03d")
+    }.filter(e => e._1 != e._2).distinct
+    // oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (s1, s2) =>
+      val (a, b) = (s1.drop(1).toInt, s2.drop(1).toInt)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => f"n$i%03d" -> f"n${find(i)}%03d")
+      .filter { case (id, _) => edges.exists(e => e._1 == id || e._2 == id) }
+      .toMap
+    val got = MinHash.clusters(edges.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("shingles of short docs fall back to whole text") {
+    val df = Seq(("a", "tiny doc")).toDF("id", "text")
+    val sh = df.select(explode(MinHash.shingles($"text", 5)).as("s"))
+      .as[String].collect()
+    assert(sh.toSeq == Seq("tiny doc"))
+  }
+}

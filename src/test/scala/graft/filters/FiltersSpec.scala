@@ -1,0 +1,149 @@
+package graft.filters
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{DropStage, HeuristicConfig}
+import graft.pipeline.Synth
+
+class PiiSpec extends AnyFunSuite {
+  test("email scrub") {
+    assert(Pii.scrub("mail me at john.doe+x@sub.example.org today") ==
+      "mail me at email@example.com today")
+  }
+  test("global ip scrubbed, private ip kept") {
+    assert(Pii.scrub("srv 93.184.216.34 gw 192.168.1.1 lo 127.0.0.1") ==
+      "srv 22.214.171.124 gw 192.168.1.1 lo 127.0.0.1")
+  }
+  test("version-like dotted quads out of range are untouched") {
+    assert(Pii.scrub("release 1.2.3.4000 stays") == "release 1.2.3.4000 stays")
+    assert(Pii.scrub("v10.20.30.40 ok") == "v10.20.30.40 ok") // 10/8 private
+  }
+  test("toxicity masking is word-bounded and case-insensitive") {
+    assert(Pii.scrub("this Fucking thing; but scunthorpe is fine") ==
+      "this [removed] thing; but scunthorpe is fine")
+  }
+  test("is_global boundaries") {
+    assert(Pii.isGlobalIpv4("8.8.8.8"))
+    assert(!Pii.isGlobalIpv4("10.1.2.3"))
+    assert(!Pii.isGlobalIpv4("172.20.1.1"))
+    assert(Pii.isGlobalIpv4("172.32.0.1"))
+    assert(!Pii.isGlobalIpv4("100.70.1.1"))
+    assert(!Pii.isGlobalIpv4("224.0.0.1"))
+    assert(!Pii.isGlobalIpv4("256.1.1.1"))
+  }
+}
+
+class HeuristicsSpec extends AnyFunSuite {
+  val cfg: HeuristicConfig = HeuristicConfig()
+  val rng = Synth.rngFor(42L, 1234L)
+
+  private def clean(n: Int = 9) = Synth.cleanDoc(Synth.rngFor(42, 555), Synth.EnVocab, n)
+
+  test("clean doc passes all stages, scrub is identity") {
+    val r = Heuristics.analyze(clean(), cfg)
+    assert(r.drop_stage == null)
+    assert(r.scrubbed_text == clean())
+  }
+
+  test("short doc fails gopher quality") {
+    val r = Heuristics.analyze("The small doc of few words here.", cfg)
+    assert(r.drop_stage == DropStage.GopherQual)
+  }
+
+  test("repeated lines fail gopher repetition") {
+    val line = "This exact line of text keeps repeating again and again."
+    val other = clean(6)
+    val doc = (Seq(line, line, line, line, line) ++ other.split("\n")).mkString("\n")
+    assert(Heuristics.analyze(doc, cfg).drop_stage == DropStage.GopherRep)
+  }
+
+  test("looped 5-gram fails gopher repetition") {
+    val doc = clean(6) + "\n" + ("alpha river stone cloud bridge " * 6).trim + "."
+    assert(Heuristics.analyze(doc, cfg).drop_stage == DropStage.GopherRep)
+  }
+
+  test("c4 scrubs policy lines and keeps the doc") {
+    val base = clean(8).split("\n")
+    val doc = (base.take(4) :+ "This website uses cookies for tracking purposes always.") ++ base.drop(4)
+    val r = Heuristics.analyze(doc.mkString("\n"), cfg)
+    assert(r.drop_stage == null)
+    assert(r.scrubbed_text == base.mkString("\n"))
+  }
+
+  test("c4 drops lorem ipsum and brace docs") {
+    assert(Heuristics.analyze(clean() + "\nSome lorem ipsum filler appears here today.", cfg)
+      .drop_stage == DropStage.C4)
+    assert(Heuristics.analyze(clean() + "\nA code block { with braces } in the page.", cfg)
+      .drop_stage == DropStage.C4)
+  }
+
+  test("c4 removes citation-needed spans byte-exactly") {
+    val base = clean(7).split("\n")
+    val doc = (base.take(3) :+ "The fact was well known [citation needed] among the people there.") ++ base.drop(3)
+    val r = Heuristics.analyze(doc.mkString("\n"), cfg)
+    assert(r.drop_stage == null)
+    val expected = (base.take(3) :+ "The fact was well known  among the people there.") ++ base.drop(3)
+    assert(r.scrubbed_text == expected.mkString("\n"))
+  }
+
+  test("fineweb drops low terminal-punct docs") {
+    val r0 = Synth.rngFor(42L, 31337L)
+    def w() = Synth.EnVocab(r0.nextInt(Synth.EnVocab.length))
+    val lines = Array.fill(14)(
+      s"Then ${w()} the ${w()} of Mr. ${w().capitalize} and ${w()} ${w()} ${w()} here")
+    val r = Heuristics.analyze(lines.mkString("\n"), cfg)
+    assert(r.drop_stage == DropStage.FineWeb)
+  }
+
+  test("pii scrub applied to final bytes") {
+    val doc = clean(8) + "\nReach the admin at ops@example.net and the host 93.184.216.34 now."
+    val r = Heuristics.analyze(doc, cfg)
+    assert(r.drop_stage == null)
+    assert(r.scrubbed_text ==
+      clean(8) + "\nReach the admin at email@example.com and the host 22.214.171.124 now.")
+  }
+}
+
+class LangIdSpec extends AnyFunSuite {
+  lazy val model: FastTextModel = FastTextTrainer.train(
+    Synth.langSamples(200), dim = 24, buckets = 1 << 14, epochs = 4, lr = 0.25)
+
+  test("classifies held-out synthetic languages with high accuracy") {
+    val held = Synth.langSamples(60, seed = 777L)
+    val correct = held.count { case (lang, text) => model.predict(text)._1 == lang }
+    val acc = correct.toDouble / held.size
+    assert(acc >= 0.99, s"accuracy $acc")
+  }
+
+  test("confident on clean english docs") {
+    (0 until 30).foreach { i =>
+      val doc = Synth.cleanDoc(Synth.rngFor(99L, i), Synth.EnVocab, 8)
+      val (l, p) = model.predict(doc)
+      assert(l == "en" && p > 0.65, s"doc $i -> ($l, $p)")
+    }
+  }
+
+  test("training is deterministic") {
+    val m2 = FastTextTrainer.train(Synth.langSamples(50), dim = 8,
+      buckets = 1 << 12, epochs = 2, lr = 0.25)
+    val m3 = FastTextTrainer.train(Synth.langSamples(50), dim = 8,
+      buckets = 1 << 12, epochs = 2, lr = 0.25)
+    assert(m2.emb.sameElements(m3.emb) && m2.out.sameElements(m3.out))
+  }
+}
+
+class PerplexitySpec extends AnyFunSuite {
+  lazy val lm: KneserNeyLM = KneserNeyLM.train(Synth.lmSamples(200))
+
+  test("in-domain text scores far lower than gibberish") {
+    val good = Synth.cleanDoc(Synth.rngFor(1L, 2L), Synth.EnVocab, 8)
+    val gibberish = Synth.cleanDoc(Synth.rngFor(1L, 3L), Synth.QqVocab, 8, english = false)
+    val pGood = lm.perplexity(good)
+    val pBad = lm.perplexity(gibberish)
+    assert(pGood * 10 < pBad, s"good=$pGood bad=$pBad")
+  }
+
+  test("probabilities form a sane distribution") {
+    val p = lm.perplexity("the river and the stone of the valley.")
+    assert(p > 1.0 && p.isFinite)
+  }
+}

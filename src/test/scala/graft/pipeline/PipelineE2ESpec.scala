@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.PipelineConfig
+
+/** The correctness gate (BASELINE.json:2): run the full pipeline on the
+  * labeled synthetic corpus and require keep/drop F1 ≥ 0.99 against the
+  * generator's planted labels, byte-identical scrubbed text, and
+  * parallelism-independent determinism.
+  */
+class PipelineE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 2000L
+  lazy val rows = Synth.rows(spark, N).cache()
+  lazy val result = CorpusPipeline.run(
+    rows.select("url", "warc_ts", "html", "text", "lang")).cache()
+  lazy val joined = result.join(
+    rows.select("url", "expect_keep", "expect_stage", "expect_scrubbed", "dup_cluster"),
+    "url").cache()
+
+  test("keep/drop F1 >= 0.99 vs planted labels") {
+    val agg = joined.agg(
+      sum(when($"keep" && $"expect_keep", 1).otherwise(0)).as("tp"),
+      sum(when($"keep" && !$"expect_keep", 1).otherwise(0)).as("fp"),
+      sum(when(!$"keep" && $"expect_keep", 1).otherwise(0)).as("fn"),
+      count(lit(1)).as("n")
+    ).head()
+    val (tp, fp, fn, n) =
+      (agg.getLong(0).toDouble, agg.getLong(1).toDouble, agg.getLong(2).toDouble, agg.getLong(3))
+    assert(n == N)
+    val precision = tp / (tp + fp)
+    val recall = tp / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    info(f"precision=$precision%.4f recall=$recall%.4f f1=$f1%.4f")
+    assert(f1 >= 0.99, f"F1 $f1%.4f below gate; fp=$fp fn=$fn")
+  }
+
+  test("drop stages match the planted stage on >=99% of dropped docs") {
+    val dropped = joined.filter(!$"expect_keep")
+    val total = dropped.count()
+    val matching = dropped.filter($"drop_stage" === $"expect_stage").count()
+    info(s"stage match: $matching/$total")
+    assert(matching.toDouble / total >= 0.99)
+  }
+
+  test("scrubbed text is byte-identical for kept docs") {
+    val kept = joined.filter($"keep" && $"expect_keep")
+    val mismatches = kept.filter($"scrubbed_text" =!= $"expect_scrubbed").count()
+    val total = kept.count()
+    info(s"byte-identical: ${total - mismatches}/$total")
+    assert(mismatches == 0,
+      s"$mismatches kept docs with non-identical scrubbed bytes")
+  }
+
+  test("near-dup clusters recover the planted clusters") {
+    val planted = joined.filter($"dup_cluster" >= 0)
+    // every planted near-dup member ends up clustered (cluster non-null)
+    val unclustered = planted.filter($"minhash_cluster".isNull).count()
+    val total = planted.count()
+    info(s"clustered: ${total - unclustered}/$total")
+    assert(unclustered.toDouble / total <= 0.01)
+    // members of the same planted cluster that got clustered share one rep
+    val repsPerCluster = planted.filter($"minhash_cluster".isNotNull)
+      .groupBy("dup_cluster")
+      .agg(countDistinct("minhash_cluster").as("reps"))
+      .filter($"reps" > 1).count()
+    assert(repsPerCluster == 0, s"$repsPerCluster planted clusters split")
+  }
+
+  test("deterministic across input partitioning") {
+    val result8 = CorpusPipeline.run(
+      rows.select("url", "warc_ts", "html", "text", "lang").repartition(17))
+      .select("url", "keep", "drop_stage", "scrubbed_text")
+    val base = result.select("url", "keep", "drop_stage", "scrubbed_text")
+    assert(base.exceptAll(result8).count() == 0)
+    assert(result8.exceptAll(base).count() == 0)
+  }
+
+  test("perplexity column is populated and sane for kept docs") {
+    val stats = result.filter($"keep")
+      .agg(min("perplexity"), max("perplexity")).head()
+    assert(stats.getDouble(0) > 1.0)
+    assert(stats.getDouble(1).isFinite)
+  }
+
+  test("perplexity gate drops gibberish when enabled") {
+    val pages = Seq(
+      ("https://a/1", new java.sql.Timestamp(1L), Array[Byte](),
+        Synth.cleanDoc(Synth.rngFor(5, 1), Synth.EnVocab, 8), "en"),
+      ("https://a/2", new java.sql.Timestamp(2L), Array[Byte](),
+        Synth.cleanDoc(Synth.rngFor(5, 2), Synth.QqVocab, 8, english = false), "qq")
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    val cfg = PipelineConfig(keepLanguages = Set("en", "qq"), minLangProb = 0.0,
+      maxPerplexity = Some(5000.0), minhashDedup = false)
+    val out = CorpusPipeline.run(pages, cfg)
+    val kept = out.filter($"keep").select("url").as[String].collect().toSet
+    assert(kept == Set("https://a/1"))
+  }
+}
