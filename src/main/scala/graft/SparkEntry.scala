@@ -188,6 +188,142 @@ object SparkEntry {
     "q_pipeline_full" -> ((s, dir) => {
       CorpusPipeline.run(pagesFromDocs(s, dir))
         .select("url", "keep", "drop_stage")
+    }),
+
+    // ---- similarity search -------------------------------------------
+
+    // Brute-force cosine top-k against a query vector (exact baseline)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      analytics.Similarity.topK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    }),
+
+    // LSH-bucketed near-pair search (scale path; rows-only — banding is
+    // not SQL-expressible)
+    "q_cosine_pairs_lsh" -> ((s, dir) =>
+      analytics.Similarity.nearPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minSim = 0.3, bands = 8, bitsPerBand = 6)),
+
+    // IVF cell assignment (rows-only)
+    "q_ivf_assign" -> ((s, dir) => {
+      val cents = analytics.Similarity.hyperplanes(8, 64, seed = 7L)
+      analytics.Similarity.ivfAssign(t(s, dir, "embeddings"),
+        "vec_id", "embedding", cents)
+        .select("vec_id", "ivf_cell")
+    }),
+
+    // ---- near-dup family beyond MinHash ------------------------------
+
+    // SimHash band-blocked pairs over the synthetic corpus (rows-only)
+    "q_simhash_pairs" -> ((s, dir) =>
+      analytics.NearDup.simhashPairs(Synth.pages(s, 2000L), "url", "text")),
+
+    // MinHash-blocked exact n-gram Jaccard verification (rows-only)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      analytics.NearDup.jaccardPairs(Synth.pages(s, 2000L), "url", "text",
+        minJaccard = 0.5)),
+
+    // Embedding-cosine near-dup clustering (rows-only)
+    "q_embed_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      analytics.NearDup.embeddingNearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", minSim = 0.3)
+        .select(col("vec_id"), col("embed_cluster"), col("is_embed_dup"))
+    }),
+
+    // ---- text analysis ------------------------------------------------
+
+    // Heuristic language ID via marker-word voting (oracle-checked)
+    "q_lang_heuristic" -> ((s, dir) => {
+      def hits(words: Seq[String]) =
+        size(filter(split(lower(col("text")), "[^a-z']+"),
+          w => w.isInCollection(words)))
+      t(s, dir, "documents").select(col("doc_id"),
+        hits(Seq("the", "of", "and", "to", "is")).as("en_hits"),
+        hits(Seq("le", "la", "les", "des", "est")).as("fr_hits"),
+        hits(Seq("el", "los", "las", "para", "esta")).as("es_hits"),
+        hits(Seq("der", "die", "das", "und", "ein")).as("de_hits"))
+    }),
+
+    // Quality scoring: length saturation × stopword presence (oracle)
+    "q_quality_score" -> ((s, dir) => {
+      val words = size(split(col("text"), "\\s+")).cast("double")
+      val stop = size(filter(split(lower(col("text")), "[^a-z']+"),
+        w => w.isInCollection(Seq("the", "of", "and", "to", "is"))))
+        .cast("double")
+      t(s, dir, "documents").select(col("doc_id"),
+        round(least(lit(1.0), words / 100.0) *
+          (lit(0.5) + least(lit(1.0), stop / 5.0) * 0.5), 4).as("qscore"))
+    }),
+
+    // BPE-ish token budget estimate (oracle)
+    "q_bpe_estimate" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        analytics.TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"))),
+
+    // Rolling-hash order-sensitive fingerprint (rows-only: custom hash)
+    "q_rolling_fingerprint" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        analytics.TextAnalysis.rollingFingerprintUdf(col("text")).as("rfp"))),
+
+    // ---- domain analytics ---------------------------------------------
+
+    // Host extraction + group-count (oracle via split_part)
+    "q_domain_count" -> ((s, dir) => {
+      CorpusPipeline // touch to keep import
+      val pages = pagesFromDocs(s, dir)
+      pages.groupBy(split_part(col("url"), lit("/"), lit(3)).as("host"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- multimodal plumbing -----------------------------------------
+
+    // Payload metadata (oracle: byte length + content hash)
+    "q_multimodal_meta" -> ((s, dir) => pagesFromDocs(s, dir)
+      .select(col("url"), length(col("html")).as("n_bytes"),
+        md5(col("html")).as("content_hash"))),
+
+    // STUB decode + featurize via partition-batched extraction (rows-only)
+    "q_multimodal_features" -> ((s, dir) =>
+      analytics.Multimodal.extractFeatures(pagesFromDocs(s, dir), "html")
+        .select("url", "n_bytes", "header_hash", "byte_entropy")),
+
+    // Frame-sampling plumbing (rows-only)
+    "q_frame_sample" -> ((s, dir) =>
+      analytics.Multimodal.sampleFrames(
+        pagesFromDocs(s, dir).limit(100), "html", nFrames = 4)
+        .select("url", "frame_id", "frame_bytes")),
+
+    // ---- sampling -----------------------------------------------------
+
+    // Exact-n uniform sample, md5-ranked for oracle parity
+    "q_sample_uniform" -> ((s, dir) => t(s, dir, "documents")
+      .orderBy(md5(col("text")), col("doc_id"))
+      .limit(50)
+      .select("doc_id")),
+
+    // Stratified train/val split sizes (oracle: window count parity)
+    "q_train_split" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      val n = Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .select(col("doc_id"),
+          (col("rn") <= (col("cnt") * 0.8).cast("int")).as("is_train"))
+    }),
+
+    // ---- segmentation (UDTF-shaped, rows-only) ------------------------
+    "q_segment" -> ((s, dir) => {
+      val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(segUdf(col("text")))
+          .as(Seq("seg_id", "segment")))
     })
   )
 
@@ -285,6 +421,64 @@ object SparkEntry {
         |regexp_replace(text,
         |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
         |'email@example.com', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "q_cosine_topk" ->
+      """SELECT vec_id,
+        |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4)
+        |  AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_lang_heuristic" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |  x -> x IN ('the','of','and','to','is'))) AS INT) AS en_hits,
+        |CAST(len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |  x -> x IN ('le','la','les','des','est'))) AS INT) AS fr_hits,
+        |CAST(len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |  x -> x IN ('el','los','las','para','esta'))) AS INT) AS es_hits,
+        |CAST(len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |  x -> x IN ('der','die','das','und','ein'))) AS INT) AS de_hits
+        |FROM documents""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |round(least(1.0, len(string_split_regex(text, '\s+')) / 100.0) *
+        |  (0.5 + least(1.0,
+        |     len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |       x -> x IN ('the','of','and','to','is'))) / 5.0) * 0.5), 4)
+        |  AS qscore
+        |FROM documents""".stripMargin,
+
+    "q_bpe_estimate" ->
+      """SELECT doc_id,
+        |CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
+        |  AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_domain_count" ->
+      """SELECT split_part('https://docs.example.com/' ||
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0'), '/', 3) AS host,
+        |count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT 'https://docs.example.com/' ||
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+        |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "q_sample_uniform" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5(text), doc_id LIMIT 50""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id,
+        |row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+        |  <= CAST(count(*) OVER (PARTITION BY lang) * 0.8 AS INT) AS is_train
         |FROM documents""".stripMargin
   )
 }

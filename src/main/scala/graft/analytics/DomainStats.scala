@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.DomainOf
+
+/** Domain/url statistics — the reference's analytics family:
+  * group-count by domain (/root/reference/process_data.py:88-98,
+  * /root/reference/utils/extract_dclm_domain.py:30-33), url counts
+  * (/root/reference/utils/url_count.py:34-56), base-vs-all ratio join
+  * (/root/reference/process_data.py:107-128), and domain-membership
+  * filters (/root/reference/utils/filter_by_url.py:8-21).
+  *
+  * The reference's chunked partial-then-final aggregation
+  * (/root/reference/utils/domain_statistic.py:46-66) is exactly Spark's
+  * partial aggregation — a single groupBy here compiles to the same
+  * two-phase tree, distributed.
+  */
+object DomainStats {
+
+  val fqdnUdf = udf((u: String) => DomainOf.fqdn(u))
+  val registrableUdf = udf((u: String) => DomainOf.registrable(u))
+
+  /** Pure-Column host extraction for oracle-parity paths (scheme://host/…). */
+  def hostCol(urlCol: Column): Column = split_part(urlCol, lit("/"), lit(3))
+
+  def domainCounts(df: DataFrame, urlCol: String): DataFrame =
+    df.groupBy(registrableUdf(col(urlCol)).as("domain"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("domain"))
+
+  def urlCounts(df: DataFrame, urlCol: String): DataFrame =
+    df.groupBy(col(urlCol)).agg(count(lit(1)).as("cnt"))
+
+  /** Ratio of per-domain counts between two frames, 0-denominator → null
+    * (process_data.py:120-125 semantics). Broadcasts the smaller side.
+    */
+  def ratioJoin(base: DataFrame, all: DataFrame, urlCol: String): DataFrame = {
+    val b = domainCounts(base, urlCol).withColumnRenamed("cnt", "base_cnt")
+    val a = domainCounts(all, urlCol).withColumnRenamed("cnt", "all_cnt")
+    a.join(broadcast(b), Seq("domain"), "inner")
+      .withColumn("ratio",
+        when(col("all_cnt") =!= 0,
+          round(col("base_cnt") / col("all_cnt"), 4)))
+      .orderBy(col("ratio").desc, col("domain"))
+  }
+
+  /** Keep rows whose registrable domain is in `domains` — broadcast
+    * semi-join for big lists, `isin` for small (filter_by_url.py P8/J2).
+    */
+  def filterByDomains(df: DataFrame, urlCol: String,
+                      domains: Seq[String]): DataFrame =
+    if (domains.size <= 1000)
+      df.filter(registrableUdf(col(urlCol)).isInCollection(domains))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(domains.toDF("domain")),
+        registrableUdf(col(urlCol)) === col("domain"), "left_semi")
+    }
+
+  /** Drop rows on a blocklist — broadcast anti-join (URLFilter P14/J3). */
+  def excludeDomains(df: DataFrame, urlCol: String,
+                     blocklist: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.join(broadcast(blocklist.toDF("domain")),
+      registrableUdf(col(urlCol)) === col("domain"), "left_anti")
+  }
+}

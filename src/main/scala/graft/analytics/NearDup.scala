@@ -1,0 +1,131 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.MinHash
+
+/** Near-duplicate detection family beyond MinHash (training-data pipeline
+  * extensions): SimHash, exact n-gram Jaccard verification, and
+  * embedding-cosine near-dup — each built on the same block-then-verify
+  * shape so no stage is O(n²).
+  */
+object NearDup {
+
+  /** 64-bit SimHash over word features (Charikar 2002): per-word 64-bit
+    * hash votes ±1 per bit, sign of the vote sum becomes the bit. Pure
+    * per-document function (no shuffle); near-dups differ in few bits.
+    */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          // FNV-1a 64-bit of the word
+          var h = 0xcbf29ce484222325L
+          var j = start
+          while (j < i) { h ^= text.charAt(j); h *= 0x100000001b3L; j += 1 }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  val simhashUdf = udf((t: String) => simhash64(t))
+
+  /** Candidate SimHash near-dup pairs: block on 4 × 16-bit bands (two
+    * signatures within Hamming distance ≤3 of 64 bits share at least one
+    * band by pigeonhole... for ≤3 flipped bits over 4 bands), then verify
+    * exact Hamming distance ≤ `maxHamming`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    val banded = (0 until 4).map { b =>
+      sigs.select(col("id"), col("sig"), lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  /** Exact word n-gram Jaccard between two texts (verification kernel). */
+  def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
+    def grams(t: String): Set[String] = {
+      val ws = graft.text.TextStats.words(if (t == null) "" else t)
+      if (ws.length < n) Set(ws.mkString(" "))
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val (ga, gb) = (grams(a), grams(b))
+    val inter = ga.intersect(gb).size
+    val union = ga.size + gb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  private val jaccardUdf = udf((a: String, b: String, n: Int) => ngramJaccard(a, b, n))
+
+  /** Block-then-verify n-gram Jaccard dedup: MinHash bands generate the
+    * candidate pairs (O(dups), not O(n²)), then the exact Jaccard UDF
+    * verifies each candidate against `minJaccard`. This is the
+    * "MinHash with exact verification" variant datatrove omits (its
+    * stage 2 trusts the bands — SURVEY.md §2.5 D6).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, n: Int = 3,
+                   cfg: MinHash.Config = MinHash.Config()): DataFrame = {
+    val edges = MinHash.candidateEdges(
+      MinHash.signatures(df, idCol, textCol, cfg))
+    val texts = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+    edges
+      .join(texts.withColumnRenamed("_id", "src")
+        .withColumnRenamed("_text", "text_src"), "src")
+      .join(texts.withColumnRenamed("_id", "dst")
+        .withColumnRenamed("_text", "text_dst"), "dst")
+      .withColumn("jaccard",
+        round(jaccardUdf(col("text_src"), col("text_dst"), lit(n)), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("src").as("id_a"), col("dst").as("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup marking: LSH-bucketed pairs above `minSim`
+    * collapse to clusters; non-representatives are flagged. Same
+    * block→verify→CC shape as MinHash, on vectors.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        minSim: Double)(implicit spark: SparkSession): DataFrame = {
+    // string ids so the small-graph driver union-find fast path applies
+    // regardless of the caller's id type
+    val pairs = Similarity.nearPairs(df, idCol, vecCol, minSim)
+      .select(greatest(col("id_a"), col("id_b")).cast("string").as("src"),
+        least(col("id_a"), col("id_b")).cast("string").as("dst"))
+    val cl = MinHash.clusters(pairs)
+      .select(col("id").as("_cc_id"), col("cluster").as("embed_cluster"))
+    df.join(cl, df(idCol).cast("string") === col("_cc_id"), "left")
+      .drop("_cc_id")
+      .withColumn("is_embed_dup",
+        col("embed_cluster").isNotNull &&
+          col(idCol).cast("string") =!= col("embed_cluster"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text analysis for training-data pipelines: heuristic
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * Column expressions (codegen'd, pushdown-friendly) — the model-based
+  * variants live in graft.filters; these are the cheap screening passes
+  * you run before spending model inference on a document.
+  */
+object TextAnalysis {
+
+  /** Per-language marker words for the n-gram-free heuristic language ID
+    * (stopword voting). Covers the corpus languages; extend per deployment.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "is", "in", "that", "with"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "para", "con", "esta", "pero", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "mit", "ist", "für")
+  )
+
+  private def markerHits(textCol: Column, words: Seq[String]): Column = {
+    val ws = split(lower(textCol), "[^a-zA-Zà-üÀ-Ü']+")
+    size(filter(ws, w => w.isInCollection(words)))
+  }
+
+  /** Heuristic language ID: the language whose marker words appear most;
+    * 'und' (undetermined) when nothing matches.
+    */
+  def langHeuristic(textCol: Column): Column = {
+    val scored = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(markerHits(textCol, words).as("hits"), lit(lang).as("lang"))
+    }
+    when(greatest(scored: _*).getField("hits") > 0,
+      greatest(scored: _*).getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation × terminal-punct
+    * line ratio × stopword presence. Mirrors the shape of the reference's
+    * fastText-score screening (prob ∈ [0,1], keep ≥ threshold —
+    * /root/reference/fasttext/mult_infer.py:105) without a model.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val words = size(split(textCol, "\\s+"))
+    val lenScore = least(lit(1.0), words.cast("double") / 100.0)
+    val stopScore = least(lit(1.0),
+      markerHits(textCol, Markers("en")).cast("double") / 5.0)
+    round(lenScore * (lit(0.5) + stopScore * 0.5), 4)
+  }
+
+  /** Whitespace token count (the TokensCounter surface, SURVEY §2.2 P21). */
+  def wsTokens(textCol: Column): Column = size(split(textCol, "\\s+"))
+
+  /** BPE-ish subword-budget estimate: word-char count / 4 + punct count —
+    * the standard chars/4 budget heuristic, as a codegen'd expression.
+    */
+  def bpeTokenEstimate(textCol: Column): Column =
+    ceil(length(regexp_replace(textCol, "\\s+", "")).cast("double") / 4.0)
+      .cast("long")
+
+  /** 64-bit rolling (polynomial) hash over words — an order-sensitive
+    * document fingerprint (same words reordered → different print),
+    * complementing md5 content prints.
+    */
+  def rollingFingerprint(text: String): Long = {
+    if (text == null) return 0L
+    var h = 1125899906842597L
+    val ws = graft.text.TextStats.words(text)
+    var i = 0
+    while (i < ws.length) {
+      var j = 0
+      val w = ws(i)
+      while (j < w.length) { h = h * 31 + w.charAt(j); j += 1 }
+      h = h * 131 + 7
+      i += 1
+    }
+    h
+  }
+
+  val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
+}

@@ -96,8 +96,35 @@ object MinHash {
     * persist/unpersist to cut lineage. Returns (id, cluster) for every
     * vertex of the duplicate graph; cluster = component min id.
     */
-  def clusters(edges: DataFrame): DataFrame = {
+  /** Edge-count threshold under which CC runs as a driver-side union-find
+    * over the collected edge list. The candidate-edge set is O(duplicates),
+    * orders of magnitude smaller than the corpus, so at bench scales this
+    * removes ~10 tiny shuffle jobs; above the threshold the fully
+    * distributed loop below takes over (the reference instead hard-codes a
+    * single-worker stage-3 for ALL sizes, 3-local:96-97).
+    */
+  val DriverCcMaxEdges: Long = 2000000L
+
+  def clusters(edges: DataFrame,
+               driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
     val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    if (nEdges == 0) {
+      e.unpersist(false)
+      return e.sparkSession.createDataFrame(
+        e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            e.schema("src").dataType),
+          org.apache.spark.sql.types.StructField("cluster",
+            e.schema("src").dataType))))
+    }
+    if (nEdges <= driverMaxEdges &&
+        e.schema("src").dataType == org.apache.spark.sql.types.StringType) {
+      val out = driverUnionFind(e)
+      e.unpersist(false)
+      return out
+    }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var labels = vertices.select(col("id"), col("id").as("lbl"))
@@ -126,6 +153,35 @@ object MinHash {
     }
     e.unpersist(false)
     labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Path-compressed union-find over a collected edge list (small-graph
+    * fast path). Representative = lexicographic min of the component,
+    * matching the distributed loop bit-for-bit.
+    */
+  private def driverUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    e.select("src", "dst").collect().foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      } else { parent.getOrElseUpdate(a, ra); () }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      ()
+    }
+    val pairs = parent.keysIterator.map(v => (v, find(v))).toSeq
+    import spark.implicits._
+    pairs.toDF("id", "cluster")
   }
 
   /** Ids to drop: every clustered node except its component representative

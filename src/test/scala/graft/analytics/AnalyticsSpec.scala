@@ -1,0 +1,246 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pipeline.Synth
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("brute-force cosine top-k matches manual computation") {
+    val df = Seq(
+      (1L, vec(1, 0, 0)), (2L, vec(0.9, 0.1, 0)), (3L, vec(0, 1, 0)),
+      (4L, vec(-1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.topK(df, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0), 2).as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 1.0)
+    assert(math.abs(got(1)._2 - 0.9 / math.sqrt(0.82)) < 1e-3)
+  }
+
+  test("lsh near-pairs recover planted high-similarity pairs") {
+    val rng = new java.util.SplittableRandom(5)
+    val base = Array.fill(64)(rng.nextGaussian())
+    def jitter(eps: Double, seed: Int) = {
+      val r = new java.util.SplittableRandom(seed)
+      base.map(x => (x + eps * r.nextGaussian()).toFloat).toSeq
+    }
+    val rows = Seq(
+      (1L, jitter(0.05, 1)), (2L, jitter(0.05, 2)), (3L, jitter(0.05, 3))
+    ) ++ (10L to 40L).map(i => (i, {
+      val r = new java.util.SplittableRandom(i)
+      Array.fill(64)(r.nextGaussian().toFloat).toSeq
+    }))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearPairs(df, "vec_id", "embedding",
+      minSim = 0.9, bands = 8, bitsPerBand = 6, dim = 64)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(ids == Set(1L, 2L, 3L), s"got pairs ${pairs.toSeq}")
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
+  test("ivf assignment is deterministic and total") {
+    val df = (1L to 20L).map { i =>
+      val r = new java.util.SplittableRandom(i)
+      (i, Array.fill(64)(r.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.hyperplanes(4, 64, seed = 7L)
+    val a = Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    val b = Similarity.ivfAssign(df.repartition(7), "vec_id", "embedding", cents)
+      .select("vec_id", "ivf_cell").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    assert(a.values.forall(c => c >= 0 && c < 4))
+  }
+}
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash: identical docs have distance 0, near docs small distance") {
+    val d = Synth.cleanDoc(Synth.rngFor(1, 1), Synth.EnVocab, 10)
+    val dNear = d + "\nOne extra line of text was added at the end here."
+    val dFar = Synth.cleanDoc(Synth.rngFor(1, 2), Synth.EnVocab, 10)
+    val h = NearDup.simhash64(d)
+    assert(NearDup.simhash64(d) == h)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(h, NearDup.simhash64(dNear))
+    val far = hamming(h, NearDup.simhash64(dFar))
+    // same-vocab docs share word bags, so 'far' is closer than random
+    // 64-bit values (~32) — the invariant is the ordering, not magnitude
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 5)
+  }
+
+  test("simhash pairs find exact duplicates via band blocking") {
+    val d1 = Synth.cleanDoc(Synth.rngFor(2, 1), Synth.EnVocab, 10)
+    val d2 = Synth.cleanDoc(Synth.rngFor(2, 2), Synth.EnVocab, 10)
+    val df = Seq(("a", d1), ("b", d1), ("c", d2)).toDF("id", "text")
+    val pairs = NearDup.simhashPairs(df, "id", "text")
+      .as[(String, String, Int)].collect()
+    assert(pairs.toSeq == Seq(("a", "b", 0)))
+  }
+
+  test("ngram jaccard kernel") {
+    assert(NearDup.ngramJaccard("a b c d e", "a b c d e") == 1.0)
+    assert(NearDup.ngramJaccard("a b c d e", "v w x y z") == 0.0)
+    val j = NearDup.ngramJaccard("a b c d e f", "a b c d e g", n = 3)
+    assert(j > 0.3 && j < 0.8)
+  }
+
+  test("block-then-verify jaccard pairs on planted near-dups") {
+    val base = Synth.cleanDoc(Synth.rngFor(3, 1), Synth.EnVocab, 10)
+    val df = Seq(
+      ("a", base),
+      ("b", base + "\nExtra note number one was appended to the record here."),
+      ("c", Synth.cleanDoc(Synth.rngFor(3, 2), Synth.EnVocab, 10))
+    ).toDF("id", "text")
+    val pairs = NearDup.jaccardPairs(df, "id", "text", minJaccard = 0.7)
+      .as[(String, String, Double)].collect()
+    assert(pairs.map(p => Set(p._1, p._2)).toSet == Set(Set("a", "b")))
+  }
+
+  test("embedding near-dups cluster jittered vectors") {
+    implicit val s = spark
+    val rng = new java.util.SplittableRandom(9)
+    val base = Array.fill(64)(rng.nextGaussian())
+    def jitter(seed: Int) = {
+      val r = new java.util.SplittableRandom(seed)
+      base.map(x => (x + 0.03 * r.nextGaussian()).toFloat).toSeq
+    }
+    val df = (Seq((1L, jitter(1)), (2L, jitter(2))) ++
+      (10L to 25L).map(i => (i, {
+        val r = new java.util.SplittableRandom(i * 7)
+        Array.fill(64)(r.nextGaussian().toFloat).toSeq
+      }))).toDF("vec_id", "embedding")
+    val out = NearDup.embeddingNearDups(df, "vec_id", "embedding", 0.9)
+    val dups = out.filter($"is_embed_dup").select("vec_id").as[Long].collect()
+    assert(dups.toSeq == Seq(2L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heuristic language id votes by markers") {
+    val df = Seq(
+      ("the cat of the house and it is big", "en"),
+      ("le chat de la maison est dans les champs", "fr"),
+      ("el gato de los campos para la casa esta", "es"),
+      ("der hund und die katze mit das haus ein", "de"),
+      ("zzz qqq www", "und")
+    ).toDF("text", "expected")
+    val got = df.select(TextAnalysis.langHeuristic($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+
+  test("quality score ranges and ordering") {
+    val good = Synth.cleanDoc(Synth.rngFor(4, 1), Synth.EnVocab, 10)
+    val df = Seq(good, "tiny text").toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore($"text")).as[Double].collect()
+    assert(scores(0) > scores(1))
+    assert(scores.forall(sc => sc >= 0.0 && sc <= 1.0))
+  }
+
+  test("rolling fingerprint is order-sensitive; md5 content print is not") {
+    val a = NearDup.simhash64("x")
+    assert(TextAnalysis.rollingFingerprint("alpha beta gamma") !=
+      TextAnalysis.rollingFingerprint("gamma beta alpha"))
+    assert(TextAnalysis.rollingFingerprint("same words here") ==
+      TextAnalysis.rollingFingerprint("same words here"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction plumbing: schema, determinism, batch shape") {
+    val df = Seq(
+      ("a", "hello media payload".getBytes("UTF-8")),
+      ("b", Array.fill(1000)(7.toByte)),
+      ("c", Array.empty[Byte])
+    ).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df, "payload", batchSize = 2)
+    val rows = out.select("id", "n_bytes", "byte_entropy").as[(String, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq(19L, 1000L, 0L))
+    assert(rows(1)._3 == 0.0) // constant bytes → zero entropy
+    assert(rows(0)._3 > 0.0)
+    val again = Multimodal.extractFeatures(df.repartition(3), "payload")
+      .select("id", "header_hash").as[(String, Long)].collect().toMap
+    val first = out.select("id", "header_hash").as[(String, Long)].collect().toMap
+    assert(again == first)
+  }
+
+  test("frame sampling explodes deterministic slices") {
+    val df = Seq(("a", (0 until 100).map(_.toByte).toArray)).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "payload", nFrames = 4)
+      .select("frame_id", "frame_bytes").as[(Int, Array[Byte])].collect()
+    assert(frames.length == 4)
+    assert(frames.map(_._2.length).sum == 100)
+    assert(frames(0)._2.head == 0.toByte && frames(3)._2.head == 75.toByte)
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("uniform n is exact and partitioning-independent") {
+    val a = Sampling.uniformN(docs, 40, Seq("text")).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.uniformN(docs.repartition(13), 40, Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 40 && a == b)
+  }
+
+  test("stratified quota respects per-stratum cap") {
+    val s = Sampling.stratifiedQuota(docs, "lang", 5, Seq("text"))
+    val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.values.forall(_ <= 5))
+    assert(byLang.keySet == docs.select("lang").distinct().as[String].collect().toSet)
+  }
+
+  test("train/val split partitions every stratum near the target fraction") {
+    val (tr, va) = Sampling.trainValSplit(docs, "lang", 0.8, Seq("text"))
+    assert(tr.count() + va.count() == docs.count())
+    val trBy = tr.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val allBy = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    allBy.foreach { case (lang, n) =>
+      val frac = trBy.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(frac - 0.8) < 0.05, s"$lang frac=$frac")
+    }
+  }
+}
+
+class DomainStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domain counts use registrable domains") {
+    val df = Seq("https://a.news.bbc.co.uk/x", "https://news.bbc.co.uk/y",
+      "https://example.com/z").toDF("url")
+    val got = DomainStats.domainCounts(df, "url").as[(String, Long)].collect().toMap
+    assert(got == Map("bbc.co.uk" -> 2L, "example.com" -> 1L))
+  }
+
+  test("ratio join computes guarded ratios") {
+    val all = Seq.fill(4)("https://a.com/x").toDF("url")
+    val base = Seq("https://a.com/y").toDF("url")
+    val r = DomainStats.ratioJoin(base, all, "url")
+      .select("domain", "ratio").as[(String, Double)].collect().toMap
+    assert(r == Map("a.com" -> 0.25))
+  }
+
+  test("filter and exclude by domain list") {
+    val df = Seq("https://keep.com/1", "https://drop.com/2").toDF("url")
+    assert(DomainStats.filterByDomains(df, "url", Seq("keep.com"))
+      .count() == 1)
+    assert(DomainStats.excludeDomains(df, "url", Seq("drop.com"))
+      .select("url").as[String].head() == "https://keep.com/1")
+  }
+}

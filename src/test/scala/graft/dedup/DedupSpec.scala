@@ -94,9 +94,14 @@ class MinHashSpec extends SparkSpec {
     val expected = (0 until n).map(i => f"n$i%03d" -> f"n${find(i)}%03d")
       .filter { case (id, _) => edges.exists(e => e._1 == id || e._2 == id) }
       .toMap
-    val got = MinHash.clusters(edges.toDF("src", "dst"))
+    // both execution paths must agree with the oracle bit-for-bit
+    val gotDriver = MinHash.clusters(edges.toDF("src", "dst"))
       .as[(String, String)].collect().toMap
-    assert(got == expected)
+    val gotDistributed = MinHash.clusters(edges.toDF("src", "dst"),
+        driverMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(gotDriver == expected)
+    assert(gotDistributed == expected)
   }
 
   test("shingles of short docs fall back to whole text") {
