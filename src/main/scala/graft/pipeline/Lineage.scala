@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resumable stage execution with partition-level lineage —
+  * the offline emulation of Iceberg snapshot/commit semantics (SURVEY.md
+  * §7.5: `/opt/spark/jars` ships no Iceberg runtime, so snapshots become
+  * partitioned Parquet + a commit manifest; the `runStage` call sites keep
+  * the shape of `writeTo(table)` so a real catalog drops in unchanged).
+  *
+  * Model: a stage's output space is `nBuckets` hash partitions of the id
+  * column. Buckets are processed in commit groups; after each group's
+  * files land, a manifest line `(bucket, rows_in, rows_out, snapshot_id)`
+  * is committed atomically (tmp + rename). A crashed run leaves committed
+  * groups durable; re-running the stage processes ONLY missing buckets —
+  * the reference's `skip_completed`/skip-if-output-exists resume
+  * (/root/reference/datatrove/1_local_language_and_filter.py:71,
+  * /root/reference/fasttext/mult_infer.py:162-164) at partition
+  * granularity instead of file granularity.
+  *
+  * The manifest doubles as the per-partition metrics ledger (rows in/out
+  * per bucket per commit — the north rule's "per-partition metrics
+  * accumulators" surface).
+  */
+object Lineage {
+
+  case class BucketCommit(bucket: Int, rowsIn: Long, rowsOut: Long,
+                          snapshotId: Long)
+
+  case class StageRun(output: DataFrame, commits: Seq[BucketCommit],
+                      recomputedBuckets: Seq[Int])
+
+  private def manifestPath(outDir: String) = Paths.get(outDir, "_lineage.csv")
+
+  def readManifest(outDir: String): Seq[BucketCommit] = {
+    val p = manifestPath(outDir)
+    if (!Files.exists(p)) return Seq.empty
+    Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { l =>
+        val a = l.split(",")
+        BucketCommit(a(0).toInt, a(1).toLong, a(2).toLong, a(3).toLong)
+      }
+  }
+
+  private def appendManifest(outDir: String, commits: Seq[BucketCommit]): Unit = {
+    val p = manifestPath(outDir)
+    val prior = if (Files.exists(p))
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    else Seq.empty
+    val lines = prior ++ commits.map(c =>
+      s"${c.bucket},${c.rowsIn},${c.rowsOut},${c.snapshotId}")
+    val tmp = Paths.get(outDir, "_lineage.csv.tmp")
+    Files.createDirectories(Paths.get(outDir))
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run (or resume) a stage. `fn` must be a per-row/per-partition
+    * transform (no cross-bucket aggregation) so bucket-wise execution is
+    * semantics-preserving. Returns the full stage output (all buckets).
+    */
+  def runStage(input: DataFrame, outDir: String, idCol: String,
+               nBuckets: Int = 64, bucketsPerCommit: Int = 16)
+              (fn: DataFrame => DataFrame): StageRun = {
+    val spark = input.sparkSession
+    val dataDir = s"$outDir/data"
+    val done = readManifest(outDir).map(_.bucket).toSet
+    val missing = (0 until nBuckets).filterNot(done)
+    val bucketCol = pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int")
+
+    val newCommits = scala.collection.mutable.ArrayBuffer.empty[BucketCommit]
+    missing.grouped(bucketsPerCommit).foreach { group =>
+      val snapshotId = System.nanoTime()
+      val slice = input.withColumn("_bucket", bucketCol)
+        .filter(col("_bucket").isin(group: _*))
+      val inCounts = slice.groupBy("_bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val out = fn(slice)
+      val outWithBucket =
+        if (out.columns.contains("_bucket")) out
+        else out.withColumn("_bucket", bucketCol)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      outWithBucket.write.mode("overwrite")
+        .partitionBy("_bucket").parquet(dataDir)
+      val outCounts = spark.read.parquet(dataDir)
+        .filter(col("_bucket").isin(group: _*))
+        .groupBy("_bucket").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val commits = group.map(b => BucketCommit(b,
+        inCounts.getOrElse(b, 0L), outCounts.getOrElse(b, 0L), snapshotId))
+      appendManifest(outDir, commits)
+      newCommits ++= commits
+    }
+
+    val output =
+      if (Files.exists(Paths.get(dataDir))) spark.read.parquet(dataDir).drop("_bucket")
+      else input.limit(0)
+    StageRun(output, readManifest(outDir), missing)
+  }
+}
