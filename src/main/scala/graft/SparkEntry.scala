@@ -318,6 +318,92 @@ object SparkEntry {
           (col("rn") <= (col("cnt") * 0.8).cast("int")).as("is_train"))
     }),
 
+    // P5 min-length filter (filter_by_len.py:11-35)
+    "q_min_len_filter" -> ((s, dir) => t(s, dir, "documents")
+      .filter(length(col("text")) >= 300)
+      .select("doc_id")),
+
+    // P6 probability-threshold filter (filter_by_prob.py:43-73; keep
+    // prob >= threshold AND label match)
+    "q_prob_filter" -> ((s, dir) => t(s, dir, "events")
+      .filter(col("value") >= 10.0 && col("event_type") === "click")
+      .select("event_id")),
+
+    // P7 + F13 score-band filter with numeric coercion
+    // (filter_by_score.py:11-38: to_numeric(errors='coerce') + band)
+    "q_score_band" -> ((s, dir) => t(s, dir, "events")
+      .withColumn("score",
+        regexp_extract(col("props"), "\"k\": ([0-9.]+)", 1).try_cast("double"))
+      .filter(col("score").isNotNull && col("score").between(20, 60))
+      .select("event_id", "score")),
+
+    // P8/J2 membership filter on a small broadcast list (filter_by_url.py)
+    "q_member_filter" -> ((s, dir) => t(s, dir, "documents")
+      .filter(col("source").isInCollection(Seq("src1", "src3", "src5")))
+      .select("doc_id")),
+
+    // P9/J3/U2 decontamination: drop rows whose text appears in a removal
+    // set (process_data.py:157-171)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val removed = d.filter(col("source") === "src0")
+        .select(col("text").as("rtext"))
+      d.join(broadcast(removed), d("text") === col("rtext"), "left_anti")
+        .select("doc_id")
+    }),
+
+    // F8 fastText label prefixing (process_data.py:30, train.py:46-47)
+    "q_label_prefix" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("__label__"), col("lang"), lit(" "), col("text"))
+          .as("line"))),
+
+    // F17 JSON field extraction per line (utils.py:52-74)
+    "q_json_extract" -> ((s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // A7 score-distribution stats (llm_judge.py:345-416)
+    "q_score_dist" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(floor(col("value") / 10).cast("long").as("score_bin"))
+      .agg(count(lit(1)).as("cnt"))),
+
+    // A9 confusion-matrix eval counters (fasttext/train.py:124-214)
+    "q_confusion_eval" -> ((s, dir) => t(s, dir, "embeddings")
+      .withColumn("truth", col("label") === 1)
+      .withColumn("pred", element_at(col("embedding"), 1).cast("double") > 0.0)
+      .agg(
+        sum(when(col("truth") && col("pred"), 1).otherwise(0)).as("tp"),
+        sum(when(!col("truth") && col("pred"), 1).otherwise(0)).as("fp"),
+        sum(when(col("truth") && !col("pred"), 1).otherwise(0)).as("fn"),
+        sum(when(!col("truth") && !col("pred"), 1).otherwise(0)).as("tn"))),
+
+    // P15 Gopher doc-stats subset (word count, mean word length) as an
+    // oracle-checked relational query; full filter verdicts are exercised
+    // by q_pipeline_full + unit tests
+    "q_gopher_stats" -> ((s, dir) => {
+      val words = size(split(trim(col("text")), "\\s+"))
+      val chars = length(regexp_replace(col("text"), "\\s+", ""))
+      t(s, dir, "documents").select(col("doc_id"),
+        words.as("words"),
+        round(chars.cast("double") / words, 4).as("mean_wlen"))
+    }),
+
+    // L2/P13 broadcast-model langid inference (rows-only: model scoring is
+    // not SQL-expressible)
+    "q_langid_model" -> ((s, dir) =>
+      CorpusPipeline.withLangId(pagesFromDocs(s, dir),
+        CorpusPipeline.defaultModels.lang)
+        .select("url", "lang_pred", "lang_prob")),
+
+    // L5 Kneser-Ney perplexity scoring (rows-only: LM is not SQL)
+    "q_perplexity" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(CorpusPipeline.defaultModels.lm)
+      val ppl = udf((t: String) => bc.value.perplexity(if (t == null) "" else t))
+      t(s, dir, "documents")
+        .select(col("doc_id"), round(ppl(col("text")), 4).as("perplexity"))
+    }),
+
     // ---- segmentation (UDTF-shaped, rows-only) ------------------------
     "q_segment" -> ((s, dir) => {
       val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))
@@ -371,7 +457,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "q_topk" ->
-      """SELECT source, count(*) AS cnt, sum(n_chars) AS chars
+      """SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY source
         |ORDER BY chars DESC, source LIMIT 5""".stripMargin,
 
@@ -474,6 +560,62 @@ object SparkEntry {
     "q_sample_uniform" ->
       """SELECT doc_id FROM documents
         |ORDER BY md5(text), doc_id LIMIT 50""".stripMargin,
+
+    "q_min_len_filter" ->
+      "SELECT doc_id FROM documents WHERE length(text) >= 300",
+
+    "q_prob_filter" ->
+      """SELECT event_id FROM events
+        |WHERE value >= 10.0 AND event_type = 'click'""".stripMargin,
+
+    "q_score_band" ->
+      """SELECT event_id, score FROM (
+        |  SELECT event_id,
+        |    try_cast(regexp_extract(props, '"k": ([0-9.]+)', 1) AS DOUBLE)
+        |      AS score
+        |  FROM events)
+        |WHERE score IS NOT NULL AND score BETWEEN 20 AND 60""".stripMargin,
+
+    "q_member_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE source IN ('src1', 'src3', 'src5')""".stripMargin,
+
+    "q_decontaminate" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN
+        |  (SELECT text FROM documents WHERE source = 'src0')""".stripMargin,
+
+    "q_label_prefix" ->
+      """SELECT doc_id, '__label__' || lang || ' ' || text AS line
+        |FROM documents""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_score_dist" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS score_bin,
+        |count(*) AS cnt
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_confusion_eval" ->
+      """SELECT
+        |CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |FROM (SELECT label = 1 AS truth,
+        |             CAST(embedding[1] AS DOUBLE) > 0.0 AS pred
+        |      FROM embeddings)""".stripMargin,
+
+    "q_gopher_stats" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS words,
+        |round(length(regexp_replace(text, '\s+', '', 'g')) /
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
+        |  AS mean_wlen
+        |FROM documents""".stripMargin,
 
     "q_train_split" ->
       """SELECT doc_id,
