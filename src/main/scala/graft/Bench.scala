@@ -72,16 +72,24 @@ object Bench {
 
     val scaling: String =
       if (sys.env.get("SPARK_GRAFT_SCALE").contains("1")) {
+        // The scaling input must be large enough that per-doc compute
+        // dominates fixed job overheads (~3-4s of stage scheduling + UDF
+        // setup at any core count), otherwise extra cores measure nothing:
+        // at 40k docs both local[8] and local[32] finish in ~4s wall.
+        val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N",
+          (synthN * 8).toString).toLong
         val nLo = math.max(cpus / 4, 1)
         spark.stop()
         val sLo = session(nLo)
-        val (tLo, docsLo) = time(filterScrub(sLo, synthN))
+        filterScrub(sLo, 2000L) // JIT + codegen warm at this parallelism
+        val (tLo, docsLo) = time(filterScrub(sLo, scaleN))
         sLo.stop()
         val sHi = session(cpus)
-        val (tHi, docsHi) = time(filterScrub(sHi, synthN))
+        filterScrub(sHi, 2000L)
+        val (tHi, docsHi) = time(filterScrub(sHi, scaleN))
         sHi.stop()
-        val effRatio = (docsHi / tHi) / (4.0 * (docsLo / tLo))
-        f""","scaling":{"cores_lo":$nLo,"cores_hi":$cpus,"docs_per_sec_lo":${docsLo / tLo}%.1f,"docs_per_sec_hi":${docsHi / tHi}%.1f,"efficiency":$effRatio%.3f}"""
+        val effRatio = (docsHi / tHi) / ((cpus.toDouble / nLo) * (docsLo / tLo))
+        f""","scaling":{"cores_lo":$nLo,"cores_hi":$cpus,"scale_docs":$scaleN,"docs_per_sec_lo":${docsLo / tLo}%.1f,"docs_per_sec_hi":${docsHi / tHi}%.1f,"efficiency":$effRatio%.3f}"""
       } else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

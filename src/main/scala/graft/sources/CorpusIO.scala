@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks for the corpus engine — SURVEY.md §2.1 (S1–S14).
+  *
+  * The reference reads directory trees of `*.jsonl.zst`/`*.jsonl.gz`
+  * (datatrove JsonlReader, /root/reference/datatrove/findweb.py:75-88),
+  * parquet, CSV (`pd.read_csv(..., on_bad_lines='skip')`,
+  * /root/reference/utils/url_count.py:37) and dispatches the reader by
+  * path keywords (/root/reference/datatrove/findweb.py:27-55). Writers are
+  * jsonl.gz with language-templated paths (findweb.py:95-99), CSV/JSONL
+  * append sinks, per-stage exclusion tees (findweb.py:95-113), and
+  * round-robin sharded output rolled every `target_rows`
+  * (/root/reference/utils/dedup_dataset.py:111-118,193-211).
+  *
+  * Spark-first mapping: one directory = one table; the reference's
+  * file-per-task chunking IS Spark's partitioned scan; shard/roll sizing
+  * maps to `repartition` + `maxRecordsPerFile`; exclusion tees become a
+  * single scored write partitioned by verdict. Explicit schemas everywhere
+  * — schema inference on jsonl would scan 100 TB twice.
+  */
+object CorpusIO {
+
+  /** input_hint schema (BASELINE.json:15). */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)
+  ))
+
+  sealed trait Format { def name: String }
+  case object Jsonl extends Format { val name = "jsonl" }
+  case object Parquet extends Format { val name = "parquet" }
+  case object Csv extends Format { val name = "csv" }
+  case object Warc extends Format { val name = "warc" }
+
+  /** Format sniffing by path keywords (findweb.py:27-55: jsonl wins over
+    * parquet over warc over csv; default jsonl).
+    */
+  def sniffFormat(path: String): Format = {
+    val p = path.toLowerCase
+    if (p.contains("jsonl")) Jsonl
+    else if (p.contains("parquet")) Parquet
+    else if (p.contains("warc")) Warc
+    else if (p.contains("csv")) Csv
+    else Jsonl
+  }
+
+  /** S1: recursive jsonl scan with explicit schema; Spark's text codecs
+    * handle `.gz`/`.zst`/plain transparently per file. Malformed lines are
+    * dropped, not failed (the reference's readers skip bad docs).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType = pageSchema): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.json*") // matches .json/.jsonl × gz/zst/plain
+      .json(path)
+
+  /** S2: columnar scan — predicate pushdown + column pruning land in the
+    * parquet reader automatically.
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4: CSV with header, explicit schema, malformed rows skipped
+    * (`on_bad_lines='skip'` parity).
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "DROPMALFORMED")
+      .option("recursiveFileLookup", "true")
+      .csv(path)
+
+  /** S3: WARC ingestion surface. Upstream of the engine proper — the input
+    * table already carries extracted text (input_hint) — but the plumbing
+    * is real: whole-file binary scan + a record splitter. The splitter
+    * handles uncompressed WARC/1.x response records deterministically; on
+    * a cluster the binaryFile source distributes per-file.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+    val outSchema = StructType(Seq(
+      StructField("url", StringType),
+      StructField("warc_ts", StringType),
+      StructField("html", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    files.flatMap { r =>
+      splitWarc(new String(r.getAs[Array[Byte]]("content"),
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+        .map { case (u, ts, body) =>
+          Row(u, ts, body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
+    }(enc)
+  }
+
+  /** Minimal WARC/1.x record splitter: yields (target-uri, date, payload)
+    * for each `WARC-Type: response` record. Pure function, unit-tested.
+    */
+  private[sources] def splitWarc(content: String): Seq[(String, String, String)] = {
+    content.split("(?=WARC/1\\.)").toSeq.flatMap { rec =>
+      val headerEnd = rec.indexOf("\r\n\r\n")
+      if (headerEnd < 0) None
+      else {
+        val header = rec.substring(0, headerEnd)
+        def field(k: String): Option[String] =
+          header.linesIterator.find(_.toLowerCase.startsWith(k.toLowerCase + ":"))
+            .map(_.split(":", 2)(1).trim)
+        if (!field("WARC-Type").contains("response")) None
+        else for {
+          url <- field("WARC-Target-URI")
+          ts <- field("WARC-Date")
+        } yield (url, ts, rec.substring(headerEnd + 4).stripTrailing())
+      }
+    }
+  }
+
+  /** S14: dispatching reader. */
+  def read(spark: SparkSession, path: String,
+           format: Option[Format] = None,
+           schema: StructType = pageSchema): DataFrame =
+    format.getOrElse(sniffFormat(path)) match {
+      case Jsonl   => readJsonl(spark, path, schema)
+      case Parquet => readParquet(spark, path)
+      case Csv     => readCsv(spark, path, schema)
+      case Warc    => readWarc(spark, path)
+    }
+
+  /** S7/S11/S12: corpus writer. `partitionByLang` reproduces the
+    * `${language}/${rank}.jsonl.gz` templated layout (findweb.py:95-99);
+    * `shards`+`targetRowsPerFile` reproduce round-robin sharding with
+    * file rolling (dedup_dataset.py:111-118) without any driver-side loop.
+    */
+  def writeCorpus(df: DataFrame, path: String,
+                  format: Format = Jsonl,
+                  partitionByLang: Option[String] = None,
+                  shards: Int = 0,
+                  targetRowsPerFile: Long = 0L,
+                  compression: String = "gzip"): Unit = {
+    val sharded = if (shards > 0) df.repartition(shards) else df
+    var w: DataFrameWriter[Row] = sharded.write.mode("overwrite")
+    if (targetRowsPerFile > 0)
+      w = w.option("maxRecordsPerFile", targetRowsPerFile)
+    partitionByLang.foreach(c => w = w.partitionBy(c))
+    format match {
+      case Jsonl => w.option("compression", compression).json(path)
+      case Csv => w.option("header", "true").csv(path)
+      case Parquet => w.parquet(path)
+      case Warc =>
+        throw new IllegalArgumentException("WARC is a source, not a sink")
+    }
+  }
+
+  /** S8: exclusion tee. One pass over a (persisted) scored frame:
+    * kept rows → `path/kept`, dropped rows → `path/removed/<drop_stage>=…`
+    * — the reference's per-stage exclusion dirs (findweb.py:95-113) as a
+    * partitioned write instead of six sink objects.
+    */
+  def writeWithExclusions(result: DataFrame, path: String,
+                          format: Format = Jsonl): Unit = {
+    writeCorpus(result.filter(col("keep")).drop("keep"),
+      s"$path/kept", format)
+    val dropped = result.filter(!col("keep")).drop("keep")
+    val w: DataFrameWriter[Row] =
+      dropped.write.mode("overwrite").partitionBy("drop_stage")
+    format match {
+      case Jsonl => w.option("compression", "gzip").json(s"$path/removed")
+      case Csv => w.option("header", "true").csv(s"$path/removed")
+      case _ => w.parquet(s"$path/removed")
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pipeline.{CorpusPipeline, Synth}
+
+class CorpusIOSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_io").toString
+
+  test("format sniffing follows reference keyword precedence") {
+    assert(CorpusIO.sniffFormat("/data/dclm/x.jsonl.zst") == CorpusIO.Jsonl)
+    assert(CorpusIO.sniffFormat("/data/shard.parquet") == CorpusIO.Parquet)
+    assert(CorpusIO.sniffFormat("/cc/segment.warc.gz") == CorpusIO.Warc)
+    assert(CorpusIO.sniffFormat("/out/scores.csv") == CorpusIO.Csv)
+    assert(CorpusIO.sniffFormat("/mystery/dir") == CorpusIO.Jsonl)
+    // jsonl wins when several keywords appear (findweb.py:27-55 order)
+    assert(CorpusIO.sniffFormat("/x/jsonl_from_csv") == CorpusIO.Jsonl)
+  }
+
+  test("jsonl.gz round-trip preserves pages byte-exactly") {
+    val dir = tmp()
+    val pages = Synth.pages(spark, 50L)
+    CorpusIO.writeCorpus(pages, s"$dir/out_jsonl", CorpusIO.Jsonl)
+    val back = CorpusIO.readJsonl(spark, s"$dir/out_jsonl")
+    assert(back.count() == 50)
+    val a = pages.select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    back.select("url", "text").collect().foreach { r =>
+      assert(a(r.getString(0)) == r.getString(1))
+    }
+  }
+
+  test("jsonl reader drops malformed lines instead of failing") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "bad.jsonl"),
+      """{"url":"u1","warc_ts":"2024-01-01T00:00:00Z","html":null,"text":"ok","lang":"en"}
+        |not json at all {{{
+        |{"url":"u2","warc_ts":"2024-01-01T00:00:01Z","html":null,"text":"ok2","lang":"en"}
+        |""".stripMargin)
+    val df = CorpusIO.readJsonl(spark, dir)
+    assert(df.filter(col("url").isNotNull).count() == 2)
+  }
+
+  test("csv reader skips malformed rows with explicit schema") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "t.csv"),
+      "id,score\n1,2.5\nbroken_row_only_one_col\n3,4.0\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val df = CorpusIO.readCsv(spark, dir, schema)
+    assert(df.filter(col("id").isNotNull && col("score").isNotNull).count() == 2)
+  }
+
+  test("warc splitter extracts response records only") {
+    val warc =
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n\r\ninfo\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a.example/x\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n\r\n<html>A</html>\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://a.example/x\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n\r\nGET /x\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://b.example/y\r\nWARC-Date: 2024-01-03T00:00:00Z\r\n\r\n<html>B</html>"
+    val recs = CorpusIO.splitWarc(warc)
+    assert(recs.map(_._1) == Seq("https://a.example/x", "https://b.example/y"))
+    assert(recs.head._3 == "<html>A</html>")
+  }
+
+  test("warc source reads files end-to-end") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "seg.warc"),
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c.example/z\r\nWARC-Date: 2024-01-04T00:00:00Z\r\n\r\n<html>C</html>")
+    val df = CorpusIO.readWarc(spark, dir)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "https://c.example/z")
+    assert(new String(rows.head.getAs[Array[Byte]]("html")) == "<html>C</html>")
+  }
+
+  test("dispatching reader honors explicit format over sniffed") {
+    val dir = tmp()
+    Synth.pages(spark, 10L).write.parquet(s"$dir/pages_dir")
+    val df = CorpusIO.read(spark, s"$dir/pages_dir",
+      Some(CorpusIO.Parquet))
+    assert(df.count() == 10)
+  }
+
+  test("sharded writer rolls files at targetRowsPerFile") {
+    val dir = tmp()
+    CorpusIO.writeCorpus(Synth.pages(spark, 100L), s"$dir/sharded",
+      CorpusIO.Jsonl, shards = 2, targetRowsPerFile = 20L)
+    val files = new java.io.File(s"$dir/sharded").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.length >= 5, s"expected >=5 rolled files, got ${files.length}")
+    assert(CorpusIO.readJsonl(spark, s"$dir/sharded").count() == 100)
+  }
+
+  test("partition-by-lang layout mirrors templated output paths") {
+    val dir = tmp()
+    CorpusIO.writeCorpus(Synth.pages(spark, 200L), s"$dir/by_lang",
+      CorpusIO.Jsonl, partitionByLang = Some("lang"))
+    val langDirs = new java.io.File(s"$dir/by_lang").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+  }
+
+  test("exclusion tee writes kept and per-stage removed dirs") {
+    val dir = tmp()
+    val result = CorpusPipeline.run(Synth.pages(spark, 300L))
+      .select("url", "lang", "drop_stage", "keep", "scrubbed_text")
+      .persist()
+    CorpusIO.writeWithExclusions(result, s"$dir/tee", CorpusIO.Parquet)
+    val kept = spark.read.parquet(s"$dir/tee/kept")
+    val removed = spark.read.parquet(s"$dir/tee/removed")
+    assert(kept.count() == result.filter(col("keep")).count())
+    assert(removed.count() == result.filter(!col("keep")).count())
+    val stages = removed.select("drop_stage").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(stages.size >= 2, s"expected multiple drop stages, got $stages")
+    result.unpersist()
+  }
+}
