@@ -45,7 +45,7 @@ class KneserNeyLM(
   }
 
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    KneserNeyLM.TokPat.split(text.toLowerCase).filter(_.nonEmpty)
 
   /** Per-word perplexity 2^(-avg log2 P) over the document's bigrams. */
   def perplexity(text: String): Double = {
@@ -59,6 +59,12 @@ class KneserNeyLM(
 }
 
 object KneserNeyLM {
+
+  /** Precompiled tokenizer pattern — a per-call `String.split(regex)`
+    * recompiles the Pattern per document, which serializes badly at high
+    * executor-thread counts (see TextStats.WsPat note).
+    */
+  private[filters] val TokPat = java.util.regex.Pattern.compile("[^a-z0-9']+")
 
   /** Count-based training from an iterator of documents. Deterministic. */
   def train(docs: IterableOnce[String], discount: Double = 0.75): KneserNeyLM = {

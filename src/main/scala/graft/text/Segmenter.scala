@@ -38,14 +38,15 @@ object Segmenter {
       sb.append(c)
       if ((c == '.' || c == '!' || c == '?') &&
           (i + 1 >= n || Character.isWhitespace(text.charAt(i + 1)))) {
-        val cur = sb.toString
-        val lastTok = cur.trim.split("\\s+").lastOption.getOrElse("")
+        // scan the buffer backwards for the last token — re-splitting the
+        // whole accumulated sentence here was O(n²) per document and
+        // compiled a regex per boundary candidate
+        val lastTok = lastToken(sb)
         val bare = lastTok.stripSuffix(".").toLowerCase
         val isAbbrev = c == '.' &&
-          (Abbrev.contains(bare) || bare.matches("[a-z]") ||
-            bare.matches("\\d+\\.\\d*"))
+          (Abbrev.contains(bare) || isSingleLetter(bare) || isDecimal(bare))
         if (!isAbbrev) {
-          val t = cur.trim
+          val t = sb.toString.trim
           if (t.nonEmpty) out += t
           sb.clear()
         }
@@ -55,6 +56,33 @@ object Segmenter {
     val tail = sb.toString.trim
     if (tail.nonEmpty) out += tail
     out.toArray
+  }
+
+  /** Last whitespace-delimited token of the buffer, without materializing
+    * or re-splitting the whole sentence.
+    */
+  private def lastToken(sb: StringBuilder): String = {
+    var end = sb.length
+    while (end > 0 && Character.isWhitespace(sb.charAt(end - 1))) end -= 1
+    var start = end
+    while (start > 0 && !Character.isWhitespace(sb.charAt(start - 1))) start -= 1
+    sb.substring(start, end)
+  }
+
+  private def isSingleLetter(s: String): Boolean =
+    s.length == 1 && s.charAt(0) >= 'a' && s.charAt(0) <= 'z'
+
+  /** Matches "\\d+\\.\\d*" without a per-call Pattern.compile. */
+  private def isDecimal(s: String): Boolean = {
+    val dot = s.indexOf('.')
+    if (dot <= 0 || s.indexOf('.', dot + 1) >= 0) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (i != dot && (c < '0' || c > '9')) return false
+      i += 1
+    }
+    true
   }
 
   private def wordCount(s: String): Int = TextStats.words(s).length

@@ -69,12 +69,35 @@ object TextStats {
   private val BulletChars: Set[Char] = Set('•', '-', '*', '‣', '◦')
   private val PunctEnd: Set[Char] = Set('.', '\'', '"', '!', '?')
 
+  // Precompiled: String.split/replaceAll with a multi-char regex compiles a
+  // fresh Pattern PER CALL — words() runs per line (c4Process) and the
+  // stop-word strip ran per word, which at 32 executor threads turned
+  // Pattern.compile's allocation storm into the pipeline bottleneck
+  // (thread dumps: all workers inside Pattern.sequence/expr/clazz).
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+  private val ParaPat =
+    java.util.regex.Pattern.compile("\n\n", java.util.regex.Pattern.LITERAL)
+
   def words(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+    WsPat.split(text).filter(_.nonEmpty)
 
   def lines(text: String): Array[String] = text.split("\n", -1)
 
-  def paragraphs(text: String): Array[String] = text.split("\n\n", -1)
+  def paragraphs(text: String): Array[String] = ParaPat.split(text, -1)
+
+  /** Lowercase letters of `w` only — allocation-light equivalent of
+    * `w.toLowerCase.replaceAll("[^a-z]", "")` for stop-word matching.
+    */
+  private def lettersLower(w: String): String = {
+    val sb = new java.lang.StringBuilder(w.length)
+    var i = 0
+    while (i < w.length) {
+      val c = Character.toLowerCase(w.charAt(i))
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   private def hasAlpha(w: String): Boolean = {
     var i = 0
@@ -189,7 +212,7 @@ object TextStats {
     val stopsSeen = mutable.HashSet.empty[String]
     ws.foreach { w =>
       if (!hasAlpha(w)) nonAlpha += 1
-      val lw = w.toLowerCase.replaceAll("[^a-z]", "")
+      val lw = lettersLower(w)
       if (StopWords.contains(lw)) stopsSeen += lw
     }
     val nonAlphaFrac = if (nWords == 0) 0.0 else nonAlpha.toDouble / nWords
