@@ -40,6 +40,19 @@ class MinHashSpec extends SparkSpec {
     graft.pipeline.Synth.cleanDoc(graft.pipeline.Synth.rngFor(seed, 0),
       graft.pipeline.Synth.EnVocab, lines)
 
+  test("fast per-doc signatures are bit-identical to the Catalyst path") {
+    val rows = (0 until 30).map(i => (s"id$i", doc(100L + i, 3 + i % 8))) ++
+      Seq(("short", "tiny doc"), ("ws", "  leading and trailing  "),
+        ("empty", ""))
+    val df = rows.toDF("id", "text")
+    def collect(sigs: org.apache.spark.sql.DataFrame) =
+      sigs.select("id", "band_id", "band_hash")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val fast = collect(MinHash.signatures(df, "id", "text"))
+    val sql = collect(MinHash.signaturesSql(df, "id", "text"))
+    assert(fast == sql)
+  }
+
   test("identical docs always share every band") {
     val d = doc(1)
     val df = Seq(("a", d), ("b", d)).toDF("id", "text")
