@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: at 100 TB the plan IS the performance, so these
+  * pin the properties that matter — filter pushdown and column pruning
+  * reach the parquet scan, small dimension joins broadcast, aggregations
+  * are partial+final, and the flagship filter+scrub pipeline stays a
+  * single narrow (shuffle-free) stage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan gets pushed filters and pruned columns") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("n_chars") > 300)
+      .select("doc_id")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(n_chars"), s"no pushdown:\n$plan")
+    // ReadSchema must not include the wide text column
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"text not pruned: $readSchema")
+  }
+
+  test("semi/anti joins against small filtered dims broadcast") {
+    Seq("q_semi_join", "q_anti_join").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin"), s"$q not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q sort-merges:\n$plan")
+    }
+  }
+
+  test("group-by aggregations are partial+final with codegen") {
+    val df = SparkEntry.queries("q_agg_sum")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan (codegen visible)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final = two HashAggregate operators around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // whole-stage codegen shows as "*(n)" operator prefixes in plan strings
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).nonEmpty,
+      s"no WholeStageCodegen spans:\n$plan")
+  }
+
+  test("flagship filter+scrub plan is narrow: zero shuffles") {
+    val scored = pipeline.CorpusPipeline.score(
+      pipeline.Synth.pages(spark, 100L))
+    val plan = planOf(scored)
+    assert(!plan.contains("Exchange"),
+      s"filter+scrub introduced a shuffle:\n$plan")
+  }
+
+  test("minhash signatures are narrow; dedup flow shuffles only on bands") {
+    val pages = SparkEntry.pagesFromDocs(spark, sfDir)
+    val sigs = dedup.MinHash.signatures(pages, "url", "text")
+    assert(!planOf(sigs).contains("Exchange"),
+      s"signatures shuffled:\n${planOf(sigs)}")
+    val edges = dedup.MinHash.candidateEdges(sigs)
+    // banding groupBy + candidate join + distinct are the only exchanges
+    val nEx = "Exchange".r.findAllIn(planOf(edges)).size
+    assert(nEx <= 6, s"too many shuffles ($nEx):\n${planOf(edges)}")
+  }
+
+  test("exact dedup window partitions by the dedup key (no global sort)") {
+    val pages = SparkEntry.pagesFromDocs(spark, sfDir)
+    val marked = dedup.ExactDedup.mark(pages, Seq("text"), Seq("warc_ts", "url"))
+    val plan = planOf(marked)
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in dedup:\n$plan")
+  }
+}
