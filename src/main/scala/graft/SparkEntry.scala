@@ -352,6 +352,25 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // D3/D4 Bloom-prefiltered decontamination: broadcast Bloom filter
+    // prunes the probe side, exact anti-join verifies — output is exact,
+    // so the NOT IN oracle holds despite the probabilistic prefilter
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val seen = d.filter(col("source") === "src2").select("text")
+      ExactDedup.bloomDecontaminate(d, seen, "text",
+        expectedItems = 10000L)
+        .select("doc_id")
+    }),
+
+    // F11 sentence-aware truncation (utils.py:39-50; rows-only — sentence
+    // splitting is not SQL-expressible)
+    "q_truncate" -> ((s, dir) => {
+      val truncUdf = udf((x: String) => graft.text.Segmenter.truncateSentences(x, 200))
+      t(s, dir, "documents")
+        .select(col("doc_id"), truncUdf(col("text")).as("truncated"))
+    }),
+
     // F8 fastText label prefixing (process_data.py:30, train.py:46-47)
     "q_label_prefix" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
@@ -584,6 +603,11 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE text NOT IN
         |  (SELECT text FROM documents WHERE source = 'src0')""".stripMargin,
+
+    "q_bloom_decontaminate" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN
+        |  (SELECT text FROM documents WHERE source = 'src2')""".stripMargin,
 
     "q_label_prefix" ->
       """SELECT doc_id, '__label__' || lang || ' ' || text AS line

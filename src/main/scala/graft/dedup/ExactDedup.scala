@@ -42,4 +42,26 @@ object ExactDedup {
   /** Keep-first dedup: survivors only. */
   def dedup(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String]): DataFrame =
     mark(df, dupCols, orderCols).filter(!col("is_exact_dup")).drop("is_exact_dup")
+
+  /** Bloom-prefiltered decontamination against a `seen` corpus — the
+    * memory-bounded form of the reference's sharded Bloom-service dedup
+    * (/root/reference/utils/dedup_dataset.py:37-191,
+    * /root/reference/utils/bloom_service.py): build one Bloom filter over
+    * `seen` (driver-side, broadcast — replaces the remote /check service),
+    * cheaply drop rows that *cannot* be duplicates, then exact-verify only
+    * the maybe-seen remainder with an anti-join. Output is exact (no false
+    * drops): the Bloom pass only prunes the join's probe side, so at 100 TB
+    * the shuffle carries just the candidate fraction instead of the corpus.
+    */
+  def bloomDecontaminate(df: DataFrame, seen: DataFrame, colName: String,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.001): DataFrame = {
+    val bf = seen.stat.bloomFilter(colName, math.max(expectedItems, 1L), fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    val clean = df.filter(!mightContain(col(colName)))     // definitely new
+    val maybe = df.filter(mightContain(col(colName)))      // verify exactly
+      .join(seen.select(col(colName)).distinct(), Seq(colName), "left_anti")
+    clean.unionByName(maybe)
+  }
 }

@@ -117,6 +117,27 @@ object Segmenter {
   private def hardSplit(sentence: String, maxWords: Int): Seq[String] =
     TextStats.words(sentence).grouped(maxWords).map(_.mkString(" ")).toSeq
 
+  /** Sentence-aware truncation (F11, /root/reference/utils.py:39-50): keep
+    * whole sentences while the running length stays ≤ maxLength; if even
+    * the first sentence exceeds it, hard-cut at maxLength.
+    */
+  def truncateSentences(text: String, maxLength: Int): String = {
+    if (text == null || text.length <= maxLength) return if (text == null) "" else text
+    val sents = sentences(text)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var done = false
+    while (i < sents.length && !done) {
+      val add = if (sb.length == 0) sents(i).length else sents(i).length + 1
+      if (sb.length + add <= maxLength) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(sents(i))
+        i += 1
+      } else done = true
+    }
+    if (sb.length == 0) text.substring(0, maxLength) else sb.toString
+  }
+
   /** Greedy segmentation into [minWords, maxWords]-word segments. Tails
     * shorter than minWords merge into the previous segment (which may then
     * exceed maxWords — documented reference behavior for final tails).

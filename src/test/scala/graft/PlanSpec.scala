@@ -17,7 +17,13 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
 
   test("parquet scan gets pushed filters and pruned columns") {
-    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    // read via a unique copy: another suite may have cached this table, and
+    // an InMemoryRelation would intercept the scan we want to audit
+    val dir = java.nio.file.Files.createTempDirectory("plan_pushdown")
+    val dst = dir.resolve("documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"), dst)
+    val df = spark.read.parquet(dst.toString)
       .filter(col("n_chars") > 300)
       .select("doc_id")
     val plan = planOf(df)

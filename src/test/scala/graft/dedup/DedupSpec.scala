@@ -22,6 +22,17 @@ class ExactDedupSpec extends SparkSpec {
     assert(marked.filter($"is_exact_dup").select("url").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("bloom decontaminate is exact despite probabilistic prefilter") {
+    val docs = (0 until 500).map(i => (i.toLong, s"document number $i body"))
+      .toDF("id", "text")
+    val seen = docs.filter($"id" % 5 === 0).select("text")
+    val out = ExactDedup.bloomDecontaminate(docs, seen, "text",
+      expectedItems = 1000L)
+    val ids = out.select("id").as[Long].collect().toSet
+    val expected = (0 until 500).filter(_ % 5 != 0).map(_.toLong).toSet
+    assert(ids == expected)
+  }
+
   test("strong key is sha256 of '|'-joined columns (reference parity)") {
     val df = Seq(("a", "b")).toDF("c1", "c2")
     val h = df.select(ExactDedup.strongKey(Seq($"c1", $"c2")).as("h"))

@@ -1,0 +1,50 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pathological-skew stress (FIXTURES.md skew variant; north rule:
+  * skew-aware banding): ~30% of the corpus is ONE near-dup cluster, so one
+  * band_hash key holds ~30% of all signature rows. The star-reduction
+  * banding (`groupBy(band).agg(min, count)` — partial aggregation absorbs
+  * the hot key map-side) plus AQE must complete without a pair explosion,
+  * and the distributed connected-components loop must converge on the
+  * giant star component.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("30%-hot near-dup cluster dedups correctly, edges stay linear") {
+    val n = 6000
+    val hot = 1800 // 30%
+    val base = graft.pipeline.Synth.cleanDoc(
+      graft.pipeline.Synth.rngFor(7L, 0), graft.pipeline.Synth.EnVocab, 12)
+    val rows = (0 until n).map { i =>
+      val text =
+        if (i < hot) base + s"\nTrailing marker ${i % 7} closes the record."
+        else graft.pipeline.Synth.cleanDoc(
+          graft.pipeline.Synth.rngFor(7L, 1000L + i),
+          graft.pipeline.Synth.EnVocab, 6 + i % 5)
+      (f"u$i%06d", text)
+    }
+    val df = rows.toDF("id", "text")
+
+    val sigs = MinHash.signatures(df, "id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = MinHash.candidateEdges(sigs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEdges = edges.count()
+      // star reduction: O(members) edges for the hot cluster, never O(m^2)
+      assert(nEdges < 3L * n, s"edge explosion: $nEdges edges for $n docs")
+
+      // force the DISTRIBUTED CC path (driver fast path off)
+      val cl = MinHash.clusters(edges, driverMaxEdges = 0L)
+      val giant = cl.groupBy("cluster").count()
+        .orderBy(col("count").desc).head()
+      assert(giant.getLong(1) >= hot - 10,
+        s"giant cluster not recovered: ${giant.getLong(1)} of $hot")
+      edges.unpersist()
+    } finally sigs.unpersist()
+  }
+}

@@ -84,4 +84,16 @@ class SegmenterSpec extends AnyFunSuite {
     val joined = segs.flatMap(TextStats.words).toSeq
     assert(joined == TextStats.words(text).toSeq)
   }
+
+  test("truncateSentences keeps whole sentences within max length") {
+    val text = "First sentence here. Second sentence follows. Third one is last."
+    val t = Segmenter.truncateSentences(text, 50)
+    assert(t == "First sentence here. Second sentence follows.")
+    // under the limit: unchanged
+    assert(Segmenter.truncateSentences(text, 1000) == text)
+    // first sentence alone exceeds: hard cut at maxLength
+    val long = "x".repeat(100) + "."
+    assert(Segmenter.truncateSentences(long, 10).length == 10)
+    assert(Segmenter.truncateSentences(null, 10) == "")
+  }
 }
