@@ -47,7 +47,8 @@ object CorpusPipeline {
     * partition-local batches, append `lang_pred`/`lang_prob` columns.
     */
   def withLangId(df: DataFrame, model: FastTextModel,
-                 batchSize: Int = 512): DataFrame = {
+                 batchSize: Int = 512,
+                 metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(model)
     val outSchema = df.schema
@@ -56,12 +57,35 @@ object CorpusPipeline {
     val textIdx = df.schema.fieldIndex("text")
     df.mapPartitions { it =>
       val m = bc.value
-      it.grouped(batchSize).flatMap { batch =>
+      var partRows = 0L
+      val scored = it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val t = r.getString(textIdx)
+          partRows += 1
+          metrics.foreach { mm =>
+            mm.docsSeen.add(1)
+            if (t == null || t.isEmpty) mm.emptyTexts.add(1)
+          }
           val (l, p) = m.predict(if (t == null) "" else t)
           Row.fromSeq(r.toSeq :+ l :+ p)
         }
+      }
+      metrics match {
+        case Some(mm) =>
+          // flush partition-level counters after the iterator drains
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = scored.hasNext
+              if (!h && partRows >= 0) {
+                mm.partitionsProcessed.add(1)
+                mm.partitionRows.add(partRows)
+                partRows = -1 // flush once
+              }
+              h
+            }
+            def next(): Row = scored.next()
+          }
+        case None => scored
       }
     }(enc)
   }
@@ -73,7 +97,8 @@ object CorpusPipeline {
     * n_tokens, perplexity.
     */
   def score(pages: DataFrame, cfg: PipelineConfig = PipelineConfig(),
-            models: Models = defaultModels): DataFrame = {
+            models: Models = defaultModels,
+            metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
     val spark = pages.sparkSession
     val heurCfg = cfg.heur
     val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
@@ -81,7 +106,7 @@ object CorpusPipeline {
     val pplUdf = udf((t: String) => bcLm.value.perplexity(if (t == null) "" else t))
     val keepLangs = cfg.keepLanguages.toSeq
 
-    val scored = withLangId(pages, models.lang)
+    val scored = withLangId(pages, models.lang, metrics = metrics)
       .withColumn("_h", analyzeUdf(col("text")))
       .withColumn("_langFail",
         !col("lang_pred").isin(keepLangs: _*) ||
