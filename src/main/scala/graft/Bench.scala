@@ -91,8 +91,11 @@ object Bench {
         // dominates fixed job overheads (~3-4s of stage scheduling + UDF
         // setup at any core count), otherwise extra cores measure nothing:
         // at 40k docs both local[8] and local[32] finish in ~4s wall.
+        // 24× the headline corpus ≈ 60-100s of work at the low core count
+        // now that per-doc CPU is ~0.8ms — shorter runs re-measure fixed
+        // overheads, not scaling
         val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N",
-          (synthN * 8).toString).toLong
+          (synthN * 24).toString).toLong
         val nLo = math.max(cpus / 4, 1)
         spark.stop()
         val sLo = session(nLo)

@@ -418,7 +418,7 @@ object SparkEntry {
     // L5 Kneser-Ney perplexity scoring (rows-only: LM is not SQL)
     "q_perplexity" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(CorpusPipeline.defaultModels.lm)
-      val ppl = udf((t: String) => bc.value.perplexity(if (t == null) "" else t))
+      val ppl = udf(graft.filters.KneserNeyLM.perplexityFn(bc))
       t(s, dir, "documents")
         .select(col("doc_id"), round(ppl(col("text")), 4).as("perplexity"))
     }),

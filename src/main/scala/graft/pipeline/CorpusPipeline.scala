@@ -103,7 +103,7 @@ object CorpusPipeline {
     val heurCfg = cfg.heur
     val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
     val bcLm = spark.sparkContext.broadcast(models.lm)
-    val pplUdf = udf((t: String) => bcLm.value.perplexity(if (t == null) "" else t))
+    val pplUdf = udf(KneserNeyLM.perplexityFn(bcLm))
     val keepLangs = cfg.keepLanguages.toSeq
 
     val scored = withLangId(pages, models.lang, metrics = metrics)

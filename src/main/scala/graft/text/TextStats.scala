@@ -78,8 +78,29 @@ object TextStats {
   private val ParaPat =
     java.util.regex.Pattern.compile("\n\n", java.util.regex.Pattern.LITERAL)
 
-  def words(text: String): Array[String] =
-    WsPat.split(text).filter(_.nonEmpty)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u000B' || c == '\f'
+
+  /** Non-empty tokens between `\s+` runs. Hand-rolled (not `WsPat.split`):
+    * the regex engine's lambda char predicates run an order of magnitude
+    * slower in profile-polluted executor threads, and words() is called
+    * per line in the C4 scrub. Matches the regex exactly: the separator
+    * set is Java's `\s` = [ \t\n\x0B\f\r].
+    */
+  def words(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = -1
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isWs(text.charAt(i))) {
+        if (start >= 0) { out += text.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out += text.substring(start)
+    out.toArray
+  }
 
   def lines(text: String): Array[String] = text.split("\n", -1)
 
