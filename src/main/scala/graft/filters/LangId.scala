@@ -36,19 +36,22 @@ class FastTextModel(
     */
   def features(text: String, maxChars: Int = 1000): Array[Int] = {
     val t = " " + text.toLowerCase.take(maxChars) + " "
-    val buf = new scala.collection.mutable.ArrayBuffer[Int](t.length * 3)
+    // raw int array (an ArrayBuffer[Int] boxes every element — ~3 boxed
+    // Integers per char adds up at 50k docs/s): exact capacity is ≤ 3L-3
+    val buf = new Array[Int](t.length * 3)
+    var k = 0
     var i = 0
     while (i < t.length) {
       var h1 = 1125899906842597L
       var n = 0
       while (n < 3 && i + n < t.length) {
         h1 = h1 * 31 + t.charAt(i + n)
-        buf += bucket(h1)
+        buf(k) = bucket(h1); k += 1
         n += 1
       }
       i += 1
     }
-    buf.toArray
+    if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
   }
 
   /** Pooled hidden vector for a feature bag. fastText mean-pools; we use

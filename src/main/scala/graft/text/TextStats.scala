@@ -150,27 +150,54 @@ object TextStats {
       if (totChars == 0) 0.0 else dupChars.toDouble / totChars)
   }
 
+  /** 64-bit polynomial hash per word — computed once per doc and combined
+    * into rolling n-gram keys, replacing per-window StringBuilder keys
+    * (9 n-gram passes × string alloc + full rehash was the analyze hot
+    * spot). A 64-bit collision across a document's ≤100k windows is
+    * ~1e-9-rare; thresholds are fractions, so the effect would be noise.
+    */
+  private[text] def wordHashes(ws: Array[String]): Array[Long] = {
+    val hs = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      var h = 1125899906842597L
+      var j = 0
+      while (j < w.length) { h = h * 31 + w.charAt(j); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    hs
+  }
+
+  @inline private def ngramKey(hs: Array[Long], i: Int, n: Int): Long = {
+    var h = -7046029254386353131L
+    var j = 0
+    while (j < n) { h = h * 0x9E3779B97F4A7C15L + hs(i + j); j += 1 }
+    h
+  }
+
   /** Character share of the single most frequent word n-gram (counted over
     * all its occurrences) relative to total word characters.
     */
-  private def topNgramCharFrac(ws: Array[String], n: Int, totWordChars: Int): Double = {
+  private def topNgramCharFrac(ws: Array[String], hs: Array[Long], n: Int,
+                               totWordChars: Int): Double = {
     if (ws.length < n || totWordChars == 0) return 0.0
-    // count n-grams via rolling join; track chars per n-gram key
-    val counts = mutable.HashMap.empty[String, (Int, Int)] // key -> (count, chars)
+    val counts = mutable.LongMap.empty[Int]
+    var best = 0.0
     var i = 0
     while (i + n <= ws.length) {
       var chars = 0
-      val sb = new StringBuilder
       var j = 0
-      while (j < n) { val w = ws(i + j); chars += w.length; sb.append(w).append('\u0001'); j += 1 }
-      val k = sb.toString
-      val (c, _) = counts.getOrElse(k, (0, chars))
-      counts.update(k, (c + 1, chars))
+      while (j < n) { chars += ws(i + j).length; j += 1 }
+      val k = ngramKey(hs, i, n)
+      val c = counts.getOrElse(k, 0) + 1
+      counts.update(k, c)
+      if (c > 1) {
+        val share = c.toDouble * chars / totWordChars
+        if (share > best) best = share
+      }
       i += 1
-    }
-    var best = 0.0
-    counts.foreach { case (_, (c, chars)) =>
-      if (c > 1) { val share = c.toDouble * chars / totWordChars; if (share > best) best = share }
     }
     math.min(best, 1.0)
   }
@@ -178,20 +205,18 @@ object TextStats {
   /** Character fraction of words covered by non-first occurrences of any
     * duplicated n-gram (overlap-deduped by word index).
     */
-  private def dupNgramCharFrac(ws: Array[String], n: Int, totWordChars: Int): Double = {
+  private def dupNgramCharFrac(ws: Array[String], hs: Array[Long], n: Int,
+                               totWordChars: Int, dupWordIdx: Array[Boolean]): Double = {
     if (ws.length < n || totWordChars == 0) return 0.0
-    val seen = mutable.HashSet.empty[String]
-    val dupWordIdx = new Array[Boolean](ws.length)
+    java.util.Arrays.fill(dupWordIdx, false)
+    val seen = mutable.LongMap.empty[Boolean]
     var i = 0
     while (i + n <= ws.length) {
-      val sb = new StringBuilder
-      var j = 0
-      while (j < n) { sb.append(ws(i + j)).append('\u0001'); j += 1 }
-      val k = sb.toString
-      if (!seen.add(k)) {
+      val k = ngramKey(hs, i, n)
+      if (seen.contains(k)) {
         var j2 = 0
         while (j2 < n) { dupWordIdx(i + j2) = true; j2 += 1 }
-      }
+      } else seen.update(k, true)
       i += 1
     }
     var dupChars = 0
@@ -202,6 +227,8 @@ object TextStats {
 
   def compute(text: String): DocStats = {
     val ws = words(text)
+    val hs = wordHashes(ws)
+    val dupIdx = new Array[Boolean](ws.length)
     val ls = lines(text)
     val ps = paragraphs(text)
     val nWords = ws.length
@@ -267,15 +294,15 @@ object TextStats {
       dupLineCharFrac = dlcf,
       dupParaFrac = dpf,
       dupParaCharFrac = dpcf,
-      topNgramCharFrac2 = topNgramCharFrac(ws, 2, totWordChars),
-      topNgramCharFrac3 = topNgramCharFrac(ws, 3, totWordChars),
-      topNgramCharFrac4 = topNgramCharFrac(ws, 4, totWordChars),
-      dupNgramCharFrac5 = dupNgramCharFrac(ws, 5, totWordChars),
-      dupNgramCharFrac6 = dupNgramCharFrac(ws, 6, totWordChars),
-      dupNgramCharFrac7 = dupNgramCharFrac(ws, 7, totWordChars),
-      dupNgramCharFrac8 = dupNgramCharFrac(ws, 8, totWordChars),
-      dupNgramCharFrac9 = dupNgramCharFrac(ws, 9, totWordChars),
-      dupNgramCharFrac10 = dupNgramCharFrac(ws, 10, totWordChars),
+      topNgramCharFrac2 = topNgramCharFrac(ws, hs, 2, totWordChars),
+      topNgramCharFrac3 = topNgramCharFrac(ws, hs, 3, totWordChars),
+      topNgramCharFrac4 = topNgramCharFrac(ws, hs, 4, totWordChars),
+      dupNgramCharFrac5 = dupNgramCharFrac(ws, hs, 5, totWordChars, dupIdx),
+      dupNgramCharFrac6 = dupNgramCharFrac(ws, hs, 6, totWordChars, dupIdx),
+      dupNgramCharFrac7 = dupNgramCharFrac(ws, hs, 7, totWordChars, dupIdx),
+      dupNgramCharFrac8 = dupNgramCharFrac(ws, hs, 8, totWordChars, dupIdx),
+      dupNgramCharFrac9 = dupNgramCharFrac(ws, hs, 9, totWordChars, dupIdx),
+      dupNgramCharFrac10 = dupNgramCharFrac(ws, hs, 10, totWordChars, dupIdx),
       linePunctRatio = punctRatio,
       shortLineFrac = shortFrac,
       newLineRatio = newLineRatio,
