@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusPipeline, Lineage, Metrics, Synth}
+import graft.sources.CorpusIO
+
+/** Production entry point — the spark-submit surface the reference's
+  * `run_flow` / `findweb.py` CLI maps to
+  * (/root/reference/datatrove/findweb.py:260-277,
+  * /root/reference/datatrove/run_flow:1-25): read a page corpus, run the
+  * full filter+scrub+dedup pipeline, write kept docs plus per-stage
+  * exclusion audit dirs, and print one JSON metrics line.
+  *
+  * Usage (all flags optional):
+  *   spark-submit --class graft.Run <jar> \
+  *     --input <dir> [--format jsonl|parquet|csv|warc] | --synth <N> \
+  *     --output <dir> [--out-format jsonl|parquet] \
+  *     [--repartition <n>] [--lineage] [--no-minhash] [--no-exact]
+  *
+  * `--repartition` is the explicit pre-stage repartitioning the north rule
+  * names (size it to ~2-4 tasks per executor core on a real cluster).
+  * `--lineage` runs the scoring stage through [[Lineage.runStage]] so a
+  * killed job resumes from committed buckets instead of rescanning.
+  */
+object Run {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case f @ ("--lineage" | "--no-minhash" | "--no-exact") =>
+          m(f.drop(2)) = "true"; i += 1
+        case f if f.startsWith("--") && i + 1 < args.length =>
+          m(f.drop(2)) = args(i + 1); i += 2
+        case other =>
+          System.err.println(s"[run] ignoring arg: $other"); i += 1
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
+    val out = a.getOrElse("output",
+      sys.error("--output <dir> is required"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-corpus-pipeline")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+
+    val raw: DataFrame = (a.get("input"), a.get("synth")) match {
+      case (Some(dir), _) =>
+        CorpusIO.read(spark, dir, a.get("format").map(f =>
+          CorpusIO.sniffFormat(f)))
+      case (None, Some(n)) => Synth.pages(spark, n.toLong)
+      case _ => sys.error("one of --input <dir> or --synth <N> is required")
+    }
+    val pages = a.get("repartition") match {
+      case Some(n) => raw.repartition(n.toInt)
+      case None => raw
+    }
+
+    val cfg = graft.model.PipelineConfig(
+      exactDedup = !a.contains("no-exact"),
+      minhashDedup = !a.contains("no-minhash"))
+
+    val metrics = Metrics.pipelineMetrics(spark)
+
+    val result =
+      if (a.contains("lineage")) {
+        // resumable scoring: per-bucket commits; dedup (a global operation)
+        // runs on the full scored output
+        val staged = Lineage.runStage(pages, s"$out/_score_stage", "url") {
+          df => CorpusPipeline.score(df, cfg, metrics = Some(metrics))
+        }
+        System.err.println(s"[run] lineage: recomputed " +
+          s"${staged.recomputedBuckets.size} buckets, " +
+          s"${staged.commits.size} total committed")
+        CorpusPipeline.dedup(staged.output, cfg)
+      } else {
+        val conf = spark.conf
+        val key = "spark.sql.inMemoryColumnarStorage.compressed"
+        val prev = conf.get(key, "true")
+        conf.set(key, "false")
+        val scored =
+          try CorpusPipeline.score(pages, cfg, metrics = Some(metrics))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          finally conf.set(key, prev)
+        CorpusPipeline.dedup(scored, cfg)
+      }
+
+    val outFormat = a.getOrElse("out-format", "parquet") match {
+      case "jsonl" => CorpusIO.Jsonl
+      case _ => CorpusIO.Parquet
+    }
+    val persisted = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CorpusIO.writeWithExclusions(
+      persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
+        "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
+      out, outFormat)
+
+    val byStage = persisted.groupBy("drop_stage").count()
+      .collect().map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1))
+      .sortBy(_._1)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val kept = byStage.collectFirst { case ("kept", n) => n }.getOrElse(0L)
+    val total = byStage.map(_._2).sum
+    val stagesJson = byStage.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(
+      f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}}""")
+    spark.stop()
+  }
+}
