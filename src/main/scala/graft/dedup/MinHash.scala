@@ -62,7 +62,7 @@ object MinHash {
     * (~50× less CPU) and keeps the cluster-wide data motion to the
     * O(docs×bands) signature table the banding groupBy actually needs.
     */
-  private[dedup] def bandHashesOf(text: String, cfg: Config): Array[Long] = {
+  def bandHashesOf(text: String, cfg: Config): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     val Seed = 42L

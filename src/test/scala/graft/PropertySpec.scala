@@ -1,0 +1,116 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.filters.KneserNeyLM
+import graft.text.{CleanText, Segmenter, TextStats}
+
+/** Property-based invariants (SURVEY.md §5.2.3). The generator mixes
+  * realistic word streams with adversarial whitespace/punctuation/unicode
+  * so the hand-rolled hot-path tokenizers are pinned against their regex
+  * reference specifications on arbitrary input, not just fixtures.
+  */
+object TextProperties extends Properties("text") {
+
+  private val wordGen: Gen[String] = Gen.frequency(
+    6 -> Gen.oneOf("the", "of", "and", "data", "spark", "Corpus", "Quick",
+      "don't", "42", "x9", "word"),
+    2 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    1 -> Gen.oneOf("...", "#", "•", "été", "中文", "A.B.", "3.5")
+  )
+  private val sepGen: Gen[String] = Gen.frequency(
+    8 -> Gen.const(" "),
+    2 -> Gen.oneOf("\n", "\t", "  ", "\n\n", "\r\n", "", "\f")
+  )
+  val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 120)
+    ws <- Gen.listOfN(n, wordGen)
+    seps <- Gen.listOfN(n, sepGen)
+    lead <- Gen.oneOf("", " ", "\n")
+  } yield lead + ws.zip(seps).map { case (w, s) => w + s }.mkString
+
+  property("words == regex \\s+ split spec") = forAll(textGen) { t =>
+    val spec = t.split("\\s+").filter(_.nonEmpty).toSeq
+    TextStats.words(t).toSeq == spec
+  }
+
+  property("KN tokenize == lowercase [^a-z0-9']+ split spec") =
+    forAll(textGen) { t =>
+      val lm = KneserNeyLM.train(Seq("a b"))
+      val spec = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+      lm.tokenize(t).toSeq == spec
+    }
+
+  property("clean_text is idempotent") = forAll(textGen) { t =>
+    val once = CleanText(t)
+    CleanText(once) == once
+  }
+
+  property("doc-stats fractions stay in [0,1]") = forAll(textGen) { t =>
+    val st = TextStats.compute(t)
+    val fracs = Seq(st.bulletLineFrac, st.ellipsisLineFrac,
+      st.nonAlphaWordFrac, st.dupLineFrac, st.dupLineCharFrac,
+      st.dupParaFrac, st.dupParaCharFrac, st.topNgramCharFrac2,
+      st.topNgramCharFrac3, st.topNgramCharFrac4, st.dupNgramCharFrac5,
+      st.dupNgramCharFrac10, st.linePunctRatio, st.shortLineFrac)
+    fracs.forall(f => f >= 0.0 && f <= 1.0)
+  }
+
+  property("segmentation preserves every word in order") =
+    forAll(textGen) { t =>
+      val segs = Segmenter.segment(t, minWords = 5, maxWords = 12)
+      segs.flatMap(TextStats.words).toSeq == TextStats.words(t).toSeq
+    }
+
+  property("truncateSentences never exceeds max unless one sentence") =
+    forAll(textGen, Gen.choose(5, 200)) { (t, max) =>
+      val out = Segmenter.truncateSentences(t, max)
+      out.length <= max || Segmenter.sentences(t).length <= 1 ||
+        // a kept single over-long first sentence is hard-cut, so the only
+        // >max case is the unchanged-under-limit identity
+        out == t
+    }
+
+  property("perplexity is positive and finite for non-empty token streams") =
+    forAll(textGen) { t =>
+      val lm = KneserNeyLM.train(Seq("the data of spark and corpus",
+        "the quick word of data"))
+      val p = lm.perplexity(t)
+      p > 0.0 && !p.isNaN
+    }
+}
+
+object DedupProperties extends Properties("dedup") {
+
+  import graft.dedup.MinHash
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(1, 60)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta"))
+  } yield ws.mkString(" ")
+
+  property("identical docs get identical band hashes") = forAll(docGen) { d =>
+    val cfg = MinHash.Config()
+    MinHash.bandHashesOf(d, cfg).toSeq == MinHash.bandHashesOf(d, cfg).toSeq
+  }
+
+  property("band count and determinism across configs") =
+    forAll(docGen, Gen.choose(2, 20), Gen.choose(1, 8)) { (d, bands, rows) =>
+      val cfg = MinHash.Config(bands = bands, rowsPerBand = rows)
+      val h = MinHash.bandHashesOf(d, cfg)
+      h.length == bands
+    }
+
+  property("whitespace-only edits never change band hashes") =
+    forAll(docGen) { d =>
+      val cfg = MinHash.Config()
+      // only holds for docs of >= shingleSize words: shorter docs hash
+      // their raw text as the single shingle (whitespace included)
+      val padded = d + " omega kappa lambda sigma tau"
+      val noisy = "  " + padded.replace(" ", "  ") + "\n"
+      MinHash.bandHashesOf(noisy, cfg).toSeq ==
+        MinHash.bandHashesOf(padded, cfg).toSeq
+    }
+}
