@@ -154,6 +154,14 @@ object MinHash {
     * semantics — no Jaccard re-verification, 3-local:69-85).
     */
   def candidateEdges(sigs: DataFrame): DataFrame = {
+    // the aggregation and the join probe each consume `sigs` — callers
+    // should persist it ([[mark]] does) so the signature UDF runs once.
+    // (An explicit shared repartition was tried and reverted: AQE does not
+    // reuse the exchange across the two branches, so it recomputed the
+    // full signature pass twice — 4× slower unpersisted.) Hot band hashes
+    // are absorbed map-side by the partial min/count aggregation (star
+    // reduction: O(members) edges, never O(members²) pairs), and AQE's
+    // skew-join splitting covers the probe side.
     val reps = sigs.groupBy("band_id", "band_hash")
       .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -283,9 +291,14 @@ object MinHash {
 
   def mark(df: DataFrame, idCol: String, textCol: String,
            cfg: Config = Config())(implicit spark: SparkSession): DataFrame = {
+    // persist the narrow signature table (id + 2 longs, ~30 MB per 1M
+    // docs): candidateEdges consumes it twice and the min-hash UDF pass
+    // over the corpus text is the expensive part
     val sigs = signatures(df, idCol, textCol, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = candidateEdges(sigs)
     val cl = clusters(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.unpersist(false) // cl is materialized (clusters counts edges)
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
     df.join(clJoin, Seq(idCol), "left")
