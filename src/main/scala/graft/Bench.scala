@@ -103,22 +103,23 @@ object Bench {
         val nLo = math.max(cpus / 8, 1)
         val nHi = math.max(cpus / 2, 4 * nLo)
         spark.stop()
-        val rounds = (1 to 2).map { _ =>
-          val sLo = session(nLo)
-          filterScrub(sLo, 20000L) // JIT + codegen warm at this parallelism
-          val (tLo, docsLo) = time(filterScrub(sLo, scaleN))
-          sLo.stop()
-          val sHi = session(nHi)
-          filterScrub(sHi, 20000L)
-          val (tHi, docsHi) = time(filterScrub(sHi, scaleN))
-          sHi.stop()
-          val lo = docsLo / tLo
-          val hi = docsHi / tHi
-          (lo, hi, (hi / ((nHi.toDouble / nLo) * lo)))
-        }
-        val (bLo, bHi, bEff) = rounds.maxBy(_._3)
-        val allEff = rounds.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$bLo%.1f,"docs_per_sec_hi":$bHi%.1f,"efficiency":$bEff%.3f,"rounds":$allEff}"""
+        // best-of-2 PER SIDE: a single neighbor-disturbed run can only
+        // lower that side's best, so efficiency is computed from each
+        // side's demonstrated capability. Clamped at 1.0 — a >1 raw value
+        // just means the low-core side never got a quiet run.
+        val sLo = session(nLo)
+        filterScrub(sLo, 20000L) // JIT + codegen warm at this parallelism
+        val (tLo, docsLo) = timeBest(2)(filterScrub(sLo, scaleN))
+        sLo.stop()
+        val sHi = session(nHi)
+        filterScrub(sHi, 20000L)
+        val (tHi, docsHi) = timeBest(2)(filterScrub(sHi, scaleN))
+        sHi.stop()
+        val lo = docsLo / tLo
+        val hi = docsHi / tHi
+        val raw = hi / ((nHi.toDouble / nLo) * lo)
+        val eff = math.min(raw, 1.0)
+        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$lo%.1f,"docs_per_sec_hi":$hi%.1f,"efficiency":$eff%.3f,"efficiency_raw":$raw%.3f}"""
       } else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

@@ -32,7 +32,17 @@ object MinHash {
       bands: Int = 14,
       rowsPerBand: Int = 8,
       shingleSize: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      /** >0 enables the salted band join ([[candidateEdgesSalted]]):
+        * each (band_id, band_hash) group is split into this many salt
+        * shards so one pathological band hash can't pin a single task.
+        * 0 (default) uses the star-reduction join, whose partial
+        * aggregation already absorbs hot keys map-side; salting trades
+        * ~saltBuckets× more (still linear) edges for strictly bounded
+        * per-task group sizes — the right call when one cluster holds
+        * double-digit percent of the corpus.
+        */
+      saltBuckets: Int = 0
   ) {
     def numHashes: Int = bands * rowsPerBand
   }
@@ -172,6 +182,42 @@ object MinHash {
       .distinct()
   }
 
+  /** Salted skew-aware variant of [[candidateEdges]]: the group key is
+    * extended with `salt = pmod(xxhash64(id), saltBuckets)`, so a hot
+    * band hash spreads across `saltBuckets` shards — per-shard star
+    * edges (id → shard-min) plus one cross-shard pass linking shard
+    * representatives (min per shard → global band-group min) keep every
+    * task's group size bounded. Produces a DIFFERENT edge set than the
+    * unsalted join but the SAME connected components (asserted in
+    * SkewSpec), which is the only property dedup consumes.
+    */
+  def candidateEdgesSalted(sigs: DataFrame, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val salted = sigs.withColumn("salt",
+      pmod(xxhash64(col("id")), lit(saltBuckets)))
+    val shardReps = salted.groupBy("band_id", "band_hash", "salt")
+      .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
+    // within-shard stars (only shards with >1 member emit edges)
+    val withinShard = salted
+      .join(shardReps.filter(col("cnt") > 1).drop("cnt"),
+        Seq("band_id", "band_hash", "salt"))
+      .filter(col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"))
+    // cross-shard: link each shard representative to the band-group min;
+    // shardReps is saltBuckets rows per group — tiny — so this second
+    // aggregation + join never sees the hot key's full membership
+    val groupMin = shardReps.groupBy("band_id", "band_hash")
+      .agg(min("dst").as("gmin"), count(lit(1)).as("nshards"),
+        sum("cnt").as("members"))
+      .filter(col("members") > 1)
+      .select("band_id", "band_hash", "gmin")
+    val crossShard = shardReps
+      .join(groupMin, Seq("band_id", "band_hash"))
+      .filter(col("dst") =!= col("gmin"))
+      .select(col("dst").as("src"), col("gmin").as("dst"))
+    withinShard.unionByName(crossShard).distinct()
+  }
+
   /** Connected components by symmetric min-label propagation over the
     * (undirected) candidate edges: every vertex starts labeled with itself;
     * each round every vertex takes the min label among itself and its
@@ -296,7 +342,9 @@ object MinHash {
     // over the corpus text is the expensive part
     val sigs = signatures(df, idCol, textCol, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = candidateEdges(sigs)
+    val edges =
+      if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
+      else candidateEdges(sigs)
     val cl = clusters(edges).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.unpersist(false) // cl is materialized (clusters counts edges)
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))

@@ -45,6 +45,23 @@ class SkewSpec extends SparkSpec {
       assert(giant.getLong(1) >= hot - 10,
         s"giant cluster not recovered: ${giant.getLong(1)} of $hot")
       edges.unpersist()
+
+      // salted variant: different edge set, identical components
+      val saltedEdges = MinHash.candidateEdgesSalted(sigs, saltBuckets = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSalted = saltedEdges.count()
+      assert(nSalted < 4L * n, s"salted edge explosion: $nSalted")
+      def clusterSets(e: org.apache.spark.sql.DataFrame): Set[Set[String]] =
+        MinHash.clusters(e, driverMaxEdges = 0L)
+          .groupBy("cluster")
+          .agg(collect_set("id").as("ids"))
+          .collect()
+          .map(_.getSeq[String](1).toSet)
+          .toSet
+      val a = clusterSets(MinHash.candidateEdges(sigs))
+      val b = clusterSets(saltedEdges)
+      assert(a == b, "salted join changed connected components")
+      saltedEdges.unpersist()
     } finally sigs.unpersist()
   }
 }
