@@ -46,9 +46,23 @@ object ExactDedup {
     * the full rows, where AQE converts to a broadcast join whenever the
     * dup set is small (the common case). At 2M docs this replaces a
     * 2.6 GB wide shuffle+sort with a 150 MB one.
+    *
+    * The join-back is only correct when `idCol` is UNIQUE (and non-null):
+    * if a duplicate-group row shares its id with the group's keep-first
+    * row, the join would mark BOTH — keep-first silently becoming
+    * drop-all. Common-Crawl-style inputs violate this (the same url recurs
+    * across snapshots), so uniqueness is verified up front with one cheap
+    * narrow aggregation over the id column; on violation this falls back
+    * to the windowed [[mark]], which is always correct. The check is one
+    * extra O(rows) pass of an id-only projection — noise next to the dedup
+    * shuffle it guards.
     */
   def markById(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String],
                idCol: String): DataFrame = {
+    val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+      countDistinct(col(idCol)).as("nd")).head()
+    val unique = u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+    if (!unique) return mark(df, dupCols, orderCols)
     val w = Window
       .partitionBy(col("__k"))
       .orderBy(orderCols.map(col): _*)

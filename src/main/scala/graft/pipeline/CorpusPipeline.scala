@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.{ExactDedup, MinHash}
@@ -43,51 +42,62 @@ object CorpusPipeline {
     Models(lang, lm)
   }
 
-  /** Language-ID stage: broadcast the model once per executor, score in
-    * partition-local batches, append `lang_pred`/`lang_prob` columns.
+  /** The langid scorer as a per-row function for `udf`: reads the
+    * broadcast ONCE per task via a transient-lazy val (the
+    * `KneserNeyLM.perplexityFn` trick — calling `bc.value` per row hits a
+    * SoftReference + global-lock re-deserialization storm), and flushes
+    * per-task row counts into the metrics accumulators through a
+    * task-completion listener. Task closures are deserialized fresh per
+    * task, so the mutable counters are task-local.
+    */
+  private final class LangScoreFn(
+      bc: org.apache.spark.broadcast.Broadcast[FastTextModel],
+      metrics: Option[Metrics.PipelineMetrics])
+    extends (String => (String, Double)) with Serializable {
+    @transient private lazy val m = bc.value
+    @transient private var taskRows = 0L
+    @transient private var hooked = false
+    def apply(t: String): (String, Double) = {
+      metrics.foreach { mm =>
+        if (!hooked) {
+          hooked = true
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            mm.partitionsProcessed.add(1)
+            mm.partitionRows.add(taskRows)
+          }
+        }
+        taskRows += 1
+        mm.docsSeen.add(1)
+        if (t == null || t.isEmpty) mm.emptyTexts.add(1)
+      }
+      m.predict(if (t == null) "" else t)
+    }
+  }
+
+  /** Language-ID stage: broadcast the model once per executor, score via a
+    * struct-returning scalar UDF over the `text` column ONLY, append
+    * `lang_pred`/`lang_prob` columns.
+    *
+    * Deliberately NOT a Row-encoder `mapPartitions`: that formulation
+    * deserializes and re-encodes every input column per row — including
+    * the `html` binary, which is most of the bytes per page — and severs
+    * whole-stage codegen for the entire scoring stage. The scalar UDF
+    * touches one string column, leaves the rest of the row inside
+    * Tungsten format, and keeps the stage codegen'd. Marked
+    * nondeterministic so the optimizer materializes the struct once per
+    * row instead of inlining the UDF into each field extraction (which
+    * would also double the metrics accumulators).
     */
   def withLangId(df: DataFrame, model: FastTextModel,
-                 batchSize: Int = 512,
                  metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
-    val outSchema = df.schema
-      .add("lang_pred", StringType).add("lang_prob", DoubleType)
-    val enc = Encoders.row(outSchema)
-    val textIdx = df.schema.fieldIndex("text")
-    df.mapPartitions { it =>
-      val m = bc.value
-      var partRows = 0L
-      val scored = it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val t = r.getString(textIdx)
-          partRows += 1
-          metrics.foreach { mm =>
-            mm.docsSeen.add(1)
-            if (t == null || t.isEmpty) mm.emptyTexts.add(1)
-          }
-          val (l, p) = m.predict(if (t == null) "" else t)
-          Row.fromSeq(r.toSeq :+ l :+ p)
-        }
-      }
-      metrics match {
-        case Some(mm) =>
-          // flush partition-level counters after the iterator drains
-          new Iterator[Row] {
-            def hasNext: Boolean = {
-              val h = scored.hasNext
-              if (!h && partRows >= 0) {
-                mm.partitionsProcessed.add(1)
-                mm.partitionRows.add(partRows)
-                partRows = -1 // flush once
-              }
-              h
-            }
-            def next(): Row = scored.next()
-          }
-        case None => scored
-      }
-    }(enc)
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val fn: String => (String, Double) = new LangScoreFn(bc, metrics)
+    val scoreUdf = udf(fn).asNondeterministic()
+    df.withColumn("_lid", scoreUdf(col("text")))
+      .withColumn("lang_pred", col("_lid._1"))
+      .withColumn("lang_prob", col("_lid._2"))
+      .drop("_lid")
   }
 
   private val scoreObserveId = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.util.{AccumulatorV2, LongAccumulator}
 
 /** Run metrics — the Spark-native form of the reference's per-run counter
   * logs (processed/duplicates/unique/per-filter-removed totals at
@@ -25,7 +25,33 @@ import org.apache.spark.util.LongAccumulator
   */
 object Metrics {
 
-  /** Executor-side counters for one pipeline run. */
+  /** Accumulator whose merge is `max` — tracks the largest per-task value
+    * with O(1) driver state instead of collecting one entry per task
+    * attempt (a CollectionAccumulator at 10^12-doc scale is millions of
+    * driver-side boxed Longs).
+    */
+  final class MaxAccumulator extends AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var _max: Long = 0L
+    override def isZero: Boolean = _max == 0L
+    override def copy(): MaxAccumulator = {
+      val a = new MaxAccumulator; a._max = _max; a
+    }
+    override def reset(): Unit = _max = 0L
+    override def add(v: java.lang.Long): Unit =
+      _max = math.max(_max, v.longValue())
+    override def merge(other: AccumulatorV2[java.lang.Long, java.lang.Long]): Unit =
+      _max = math.max(_max, other.value.longValue())
+    override def value: java.lang.Long = _max
+  }
+
+  /** Executor-side counters for one pipeline run.
+    *
+    * Accumulator semantics are AT-LEAST-ONCE for non-result stages: stage
+    * retries and cache-eviction recomputation re-apply updates, so treat
+    * `docsSeen`/`partitionsProcessed` as monitoring signals, not exact
+    * ledgers (the exact ledger is the [[Lineage]] manifest / `observe`
+    * metrics, which Spark applies exactly once per action).
+    */
   final class PipelineMetrics(spark: SparkSession) extends Serializable {
     val docsSeen: LongAccumulator =
       spark.sparkContext.longAccumulator("graft.docs_seen")
@@ -33,23 +59,21 @@ object Metrics {
       spark.sparkContext.longAccumulator("graft.empty_texts")
     val partitionsProcessed: LongAccumulator =
       spark.sparkContext.longAccumulator("graft.partitions_processed")
-    /** max rows in any single partition (via max-trick: accumulate only
-      * the per-partition count, reduce with max on the driver is not
-      * directly supported by LongAccumulator — so this tracks the sum and
-      * [[partitionRows]] keeps the per-partition values for skew checks).
+    /** Largest row count seen by any single task — the skew canary.
+      * Merge = max, so driver state stays O(1) regardless of task count.
       */
-    val partitionRows: org.apache.spark.util.CollectionAccumulator[java.lang.Long] =
-      spark.sparkContext.collectionAccumulator[java.lang.Long]("graft.partition_rows")
-
-    def maxPartitionRows: Long = {
-      val it = partitionRows.value.iterator()
-      var m = 0L
-      while (it.hasNext) m = math.max(m, it.next().longValue())
-      m
+    val partitionRows: MaxAccumulator = {
+      val a = new MaxAccumulator
+      spark.sparkContext.register(a, "graft.max_partition_rows")
+      a
     }
 
+    def maxPartitionRows: Long = partitionRows.value.longValue()
+
     /** Partition balance: max/mean rows per partition (1.0 = perfectly
-      * even; the skew canary the reference lacked).
+      * even; the skew canary the reference lacked). At-least-once
+      * accumulator updates can inflate the mean's denominator on retries —
+      * the reported factor is a monitoring estimate.
       */
     def skewFactor: Double = {
       val n = partitionsProcessed.value

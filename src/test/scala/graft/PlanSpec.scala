@@ -62,6 +62,25 @@ class PlanSpec extends SparkSpec {
       s"filter+scrub introduced a shuffle:\n$plan")
   }
 
+  test("scoring stage keeps rows in Tungsten format and prunes html") {
+    // the langid scorer must be a scalar UDF over `text`, not a Row-encoder
+    // mapPartitions: no object round-trip operators may appear, and the
+    // parquet scan must not read the html binary (most of the bytes/page).
+    // Written to parquet first so column pruning is observable in ReadSchema.
+    val dir = java.nio.file.Files.createTempDirectory("plan_langid").toString
+    pipeline.Synth.pages(spark, 50L).write.parquet(s"$dir/pages.parquet")
+    val scored = pipeline.CorpusPipeline.score(
+      spark.read.parquet(s"$dir/pages.parquet"))
+    val plan = planOf(scored)
+    Seq("DeserializeToObject", "SerializeFromObject", "MapPartitions")
+      .foreach { op =>
+        assert(!plan.contains(op), s"scoring stage severs codegen via $op:\n$plan")
+      }
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("html"),
+      s"html binary not pruned from the scoring scan: $readSchema")
+  }
+
   test("minhash signatures are narrow; dedup flow shuffles only on bands") {
     val pages = SparkEntry.pagesFromDocs(spark, sfDir)
     val sigs = dedup.MinHash.signatures(pages, "url", "text")

@@ -35,6 +35,28 @@ class ExactDedupSpec extends SparkSpec {
     assert(narrow.nonEmpty)
   }
 
+  test("markById with non-unique ids falls back to windowed keep-first") {
+    // Common-Crawl shape: the same url recurs across snapshots. A naive
+    // id-keyed join-back would mark EVERY row of a recrawled url —
+    // including the keep-first row (drop-all data loss). The fallback must
+    // keep exactly one row per duplicate text group.
+    val df = Seq(
+      // url u1 recrawled: same text twice → keep the ts=1 row
+      ("u1", 1L, "same text"), ("u1", 2L, "same text"),
+      // url u2 recrawled with DIFFERENT texts → both kept
+      ("u2", 3L, "alpha text"), ("u2", 4L, "beta text"),
+      // cross-url duplicate of alpha → dropped (u2@3 is first)
+      ("u3", 5L, "alpha text")
+    ).toDF("url", "ts", "text")
+    val marked = ExactDedup.markById(df, Seq("text"), Seq("ts", "url"), "url")
+    val kept = marked.filter(!$"is_exact_dup")
+      .select("url", "ts").as[(String, Long)].collect().toSet
+    assert(kept == Set(("u1", 1L), ("u2", 3L), ("u2", 4L)),
+      s"wrong survivors: $kept")
+    // exactly one survivor per duplicate text group — no drop-all
+    assert(marked.filter(!$"is_exact_dup").count() == 3L)
+  }
+
   test("bloom decontaminate is exact despite probabilistic prefilter") {
     val docs = (0 until 500).map(i => (i.toLong, s"document number $i body"))
       .toDF("id", "text")
