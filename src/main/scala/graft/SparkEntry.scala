@@ -90,17 +90,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
-    // D1 deterministic keep-first exact dedup
-    "q_dedup_exact" -> ((s, dir) => t(s, dir, "documents")
-      .groupBy("text").agg(min("doc_id").as("doc_id"))),
+    // D1 deterministic keep-first exact dedup. Keyed on a 20-char text
+    // prefix so the driver tables (all-distinct full texts) actually
+    // produce duplicate groups — 24 real groups at sf0.01 — and the
+    // oracle exercises the keep-first window, not a no-op.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("k", substring(col("text"), 1, 20))
+      ExactDedup.dedup(d, Seq("k"), Seq("doc_id")).select("doc_id")
+    }),
 
     // A4 duplicate-count metric (pd_util.py:97-98)
     "q_dup_count" -> ((s, dir) => t(s, dir, "documents")
       .agg((count(lit(1)) - countDistinct(col("text"))).as("dups"))),
 
-    // D2 hash-keyed dedup groups (dedup_large_csv.py:8-13 md5('|'.join))
+    // D2 hash-keyed dedup groups (dedup_large_csv.py:8-13 md5('|'.join)).
+    // Keyed on (lang, source) — a tuple that genuinely collides in the
+    // driver tables (~97 groups at sf0.01) so the matched dup rows are > 0.
     "q_hash_dedup" -> ((s, dir) => t(s, dir, "documents")
-      .groupBy(md5(concat_ws("|", col("lang"), col("text"))).as("h"))
+      .groupBy(md5(concat_ws("|", col("lang"), col("source"))).as("h"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)),
 
@@ -178,9 +186,13 @@ object SparkEntry {
           col("minhash_cluster").cast("string").as("minhash_cluster"))
     }),
 
-    // D1 windowed keep-first over Page shape (rows-only companion)
+    // D1 windowed keep-first over Page shape, keyed on a text prefix so
+    // real dup groups exist (oracle-checked: url/warc_ts derive
+    // deterministically from doc_id)
     "q_exact_dedup_pages" -> ((s, dir) => {
-      ExactDedup.dedup(pagesFromDocs(s, dir), Seq("text"), Seq("warc_ts", "url"))
+      val p = pagesFromDocs(s, dir)
+        .withColumn("k", substring(col("text"), 1, 20))
+      ExactDedup.dedup(p, Seq("k"), Seq("warc_ts", "url"))
         .select("url")
     }),
 
@@ -415,6 +427,36 @@ object SparkEntry {
         CorpusPipeline.defaultModels.lang)
         .select("url", "lang_pred", "lang_prob")),
 
+    // L4 pluggable judge-scorer stage, fresh pass (llm_judge.py semantics
+    // with the deterministic stub scorer — oracle-checked)
+    "q_judge_score" -> ((s, dir) =>
+      graft.filters.JudgeScorer.score(t(s, dir, "documents"),
+        graft.filters.JudgeScorer.stubScorer())
+        .select("doc_id", "judge_score")),
+
+    // L4 resume-with-repair: planted invalid scores (-1 error marker,
+    // null, above-scale) get re-scored; valid scores kept byte-for-byte
+    // (llm_judge.py:216-226)
+    "q_judge_repair" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("judge_score",
+        when(col("doc_id") % 7 === 0, lit(-1))
+          .when(col("doc_id") % 11 === 0, lit(null).cast("int"))
+          .when(col("doc_id") % 13 === 0, lit(9))
+          .otherwise(pmod(col("doc_id"), lit(6)).cast("int")))
+      graft.filters.JudgeScorer.repair(planted,
+        graft.filters.JudgeScorer.stubScorer())
+        .select("doc_id", "judge_score")
+    }),
+
+    // L4/A7 per-group score distribution (count + within-group share;
+    // llm_judge.py:345-416)
+    "q_judge_dist" -> ((s, dir) =>
+      graft.filters.JudgeScorer.distribution(
+        graft.filters.JudgeScorer.score(t(s, dir, "documents"),
+          graft.filters.JudgeScorer.stubScorer()),
+        groupCols = Seq("lang"))
+        .select("lang", "judge_score", "cnt", "share")),
+
     // L5 Kneser-Ney perplexity scoring (rows-only: LM is not SQL)
     "q_perplexity" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(CorpusPipeline.defaultModels.lm)
@@ -466,13 +508,22 @@ object SparkEntry {
         |(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q_dedup_exact" ->
-      "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+      """SELECT doc_id FROM documents
+        |QUALIFY row_number() OVER
+        |(PARTITION BY substr(text, 1, 20) ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_exact_dedup_pages" ->
+      """SELECT 'https://docs.example.com/' ||
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+        |FROM documents
+        |QUALIFY row_number() OVER
+        |(PARTITION BY substr(text, 1, 20) ORDER BY doc_id) = 1""".stripMargin,
 
     "q_dup_count" ->
       "SELECT count(*) - count(DISTINCT text) AS dups FROM documents",
 
     "q_hash_dedup" ->
-      """SELECT md5(concat_ws('|', lang, text)) AS h, count(*) AS cnt
+      """SELECT md5(concat_ws('|', lang, source)) AS h, count(*) AS cnt
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
 
     "q_topk" ->
@@ -640,6 +691,35 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
         |  AS mean_wlen
         |FROM documents""".stripMargin,
+
+    "q_judge_score" ->
+      """SELECT doc_id,
+        |CAST((2*length(text) - length(translate(text,'e',''))) % 6 AS INT)
+        |  AS judge_score
+        |FROM documents""".stripMargin,
+
+    "q_judge_repair" ->
+      """SELECT doc_id,
+        |CASE WHEN old >= 0 AND old <= 5 THEN old
+        |     ELSE CAST((2*length(text) - length(translate(text,'e',''))) % 6
+        |          AS INT) END AS judge_score
+        |FROM (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 7 = 0 THEN -1
+        |       WHEN doc_id % 11 = 0 THEN NULL
+        |       WHEN doc_id % 13 = 0 THEN 9
+        |       ELSE CAST(doc_id % 6 AS INT) END AS old
+        |  FROM documents)""".stripMargin,
+
+    "q_judge_dist" ->
+      """SELECT lang, judge_score, cnt, share FROM (
+        |  SELECT lang, judge_score, count(*) AS cnt,
+        |    round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 4)
+        |      AS share
+        |  FROM (SELECT lang,
+        |          CAST((2*length(text) - length(translate(text,'e',''))) % 6
+        |            AS INT) AS judge_score
+        |        FROM documents)
+        |  GROUP BY lang, judge_score)""".stripMargin,
 
     "q_train_split" ->
       """SELECT doc_id,

@@ -61,31 +61,77 @@ object Similarity {
     * pairs sharing any band bucket are candidates, then exact cosine
     * filters by `minSim`. Shuffles only bucket-colocated pairs —
     * O(sum of bucket sizes squared), not O(n²).
+    *
+    * Skew hardening (same family as MinHash.candidateEdgesSalted, but
+    * output-preserving): the bucket self-join runs over NARROW
+    * (id, band, bucket) rows — full vectors are fetched by id only for
+    * the deduplicated candidate pairs — and buckets whose membership
+    * exceeds `hotBucketThreshold` are split into `saltBuckets` shards:
+    * side A keyed by salt(id_a), side B replicated across all shards.
+    * Every pair still appears in exactly ONE shard, so the result set is
+    * IDENTICAL to the unsalted join while the per-task group size for a
+    * degenerate bucket (e.g. many all-zero embeddings) drops by the salt
+    * factor. Hot-bucket detection is one narrow aggregation over the
+    * persisted bucket table; misclassification only shifts work, never
+    * changes the output.
     */
   def nearPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                 minSim: Double, bands: Int = 4, bitsPerBand: Int = 12,
-                dim: Int = 64, seed: Long = 42L): DataFrame = {
+                dim: Int = 64, seed: Long = 42L,
+                saltBuckets: Int = 8,
+                hotBucketThreshold: Long = 4096L): DataFrame = {
     val withBuckets = (0 until bands).map { b =>
       val planes = hyperplanes(bitsPerBand, dim, seed + b * 1000L)
-      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lit(b).as("band"), lshBucket(col(vecCol), planes).as("bucket"))
+      embeddings.select(col(idCol).as("id"), lit(b).as("band"),
+        lshBucket(col(vecCol), planes).as("bucket"))
     }.reduce(_ unionByName _)
+      // the plane dot products are the expensive part; the table is ~20 B/row
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = withBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("vec").as("vec_b"))
-    val da = col("vec_a").cast("array<double>")
-    val db = col("vec_b").cast("array<double>")
-    val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(zip_with(da, da, (x, y) => x * y), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(zip_with(db, db, (x, y) => x * y), lit(0.0), _ + _))
-    a.join(b, Seq("band", "bucket"))
+    val s = math.max(saltBuckets, 1)
+    // hot (band, bucket) keys, collected as hashes: collisions could only
+    // mark a cold bucket hot (harmless — salting is output-preserving)
+    val hotKeys: Array[Long] = withBuckets
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotBucketThreshold)
+      .select(xxhash64(col("band"), col("bucket")))
+      .collect().map(_.getLong(0))
+    val isHot =
+      if (hotKeys.isEmpty) lit(false)
+      else xxhash64(col("band"), col("bucket")).isInCollection(hotKeys)
+
+    val a = withBuckets
+      .withColumn("salt",
+        when(isHot, pmod(xxhash64(col("id")), lit(s.toLong))).otherwise(lit(0L)))
+      .select(col("band"), col("bucket"), col("salt"), col("id").as("id_a"))
+    val b = withBuckets
+      .withColumn("salt", explode(
+        when(isHot, sequence(lit(0L), lit((s - 1).toLong)))
+          .otherwise(array(lit(0L)))))
+      .select(col("band"), col("bucket"), col("salt"), col("id").as("id_b"))
+
+    val candidates = a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // exact verify: vectors rejoin by id AFTER pair dedup, so each vector
+    // crosses the wire O(candidate pairs) once instead of riding every
+    // bucket row on both join sides
+    val vecs = embeddings.select(col(idCol).as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), _ + _)
+    val na = sqrt(aggregate(zip_with(col("va"), col("va"), (x, y) => x * y),
+      lit(0.0), _ + _))
+    val nb = sqrt(aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y),
+      lit(0.0), _ + _))
+    candidates
+      .join(vecs.select(col("_vid").as("id_a"), col("_v").as("va")), "id_a")
+      .join(vecs.select(col("_vid").as("id_b"), col("_v").as("vb")), "id_b")
       .withColumn("sim", round(dot / (na * nb), 4))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
-      .distinct()
   }
 
   /** IVF-style variant: assign each vector to its nearest of `centroids`

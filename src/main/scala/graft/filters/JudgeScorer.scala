@@ -1,0 +1,86 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pluggable document-quality scorer stage — SURVEY.md §2.12 L4, the
+  * engine-side surface of the reference's external LLM-judge flow
+  * (/root/reference/utils/llm_judge.py).
+  *
+  * The reference scores each document 0–5 with an external model, writes
+  * the score into a column, and — crucially — is RESUMABLE BY SCORE
+  * VALUE: on restart it re-scores only rows whose score is missing,
+  * negative, above the scale, or an error marker
+  * (llm_judge.py:216-226), keeping every already-valid score untouched.
+  * It then reports per-file and global score distributions
+  * (llm_judge.py:345-416).
+  *
+  * Spark-first mapping: a scorer is any `Column => Column` (a codegen'd
+  * expression, a broadcast-model UDF like [[FastTextModel]], or a stub),
+  * so the whole stage stays declarative — scoring is one narrow
+  * projection, resume-with-repair is a `when(valid, old).otherwise(new)`
+  * coalesce over the same pass (no shuffle, no driver loop), and the
+  * distributions are relational aggregations. The external-API batching
+  * and retry queue of the reference is transport, not engine semantics,
+  * and is deliberately out of scope; any real scorer plugs in as the
+  * `Scorer` function.
+  */
+object JudgeScorer {
+
+  /** A scorer maps the text column to an integer score column. */
+  type Scorer = Column => Column
+
+  /** Deterministic structural stub scorer (0..maxScore) for tests and
+    * offline runs: text length plus 'e'-count, mod the scale.
+    * SQL-expressible on purpose so the driver's DuckDB oracle can verify
+    * the stage end to end (`(2*length(t) - length(translate(t,'e','')))
+    * % (maxScore+1)`).
+    */
+  def stubScorer(maxScore: Int = 5): Scorer = textCol =>
+    pmod(length(textCol) * 2 - length(translate(textCol, "e", "")),
+      lit(maxScore + 1)).cast("int")
+
+  /** Valid = present and on the 0..maxScore scale (llm_judge.py:216-226:
+    * NaN, negative — including the reference's -1 error marker — and
+    * above-scale values are all re-scored).
+    */
+  def isValid(scoreCol: Column, maxScore: Int = 5): Column =
+    scoreCol.isNotNull && scoreCol >= 0 && scoreCol <= maxScore
+
+  /** Fresh scoring pass: adds/overwrites `scoreCol` for every row. */
+  def score(df: DataFrame, scorer: Scorer,
+            textCol: String = "text",
+            scoreCol: String = "judge_score"): DataFrame =
+    df.withColumn(scoreCol, scorer(col(textCol)))
+
+  /** Resume-with-repair: re-score ONLY rows whose existing score is
+    * invalid, keep valid scores byte-for-byte. One narrow projection —
+    * at 100 TB the resumed run's cost is proportional to the scorer
+    * evaluations actually needed, and nothing shuffles.
+    */
+  def repair(df: DataFrame, scorer: Scorer,
+             textCol: String = "text",
+             scoreCol: String = "judge_score",
+             maxScore: Int = 5): DataFrame =
+    df.withColumn(scoreCol,
+      when(isValid(col(scoreCol), maxScore), col(scoreCol).cast("int"))
+        .otherwise(scorer(col(textCol))))
+
+  /** Score distribution — count and within-group share per score value,
+    * globally (`groupCols` empty) or per group (the reference's per-file
+    * stats; llm_judge.py:345-416 prints count + pct per score). One
+    * partial+final aggregation plus a broadcast-sized window over the
+    * score-cardinality rows.
+    */
+  def distribution(df: DataFrame, scoreCol: String = "judge_score",
+                   groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = groupCols.map(col) :+ col(scoreCol)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("cnt"))
+    val w =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    counts.withColumn("share",
+      round(col("cnt") / sum(col("cnt")).over(w), 4))
+  }
+}

@@ -65,38 +65,57 @@ object Lineage {
   /** Run (or resume) a stage. `fn` must be a per-row/per-partition
     * transform (no cross-bucket aggregation) so bucket-wise execution is
     * semantics-preserving. Returns the full stage output (all buckets).
+    *
+    * Scan discipline: a commit group costs exactly ONE scan of its input
+    * slice — per-bucket in/out row counts ride the write job as `observe`
+    * aggregates (exactly-once per action, unlike accumulators) instead of
+    * separate counting jobs, and nothing re-reads the written parquet.
+    * With the default `bucketsPerCommit = 0` (one commit for the whole
+    * run) a fresh 100 TB run therefore reads its input ONCE. Setting
+    * `bucketsPerCommit > 0` opts into finer crash granularity — k-bucket
+    * durable commits — at the documented cost of one input scan per group
+    * (each group's filter prunes nothing unless the source is partitioned
+    * by the id hash).
     */
   def runStage(input: DataFrame, outDir: String, idCol: String,
-               nBuckets: Int = 64, bucketsPerCommit: Int = 16)
+               nBuckets: Int = 64, bucketsPerCommit: Int = 0)
               (fn: DataFrame => DataFrame): StageRun = {
     val spark = input.sparkSession
     val dataDir = s"$outDir/data"
     val done = readManifest(outDir).map(_.bucket).toSet
     val missing = (0 until nBuckets).filterNot(done)
     val bucketCol = pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int")
+    val groupSize = if (bucketsPerCommit > 0) bucketsPerCommit else nBuckets
 
-    val newCommits = scala.collection.mutable.ArrayBuffer.empty[BucketCommit]
-    missing.grouped(bucketsPerCommit).foreach { group =>
+    missing.grouped(groupSize).foreach { group =>
       val snapshotId = System.nanoTime()
       val slice = input.withColumn("_bucket", bucketCol)
         .filter(col("_bucket").isin(group: _*))
-      val inCounts = slice.groupBy("_bucket").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val out = fn(slice)
+      // per-bucket counts as observe aggregates: count(when) never
+      // returns null on empty groups, and observe fires exactly once per
+      // action — the write job below is the single scan of this group
+      val obsIn = org.apache.spark.sql.Observation(s"lineage_in_$snapshotId")
+      val inAggs = group.map(b =>
+        count(when(col("_bucket") === b, 1)).as(s"b$b"))
+      val observedIn = slice.observe(obsIn, inAggs.head, inAggs.tail: _*)
+      val out = fn(observedIn)
       val outWithBucket =
         if (out.columns.contains("_bucket")) out
         else out.withColumn("_bucket", bucketCol)
+      val obsOut = org.apache.spark.sql.Observation(s"lineage_out_$snapshotId")
+      val outAggs = group.map(b =>
+        count(when(col("_bucket") === b, 1)).as(s"b$b"))
+      val observedOut = outWithBucket.observe(obsOut, outAggs.head, outAggs.tail: _*)
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      outWithBucket.write.mode("overwrite")
+      observedOut.write.mode("overwrite")
         .partitionBy("_bucket").parquet(dataDir)
-      val outCounts = spark.read.parquet(dataDir)
-        .filter(col("_bucket").isin(group: _*))
-        .groupBy("_bucket").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val inCounts = obsIn.get
+      val outCounts = obsOut.get
       val commits = group.map(b => BucketCommit(b,
-        inCounts.getOrElse(b, 0L), outCounts.getOrElse(b, 0L), snapshotId))
+        inCounts.get(s"b$b").map(_.asInstanceOf[Long]).getOrElse(0L),
+        outCounts.get(s"b$b").map(_.asInstanceOf[Long]).getOrElse(0L),
+        snapshotId))
       appendManifest(outDir, commits)
-      newCommits ++= commits
     }
 
     val output =

@@ -144,15 +144,24 @@ object CorpusIO {
     * `${language}/${rank}.jsonl.gz` templated layout (findweb.py:95-99);
     * `shards`+`targetRowsPerFile` reproduce round-robin sharding with
     * file rolling (dedup_dataset.py:111-118) without any driver-side loop.
+    *
+    * S9/S10: `mode = "append"` gives the reference's incremental CSV/JSONL
+    * append sinks (utils/pd_util.py:67-92 `to_csv(mode='a')` with
+    * header-on-create, fasttext/mult_infer.py:119-132): each append adds
+    * part files to the directory-table; for CSV every part file carries
+    * its own header, which a header-aware read of the directory
+    * reassembles — the distributed equivalent of header-only-at-create on
+    * a single file.
     */
   def writeCorpus(df: DataFrame, path: String,
                   format: Format = Jsonl,
                   partitionByLang: Option[String] = None,
                   shards: Int = 0,
                   targetRowsPerFile: Long = 0L,
-                  compression: String = "gzip"): Unit = {
+                  compression: String = "gzip",
+                  mode: String = "overwrite"): Unit = {
     val sharded = if (shards > 0) df.repartition(shards) else df
-    var w: DataFrameWriter[Row] = sharded.write.mode("overwrite")
+    var w: DataFrameWriter[Row] = sharded.write.mode(mode)
     if (targetRowsPerFile > 0)
       w = w.option("maxRecordsPerFile", targetRowsPerFile)
     partitionByLang.foreach(c => w = w.partitionBy(c))

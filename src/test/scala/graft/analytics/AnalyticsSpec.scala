@@ -43,6 +43,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("hot-bucket salting preserves the exact near-pair set") {
+    // degenerate distribution: 60 IDENTICAL vectors land in one LSH bucket
+    // per band (the unsalted join's worst case), plus background noise.
+    // The salted path must produce the identical pair set (all C(60,2)
+    // hot pairs at sim 1.0) while splitting the hot bucket across shards.
+    val rng = new java.util.SplittableRandom(11)
+    val hotVec = Array.fill(64)(rng.nextGaussian()).map(_.toFloat).toSeq
+    val rows = (1L to 60L).map(i => (i, hotVec)) ++
+      (100L to 130L).map(i => (i, {
+        val r = new java.util.SplittableRandom(i * 13)
+        Array.fill(64)(r.nextGaussian().toFloat).toSeq
+      }))
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(salt: Int, hotThreshold: Long) =
+      Similarity.nearPairs(df, "vec_id", "embedding", minSim = 0.95,
+        bands = 4, bitsPerBand = 6, dim = 64,
+        saltBuckets = salt, hotBucketThreshold = hotThreshold)
+        .as[(Long, Long, Double)].collect().toSet
+    val unsalted = pairSet(1, Long.MaxValue)   // salting effectively off
+    val salted = pairSet(8, 10L)               // hot bucket forced to shard
+    assert(salted == unsalted, "salting changed the near-pair set")
+    assert(unsalted.count(p => p._1 <= 60 && p._2 <= 60) == 60 * 59 / 2,
+      "hot-cluster pairs missing")
+  }
+
   test("ivf assignment is deterministic and total") {
     val df = (1L to 20L).map { i =>
       val r = new java.util.SplittableRandom(i)

@@ -1,0 +1,75 @@
+package graft.filters
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JudgeScorerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "every engineer eventually meets the elephant"),
+    (3L, "short"),
+    (4L, "a b c d e f g h i j"),
+    (5L, "texts with several e letters everywhere seen")
+  ).toDF("doc_id", "text")
+
+  test("fresh scoring stays on the 0..maxScore scale") {
+    val scored = JudgeScorer.score(docs, JudgeScorer.stubScorer())
+    val vals = scored.select("judge_score").as[Int].collect()
+    assert(vals.forall(s => s >= 0 && s <= 5))
+    // deterministic: same input, same scores
+    val again = JudgeScorer.score(docs, JudgeScorer.stubScorer())
+      .select("judge_score").as[Int].collect()
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("repair re-scores only invalid rows and keeps valid scores") {
+    // plant: doc 1 valid (2), doc 2 error marker (-1), doc 3 missing,
+    // doc 4 above scale (9), doc 5 valid (0)
+    val planted = docs.withColumn("judge_score",
+      when($"doc_id" === 1, lit(2))
+        .when($"doc_id" === 2, lit(-1))
+        .when($"doc_id" === 3, lit(null).cast("int"))
+        .when($"doc_id" === 4, lit(9))
+        .otherwise(lit(0)))
+    val repaired = JudgeScorer.repair(planted, JudgeScorer.stubScorer())
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    val fresh = JudgeScorer.score(docs, JudgeScorer.stubScorer())
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    // valid rows untouched even where the scorer disagrees
+    assert(repaired(1L) == 2 && repaired(5L) == 0)
+    // invalid rows re-scored by the scorer
+    assert(repaired(2L) == fresh(2L))
+    assert(repaired(3L) == fresh(3L))
+    assert(repaired(4L) == fresh(4L))
+    // post-repair invariant: every score valid
+    assert(repaired.values.forall(s => s >= 0 && s <= 5))
+  }
+
+  test("repair of an already-valid frame is the identity") {
+    val scored = JudgeScorer.score(docs, JudgeScorer.stubScorer())
+    val repaired = JudgeScorer.repair(scored, JudgeScorer.stubScorer())
+    assert(scored.exceptAll(repaired).count() == 0)
+    assert(repaired.exceptAll(scored).count() == 0)
+  }
+
+  test("distribution shares sum to 1 per group; counts sum to N") {
+    val df = Seq(
+      ("en", 5), ("en", 5), ("en", 3), ("en", 1),
+      ("fr", 2), ("fr", 2)
+    ).toDF("lang", "judge_score")
+    val dist = JudgeScorer.distribution(df, "judge_score", Seq("lang"))
+    assert(dist.agg(sum("cnt")).head().getLong(0) == 6L)
+    val perGroup = dist.groupBy("lang").agg(sum("share").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(perGroup("en") - 1.0) < 1e-6)
+    assert(math.abs(perGroup("fr") - 1.0) < 1e-6)
+    val en5 = dist.filter($"lang" === "en" && $"judge_score" === 5)
+      .select("cnt", "share").head()
+    assert(en5.getLong(0) == 2L && en5.getDouble(1) == 0.5)
+    // global form: one row per score value
+    val global = JudgeScorer.distribution(df, "judge_score")
+    assert(global.agg(sum("share")).head().getDouble(0) == 1.0)
+  }
+}

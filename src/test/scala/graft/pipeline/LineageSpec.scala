@@ -21,6 +21,23 @@ class LineageSpec extends SparkSpec {
     assert(run.commits.map(_.rowsOut).sum == 400L)
   }
 
+  test("fresh run with default commit granularity scans the input once") {
+    val dir = freshDir()
+    val acc = spark.sparkContext.longAccumulator("scanned")
+    // nondeterministic so the optimizer can't duplicate the probe into
+    // both the bucket-hash and the output projection
+    val counting = udf { (u: String) => acc.add(1L); u }.asNondeterministic()
+    val input = Synth.pages(spark, 400L)
+      .withColumn("url", counting(col("url")))
+    val run = Lineage.runStage(input, dir, "url", nBuckets = 64)(identity)
+    assert(run.output.count() == 400L)
+    assert(run.commits.size == 64)
+    assert(run.commits.map(_.rowsIn).sum == 400L)
+    assert(run.commits.map(_.rowsOut).sum == 400L)
+    assert(acc.value == 400L,
+      s"input scanned ${acc.value / 400.0} times, expected exactly once")
+  }
+
   test("crash mid-stage resumes from committed buckets without recompute") {
     val dir = freshDir()
     val input = Synth.pages(spark, 400L).cache()

@@ -96,6 +96,33 @@ class CorpusIOSpec extends SparkSpec {
     assert(CorpusIO.readJsonl(spark, s"$dir/sharded").count() == 100)
   }
 
+  test("append-mode sinks accumulate across writes (jsonl and csv)") {
+    val dir = tmp()
+    val p1 = Synth.pages(spark, 30L)
+    val p2 = Synth.pages(spark, 70L).filter(col("url").isNotNull)
+      .exceptAll(p1) // disjoint second batch
+    // jsonl append: write twice, read back the union
+    CorpusIO.writeCorpus(p1, s"$dir/app_jsonl", CorpusIO.Jsonl, mode = "append")
+    CorpusIO.writeCorpus(p2, s"$dir/app_jsonl", CorpusIO.Jsonl, mode = "append")
+    assert(CorpusIO.readJsonl(spark, s"$dir/app_jsonl").count() == 70)
+    // csv append: header-aware read reassembles both batches
+    val narrow1 = p1.select("url", "lang")
+    val narrow2 = p2.select("url", "lang")
+    CorpusIO.writeCorpus(narrow1, s"$dir/app_csv", CorpusIO.Csv, mode = "append")
+    CorpusIO.writeCorpus(narrow2, s"$dir/app_csv", CorpusIO.Csv, mode = "append")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    val back = CorpusIO.readCsv(spark, s"$dir/app_csv", schema)
+    assert(back.count() == 70)
+    assert(back.select("url").distinct().count() == 70)
+    // overwrite mode still replaces
+    CorpusIO.writeCorpus(narrow1, s"$dir/app_csv", CorpusIO.Csv)
+    assert(CorpusIO.readCsv(spark, s"$dir/app_csv", schema).count() == 30)
+  }
+
   test("partition-by-lang layout mirrors templated output paths") {
     val dir = tmp()
     CorpusIO.writeCorpus(Synth.pages(spark, 200L), s"$dir/by_lang",
