@@ -102,24 +102,39 @@ object Bench {
           (synthN * 16).toString).toLong
         val nLo = math.max(cpus / 8, 1)
         val nHi = math.max(cpus / 2, 4 * nLo)
+        val ratio = nHi.toDouble / nLo
         spark.stop()
-        // best-of-2 PER SIDE: a single neighbor-disturbed run can only
-        // lower that side's best, so efficiency is computed from each
-        // side's demonstrated capability. Clamped at 1.0 — a >1 raw value
-        // just means the low-core side never got a quiet run.
-        val sLo = session(nLo)
-        filterScrub(sLo, 20000L) // JIT + codegen warm at this parallelism
-        val (tLo, docsLo) = timeBest(2)(filterScrub(sLo, scaleN))
-        sLo.stop()
-        val sHi = session(nHi)
-        filterScrub(sHi, 20000L)
-        val (tHi, docsHi) = timeBest(2)(filterScrub(sHi, scaleN))
-        sHi.stop()
-        val lo = docsLo / tLo
-        val hi = docsHi / tHi
-        val raw = hi / ((nHi.toDouble / nLo) * lo)
+        // Two alternating lo/hi rounds. Headline efficiency is best-of-
+        // per-side (a neighbor-disturbed run can only lower a side's
+        // best, so min-time per side estimates each side's capability;
+        // clamped at 1.0 — >1 raw means the low-core side never got a
+        // quiet run). Because best-of selection is an optimistic
+        // statistic, each round's UNSELECTED efficiency and their median
+        // are reported alongside so the gate can be judged against a
+        // non-selected number too.
+        val rounds = (1 to 2).map { _ =>
+          val sLo = session(nLo)
+          filterScrub(sLo, 20000L) // JIT + codegen warm at this parallelism
+          val (tLo, docsLo) = time(filterScrub(sLo, scaleN))
+          sLo.stop()
+          val sHi = session(nHi)
+          filterScrub(sHi, 20000L)
+          val (tHi, docsHi) = time(filterScrub(sHi, scaleN))
+          sHi.stop()
+          (tLo, tHi, docsLo, docsHi)
+        }
+        val perRound = rounds.map { case (tLo, tHi, _, _) => (tLo / tHi) / ratio }
+        val effMedian = perRound.sorted.apply(perRound.size / 2) // upper median
+        val effMean = perRound.sum / perRound.size
+        val tLoBest = rounds.map(_._1).min
+        val tHiBest = rounds.map(_._2).min
+        val docs = rounds.head._3.toDouble
+        val lo = docs / tLoBest
+        val hi = docs / tHiBest
+        val raw = hi / (ratio * lo)
         val eff = math.min(raw, 1.0)
-        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$lo%.1f,"docs_per_sec_hi":$hi%.1f,"efficiency":$eff%.3f,"efficiency_raw":$raw%.3f}"""
+        val roundsJson = perRound.map(e => f"$e%.3f").mkString("[", ",", "]")
+        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$lo%.1f,"docs_per_sec_hi":$hi%.1f,"efficiency":$eff%.3f,"efficiency_raw":$raw%.3f,"efficiency_rounds":$roundsJson,"efficiency_median":$effMedian%.3f,"efficiency_mean":$effMean%.3f}"""
       } else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")

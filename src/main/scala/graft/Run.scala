@@ -70,7 +70,13 @@ object Run {
 
     val cfg = graft.model.PipelineConfig(
       exactDedup = !a.contains("no-exact"),
-      minhashDedup = !a.contains("no-minhash"))
+      minhashDedup = !a.contains("no-minhash"),
+      // cluster-deploy tunables (north rule: explicit skew handling):
+      // --minhash-salt N shards hot band hashes, --cc-driver-max-edges
+      // bounds the driver union-find fast path for small drivers
+      minhashSaltBuckets = a.get("minhash-salt").map(_.toInt).getOrElse(0),
+      ccDriverMaxEdges = a.get("cc-driver-max-edges").map(_.toLong)
+        .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges))
 
     val metrics = Metrics.pipelineMetrics(spark)
 

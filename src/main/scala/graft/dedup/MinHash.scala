@@ -42,7 +42,12 @@ object MinHash {
         * per-task group sizes — the right call when one cluster holds
         * double-digit percent of the corpus.
         */
-      saltBuckets: Int = 0
+      saltBuckets: Int = 0,
+      /** Edge-count ceiling for the driver-side union-find fast path in
+        * [[clusters]]; deployments with small drivers can lower it (or 0
+        * to force the distributed CC loop).
+        */
+      driverCcMaxEdges: Long = MinHash.DriverCcMaxEdges
   ) {
     def numHashes: Int = bands * rowsPerBand
   }
@@ -345,7 +350,8 @@ object MinHash {
     val edges =
       if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
       else candidateEdges(sigs)
-    val cl = clusters(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val cl = clusters(edges, cfg.driverCcMaxEdges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.unpersist(false) // cl is materialized (clusters counts edges)
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel

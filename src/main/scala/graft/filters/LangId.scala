@@ -25,16 +25,29 @@ class FastTextModel(
     val buckets: Int,
     val labels: Array[String],
     val emb: Array[Float],  // buckets x dim
-    val out: Array[Float]   // labels x dim
+    val out: Array[Float],  // labels x dim
+    /** ≤1: lid-style hashed char 1..3-grams. >1: fastText-supervised-style
+      * word unigrams + word n-grams up to this order — the reference's
+      * domain-classifier shape (`wordNgrams=3`,
+      * /root/reference/fasttext/train.py:60-79).
+      */
+    val wordNgrams: Int = 1
 ) extends Serializable {
 
   @inline private def bucket(h: Long): Int =
     ((h % buckets + buckets) % buckets).toInt
 
+  /** Feature bag: char n-grams for the lid shape, word n-grams for the
+    * classifier shape (see [[wordNgrams]]).
+    */
+  def features(text: String, maxChars: Int = 1000): Array[Int] =
+    if (wordNgrams > 1) wordFeatures(text, maxChars)
+    else charFeatures(text, maxChars)
+
   /** Hashed char n-grams (n = 1..3) over the first `maxChars` chars of the
     * lowercased text with boundary padding — the lid-style feature space.
     */
-  def features(text: String, maxChars: Int = 1000): Array[Int] = {
+  private def charFeatures(text: String, maxChars: Int): Array[Int] = {
     val t = " " + text.toLowerCase.take(maxChars) + " "
     // raw int array (an ArrayBuffer[Int] boxes every element — ~3 boxed
     // Integers per char adds up at 50k docs/s): exact capacity is ≤ 3L-3
@@ -50,6 +63,50 @@ class FastTextModel(
         n += 1
       }
       i += 1
+    }
+    if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
+  }
+
+  /** Word unigrams plus order-2..[[wordNgrams]] n-grams, hashed — the
+    * fastText supervised feature space (word hash rolled into the n-gram
+    * hash with a multiplicative combine, as in fastText's addWordNgrams).
+    */
+  private def wordFeatures(text: String, maxChars: Int): Array[Int] = {
+    val t = text.toLowerCase.take(maxChars)
+    // split on whitespace without a regex (precompiled-Pattern trap at 32
+    // executor threads — see KneserNeyLM.tokenize)
+    val words = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = -1
+    var i = 0
+    while (i <= t.length) {
+      val boundary = i == t.length || Character.isWhitespace(t.charAt(i))
+      if (!boundary && start < 0) start = i
+      else if (boundary && start >= 0) {
+        var h = 1125899906842597L
+        var j = start
+        while (j < i) { h = h * 31 + t.charAt(j); j += 1 }
+        words += h
+        start = -1
+      }
+      i += 1
+    }
+    val w = words.length
+    var total = 0
+    var n = 1
+    while (n <= wordNgrams) { total += math.max(0, w - n + 1); n += 1 }
+    val buf = new Array[Int](total)
+    var k = 0
+    var a = 0
+    while (a < w) {
+      var combined = words(a)
+      buf(k) = bucket(combined); k += 1
+      var b = a + 1
+      while (b < w && b - a < wordNgrams) {
+        combined = combined * 116049371L + words(b)
+        buf(k) = bucket(combined); k += 1
+        b += 1
+      }
+      a += 1
     }
     if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
   }
@@ -114,14 +171,15 @@ object FastTextTrainer {
       buckets: Int = 1 << 15,
       epochs: Int = 5,
       lr: Double = 0.1,
-      seed: Long = 42L
+      seed: Long = 42L,
+      wordNgrams: Int = 1
   ): FastTextModel = {
     val labels = samples.map(_._1).distinct.sorted.toArray
     val labelIdx = labels.zipWithIndex.toMap
     val rng = new Random(seed)
     val emb = Array.fill(buckets * dim)(((rng.nextFloat() - 0.5f) / dim))
     val out = new Array[Float](labels.length * dim)
-    val model = new FastTextModel(dim, buckets, labels, emb, out)
+    val model = new FastTextModel(dim, buckets, labels, emb, out, wordNgrams)
 
     val featCache = samples.map { case (l, t) => (labelIdx(l), model.features(t)) }
     val order = featCache.indices.toArray

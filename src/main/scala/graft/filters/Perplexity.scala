@@ -52,24 +52,40 @@ class KneserNeyLM(
   }
 
   /** Lowercased [a-z0-9'] token stream. Equivalent to
-    * `text.toLowerCase.split("[^a-z0-9']+")` for ASCII-lowercased input,
-    * hand-rolled because `java.util.regex` with lambda-compiled char
-    * predicates ran ~35× slower inside executor threads than the same
-    * pattern single-threaded (profile-polluted megamorphic call sites) —
-    * this loop was the single hottest frame in the whole pipeline.
+    * `text.toLowerCase(Locale.ROOT).split("[^a-z0-9']+")` — hand-rolled
+    * because `java.util.regex` with lambda-compiled char predicates ran
+    * ~35× slower inside executor threads than the same pattern
+    * single-threaded (profile-polluted megamorphic call sites); this loop
+    * was the single hottest frame in the whole pipeline.
+    *
+    * Non-ASCII chars go through String lowercasing so EXPANDING case
+    * mappings match the spec (e.g. U+0130 'İ' → "i" + combining dot:
+    * the dot splits the token exactly as the regex does —
+    * `Character.toLowerCase` would silently merge it). Locale.ROOT on
+    * both sides keeps the mapping machine-independent (no Turkish-locale
+    * dotless-ı surprises). Context-sensitive mappings (Greek final sigma)
+    * lower to non-matching chars either way, so per-char lowering stays
+    * token-equivalent to full-string lowering.
     */
   def tokenize(text: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder(16)
+    @inline def take(c: Char): Unit =
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\'')
+        sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
     var i = 0
     val n = text.length
     while (i < n) {
       val c0 = text.charAt(i)
-      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
-              else Character.toLowerCase(c0)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\'')
-        sb.append(c)
-      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      if (c0 < 128) // ASCII fast path: branchless case fold
+        take(if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0)
+      else {
+        val lowered =
+          String.valueOf(c0).toLowerCase(java.util.Locale.ROOT)
+        var k = 0
+        while (k < lowered.length) { take(lowered.charAt(k)); k += 1 }
+      }
       i += 1
     }
     if (sb.length > 0) out += sb.toString

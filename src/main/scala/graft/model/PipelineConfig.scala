@@ -49,6 +49,13 @@ case class PipelineConfig(
     minhashBands: Int = 14,
     minhashRowsPerBand: Int = 8,
     shingleSize: Int = 5,
+    // >1 routes the band join through MinHash.candidateEdgesSalted (hot
+    // band hashes sharded across this many salts); 0 = star-reduction
+    // join. Cluster-deploy tunable — see MinHash.Config.saltBuckets.
+    minhashSaltBuckets: Int = 0,
+    // Driver union-find fast-path ceiling for connected components;
+    // lower on small-driver deployments (0 forces distributed CC).
+    ccDriverMaxEdges: Long = graft.dedup.MinHash.DriverCcMaxEdges,
     // Optional perplexity gate — north-rule extension; the reference has no
     // perplexity filter, so it defaults OFF to preserve label parity.
     maxPerplexity: Option[Double] = None,

@@ -177,7 +177,8 @@ object CorpusPipeline {
         val exactDead = afterExact.filter(col("drop_stage").isNotNull)
           .withColumn("minhash_cluster", lit(null).cast("string"))
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
-          cfg.shingleSize)
+          cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
+          driverCcMaxEdges = cfg.ccDriverMaxEdges)
         val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg)
           .withColumn("drop_stage",
             when(col("is_near_dup"), lit(DropStage.MinhashDup)))

@@ -108,25 +108,45 @@ object CorpusIO {
     }(enc)
   }
 
-  /** Minimal WARC/1.x record splitter: yields (target-uri, date, payload)
-    * for each `WARC-Type: response` record. Pure function, unit-tested.
+  /** WARC/1.x record splitter: yields (target-uri, date, payload) for
+    * each `WARC-Type: response` record. Advances record-by-record using
+    * the Content-Length header to delimit payloads — a payload that
+    * itself contains the bytes `WARC/1.` (an archived page quoting a WARC
+    * file) neither truncates its record nor fabricates a spurious one.
+    * Records missing a parseable Content-Length fall back to the
+    * next-record-marker heuristic. Pure function, unit-tested.
     */
   private[sources] def splitWarc(content: String): Seq[(String, String, String)] = {
-    content.split("(?=WARC/1\\.)").toSeq.flatMap { rec =>
-      val headerEnd = rec.indexOf("\r\n\r\n")
-      if (headerEnd < 0) None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    val n = content.length
+    var pos = content.indexOf("WARC/1.")
+    while (pos >= 0 && pos < n) {
+      val headerEnd = content.indexOf("\r\n\r\n", pos)
+      if (headerEnd < 0) pos = -1 // truncated trailing record
       else {
-        val header = rec.substring(0, headerEnd)
+        val header = content.substring(pos, headerEnd)
         def field(k: String): Option[String] =
           header.linesIterator.find(_.toLowerCase.startsWith(k.toLowerCase + ":"))
             .map(_.split(":", 2)(1).trim)
-        if (!field("WARC-Type").contains("response")) None
-        else for {
-          url <- field("WARC-Target-URI")
-          ts <- field("WARC-Date")
-        } yield (url, ts, rec.substring(headerEnd + 4).stripTrailing())
+        val payloadStart = headerEnd + 4
+        val contentLength = field("Content-Length").flatMap(_.toLongOption)
+        val (payload, nextSearchFrom) = contentLength match {
+          case Some(len) if payloadStart + len <= n =>
+            val end = payloadStart + len.toInt
+            (content.substring(payloadStart, end), end)
+          case _ => // absent/corrupt length: heuristic lookahead split
+            val nxt = content.indexOf("WARC/1.", payloadStart)
+            val end = if (nxt < 0) n else nxt
+            (content.substring(payloadStart, end).stripTrailing(), end)
+        }
+        if (field("WARC-Type").contains("response")) {
+          for { url <- field("WARC-Target-URI"); ts <- field("WARC-Date") }
+            out += ((url, ts, payload))
+        }
+        pos = content.indexOf("WARC/1.", nextSearchFrom)
       }
     }
+    out.toSeq
   }
 
   /** S14: dispatching reader. */

@@ -24,14 +24,36 @@ object CleanText {
 
 /** Deterministic ASCII transliteration (reference uses the public
   * `unidecode` library, /root/reference/utils/data_util.py:122). We fold
-  * via Unicode NFD decomposition + combining-mark strip, plus a small
-  * Latin supplement table for characters NFD alone doesn't reduce.
+  * via Unicode NFD decomposition + combining-mark strip, plus a table for
+  * Latin-1 Supplement and Latin Extended-A/B characters NFD alone doesn't
+  * reduce, so European text transliterates instead of dropping.
+  * CJK/Cyrillic remain out of scope (dropped) — a documented divergence
+  * from unidecode's full table.
   */
 object AsciiFold {
   private val Extra: Map[Char, String] = Map(
+    // Latin-1 Supplement without NFD decompositions
     'ß' -> "ss", 'æ' -> "ae", 'Æ' -> "AE", 'ø' -> "o", 'Ø' -> "O",
-    'đ' -> "d", 'Đ' -> "D", 'þ' -> "th", 'Þ' -> "Th", 'ð' -> "d",
-    'Ð' -> "D", 'ł' -> "l", 'Ł' -> "L", 'œ' -> "oe", 'Œ' -> "OE",
+    'þ' -> "th", 'Þ' -> "Th", 'ð' -> "d", 'Ð' -> "D",
+    // Latin Extended-A without NFD decompositions
+    'đ' -> "d", 'Đ' -> "D", 'ł' -> "l", 'Ł' -> "L", 'œ' -> "oe",
+    'Œ' -> "OE", 'ħ' -> "h", 'Ħ' -> "H", 'ı' -> "i", 'ĸ' -> "k",
+    'ŀ' -> "l", 'Ŀ' -> "L", 'ŉ' -> "n", 'ŋ' -> "n", 'Ŋ' -> "N",
+    'ŧ' -> "t", 'Ŧ' -> "T", 'ſ' -> "s",
+    // Latin Extended-B (common European/African orthography letters;
+    // pinned golden pairs in CleanTextSpec — unidecode-style
+    // transliteration, not a byte-for-byte unidecode table)
+    'ƀ' -> "b", 'Ɓ' -> "B", 'ƃ' -> "b", 'Ƃ' -> "B", 'Ɔ' -> "O",
+    'ƈ' -> "c", 'Ƈ' -> "C", 'ɖ' -> "d", 'Ɖ' -> "D", 'ƌ' -> "d",
+    'Ƌ' -> "D", 'Ǝ' -> "E", 'Ɛ' -> "E", 'ƒ' -> "f", 'Ƒ' -> "F",
+    'ǥ' -> "g", 'Ǥ' -> "G", 'Ɣ' -> "G", 'Ɩ' -> "I", 'Ɨ' -> "I",
+    'ƙ' -> "k", 'Ƙ' -> "K", 'ƚ' -> "l", 'Ɵ' -> "O", 'ƞ' -> "n",
+    'ƫ' -> "t", 'Ƭ' -> "T", 'ƭ' -> "t", 'Ʈ' -> "T", 'ƴ' -> "y",
+    'Ƴ' -> "Y", 'ƶ' -> "z", 'Ƶ' -> "Z",
+    'Ǆ' -> "DZ", 'ǅ' -> "Dz", 'ǆ' -> "dz", 'Ǉ' -> "LJ", 'ǈ' -> "Lj",
+    'ǉ' -> "lj", 'Ǌ' -> "NJ", 'ǋ' -> "Nj", 'ǌ' -> "nj", 'Ǳ' -> "DZ",
+    'ǲ' -> "Dz", 'ǳ' -> "dz",
+    // symbols / punctuation
     '€' -> "EUR", '£' -> "GBP", '«' -> "\"", '»' -> "\"",
     '‘' -> "'", '’' -> "'", '“' -> "\"", '”' -> "\"",
     '–' -> "-", '—' -> "-", ' ' -> " "
@@ -54,19 +76,59 @@ object AsciiFold {
   }
 }
 
+/** Public-suffix rules, parsed once per JVM from the committed snapshot
+  * resource (`graft/public_suffix_snapshot.dat` — curated from the public
+  * Mozilla PSL data). Implements the full PSL matching algorithm: the
+  * prevailing rule is the longest match among exact, wildcard (`*.` =
+  * exactly one extra label) and exception (`!` beats everything and drops
+  * its leftmost label); with no match the default rule `*` applies (the
+  * last label is the public suffix).
+  */
+object PublicSuffixes {
+  private lazy val (exact: Set[String], wildcard: Set[String],
+      exception: Set[String]) = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "public_suffix_snapshot.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val rules = src.getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      (rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")).toSet,
+        rules.filter(_.startsWith("*.")).map(_.drop(2)).toSet,
+        rules.filter(_.startsWith("!")).map(_.drop(1)).toSet)
+    } finally src.close()
+  }
+
+  /** Number of labels in `host`'s public suffix (host assumed lowercase,
+    * no trailing dot). Exception rules win; otherwise the longest of the
+    * exact/wildcard matches; otherwise 1 (the default `*` rule).
+    */
+  def suffixLabels(host: String): Int = {
+    val labels = host.split('.')
+    val n = labels.length
+    var best = 1
+    var i = n - 1
+    while (i >= 0) {
+      val candidate = labels.slice(i, n).mkString(".")
+      if (exception.contains(candidate)) return n - i - 1
+      if (exact.contains(candidate)) best = math.max(best, n - i)
+      // wildcard "*.tail" matches candidate = <one label>.tail
+      if (i + 1 < n && wildcard.contains(labels.slice(i + 1, n).mkString(".")))
+        best = math.max(best, n - i)
+      i -= 1
+    }
+    best
+  }
+}
+
 /** Registrable host/domain extraction — reimplements the fqdn membership
   * semantics of the reference's tldextract use
-  * (/root/reference/utils/data_util.py:34-38) with a bundled snapshot of
-  * common public-suffix rules (full PSL not shippable offline; the rule
-  * set is pinned by tests). Returns (fqdn, registrableDomain).
+  * (/root/reference/utils/data_util.py:34-38) over the full PSL
+  * algorithm with a committed rule snapshot (see [[PublicSuffixes]];
+  * behavior pinned against tldextract by tests). Returns fqdn and
+  * registrableDomain (eTLD+1).
   */
 object DomainOf {
-  /** Multi-label public suffixes we recognize beyond single-label TLDs. */
-  private val MultiSuffix: Set[String] = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp", "com.cn", "net.cn", "org.cn", "com.br",
-    "com.mx", "co.in", "co.kr", "com.tw", "com.sg", "co.za", "com.ar"
-  )
 
   def fqdn(url: String): String = {
     if (url == null) return ""
@@ -86,14 +148,21 @@ object DomainOf {
     s.substring(0, end).toLowerCase.stripSuffix(".")
   }
 
-  /** eTLD+1 under the bundled suffix snapshot. */
+  /** eTLD+1 under the PSL snapshot. Hosts that ARE a public suffix (or
+    * shorter) and IPv4 literals return themselves — grouping keys must be
+    * total, so "no registrable domain" degrades to the host (tldextract
+    * returns an empty domain part there; for corpus domain-statistics a
+    * total key is the useful contract).
+    */
   def registrable(url: String): String = {
     val host = fqdn(url)
     if (host.isEmpty) return ""
     val parts = host.split('.')
-    if (parts.length <= 2) return host
-    val last2 = parts.takeRight(2).mkString(".")
-    if (MultiSuffix.contains(last2)) parts.takeRight(3).mkString(".")
-    else last2
+    if (parts.length >= 4 && parts.forall(p =>
+        p.nonEmpty && p.length <= 3 && p.forall(_.isDigit)))
+      return host // IPv4 literal
+    val ps = PublicSuffixes.suffixLabels(host)
+    if (parts.length <= ps) host
+    else parts.takeRight(ps + 1).mkString(".")
   }
 }

@@ -17,7 +17,10 @@ object TextProperties extends Properties("text") {
     6 -> Gen.oneOf("the", "of", "and", "data", "spark", "Corpus", "Quick",
       "don't", "42", "x9", "word"),
     2 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
-    1 -> Gen.oneOf("...", "#", "•", "été", "中文", "A.B.", "3.5")
+    1 -> Gen.oneOf("...", "#", "•", "été", "中文", "A.B.", "3.5",
+      // expanding / locale-sensitive case mappings: İ lowers to i +
+      // combining dot (expansion), Σ is context-sensitive, ẞ → ß
+      "İstanbul", "İİ", "ΣΑΣ", "STRAẞE", "ǅungla")
   )
   private val sepGen: Gen[String] = Gen.frequency(
     8 -> Gen.const(" "),
@@ -38,7 +41,8 @@ object TextProperties extends Properties("text") {
   property("KN tokenize == lowercase [^a-z0-9']+ split spec") =
     forAll(textGen) { t =>
       val lm = KneserNeyLM.train(Seq("a b"))
-      val spec = t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+      val spec = t.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
       lm.tokenize(t).toSeq == spec
     }
 

@@ -67,6 +67,22 @@ class CorpusIOSpec extends SparkSpec {
     assert(recs.head._3 == "<html>A</html>")
   }
 
+  test("warc splitter honors Content-Length over the record marker") {
+    // the payload QUOTES a WARC header — only Content-Length delimiting
+    // keeps it one record with the full payload intact
+    val quoted = "<html>see WARC/1.0\r\nWARC-Type: response\r\n inside</html>"
+    val warc =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://q.example/1\r\n" +
+      s"WARC-Date: 2024-02-01T00:00:00Z\r\nContent-Length: ${quoted.length}\r\n\r\n" +
+      quoted + "\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://q.example/2\r\n" +
+      "WARC-Date: 2024-02-02T00:00:00Z\r\nContent-Length: 7\r\n\r\n<html>B"
+    val recs = CorpusIO.splitWarc(warc)
+    assert(recs.map(_._1) == Seq("https://q.example/1", "https://q.example/2"))
+    assert(recs.head._3 == quoted, s"payload truncated: ${recs.head._3}")
+    assert(recs(1)._3 == "<html>B")
+  }
+
   test("warc source reads files end-to-end") {
     val dir = tmp()
     Files.writeString(java.nio.file.Paths.get(dir, "seg.warc"),

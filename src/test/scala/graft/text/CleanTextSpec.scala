@@ -43,6 +43,28 @@ class CleanTextSpec extends AnyFunSuite {
   test("ascii fold handles special latin letters") {
     assert(AsciiFold("ß æ ø œ") == "ss ae o oe")
   }
+
+  test("ascii fold transliterates Latin Extended-A/B golden pairs") {
+    // Extended-A letters with no NFD decomposition
+    assert(AsciiFold("ħadd") == "hadd")              // Maltese
+    assert(AsciiFold("kırmızı") == "kirmizi")        // Turkish dotless ı
+    assert(AsciiFold("ŀl paraŀlel") == "ll parallel") // Catalan ela geminada
+    assert(AsciiFold("Ŋorwegian ŋame") == "Norwegian name") // Sami eng
+    assert(AsciiFold("ŧavvál") == "tavval")          // Sami stroke t
+    assert(AsciiFold("ſtreet") == "street")          // long s
+    // Extended-B
+    assert(AsciiFold("ƒlorin Ƒ") == "florin F")
+    assert(AsciiFold("ǆungla ǅungla Ǆungla") == "dzungla Dzungla DZungla")
+    assert(AsciiFold("ǉeto Ǉeto ǈeto") == "ljeto LJeto Ljeto")
+    assert(AsciiFold("ƙasa Ƙasa") == "kasa Kasa")    // Hausa hooked k
+    assert(AsciiFold("Ɖe ɖe") == "De de")            // Ewe d
+    // NFD-decomposable Extended-A still folds via the decomposition path
+    assert(AsciiFold("Łódź Ważne Şehir Ţară") == "Lodz Wazne Sehir Tara")
+    // Vietnamese horn vowels decompose via NFD
+    assert(AsciiFold("Trường Sơn") == "Truong Son")
+    // unmapped non-Latin still drops (documented unidecode divergence)
+    assert(AsciiFold("abc 中文 xyz") == "abc  xyz")
+  }
 }
 
 class DomainOfSpec extends AnyFunSuite {
@@ -56,6 +78,34 @@ class DomainOfSpec extends AnyFunSuite {
     assert(DomainOf.registrable("https://news.bbc.co.uk/story") == "bbc.co.uk")
     assert(DomainOf.registrable("https://a.b.example.com/") == "example.com")
     assert(DomainOf.registrable("https://example.com") == "example.com")
+  }
+
+  test("registrable domain matches tldextract on PSL snapshot rules") {
+    // country second levels beyond the old 21-entry set
+    assert(DomainOf.registrable("https://www.shop.example.com.tr/x") == "example.com.tr")
+    assert(DomainOf.registrable("https://news.stuff.co.nz/") == "stuff.co.nz")
+    assert(DomainOf.registrable("http://media.example.gob.mx") == "example.gob.mx")
+    assert(DomainOf.registrable("http://x.y.example.ac.il") == "example.ac.il")
+    // private-section hosted platforms
+    assert(DomainOf.registrable("https://user.github.io/repo") == "user.github.io")
+    assert(DomainOf.registrable("https://deep.sub.user.github.io/") == "user.github.io")
+    assert(DomainOf.registrable("https://myapp.herokuapp.com/") == "myapp.herokuapp.com")
+    assert(DomainOf.registrable("https://blog.blogspot.com/") == "blog.blogspot.com")
+    // wildcard rule: every second level of .ck is a suffix...
+    assert(DomainOf.registrable("https://a.shop.example.ck/") == "shop.example.ck")
+    assert(DomainOf.registrable("https://x.example.ck/") == "x.example.ck")
+    // ...except the exception rule !www.ck
+    assert(DomainOf.registrable("https://foo.www.ck/") == "www.ck")
+    assert(DomainOf.registrable("https://www.ck/") == "www.ck")
+    // japanese city wildcards with city.* exceptions
+    assert(DomainOf.registrable("https://a.ward.kawasaki.jp/") == "a.ward.kawasaki.jp")
+    assert(DomainOf.registrable("https://sub.city.kawasaki.jp/") == "city.kawasaki.jp")
+    // default rule: unknown TLD behaves like a flat ccTLD
+    assert(DomainOf.registrable("https://a.b.example.zz/") == "example.zz")
+    // host IS a public suffix → total key degrades to the host
+    assert(DomainOf.registrable("https://co.uk/") == "co.uk")
+    // IPv4 literal stays whole
+    assert(DomainOf.registrable("http://192.168.10.1:8080/x") == "192.168.10.1")
   }
 }
 
