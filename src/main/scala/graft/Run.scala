@@ -76,7 +76,12 @@ object Run {
       // bounds the driver union-find fast path for small drivers
       minhashSaltBuckets = a.get("minhash-salt").map(_.toInt).getOrElse(0),
       ccDriverMaxEdges = a.get("cc-driver-max-edges").map(_.toLong)
-        .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges))
+        .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges),
+      // --url-blocklist <file>: one registrable domain per line enables
+      // the stage-0 URLFilter (off without the flag — reference parity)
+      urlBlocklist = a.get("url-blocklist")
+        .map(graft.analytics.DomainStats.loadBlocklist)
+        .getOrElse(Set.empty))
 
     val metrics = Metrics.pipelineMetrics(spark)
 

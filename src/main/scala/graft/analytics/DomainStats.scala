@@ -68,4 +68,16 @@ object DomainStats {
     df.join(broadcast(blocklist.toDF("domain")),
       registrableUdf(col(urlCol)) === col("domain"), "left_anti")
   }
+
+  /** Driver-side blocklist loader: one registrable domain per line, `#`
+    * comments and blanks skipped (the on-disk shape of public category
+    * blocklists like the UT1 list the reference's URLFilter consumes).
+    * Feed the result to `PipelineConfig.urlBlocklist`.
+    */
+  def loadBlocklist(path: String): Set[String] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines().map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    finally src.close()
+  }
 }

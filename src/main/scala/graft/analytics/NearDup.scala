@@ -51,19 +51,44 @@ object NearDup {
     * signatures within Hamming distance ≤3 of 64 bits share at least one
     * band by pigeonhole... for ≤3 flipped bits over 4 bands), then verify
     * exact Hamming distance ≤ `maxHamming`.
+    *
+    * Hot band keys (e.g. many identical texts → identical signatures)
+    * are split across `saltBuckets` shards with side-B replication — the
+    * same output-preserving discipline as `Similarity.nearPairs`: every
+    * pair still meets in exactly one shard, so the result set is
+    * unchanged while no single task owns a degenerate key's full
+    * membership. The signature is 8 bytes, so it rides both join sides.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, saltBuckets: Int = 8,
+                   hotKeyThreshold: Long = 4096L): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
     val banded = (0 until 4).map { b =>
       sigs.select(col("id"), col("sig"), lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
     }.reduce(_ unionByName _)
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = math.max(saltBuckets, 1)
+    val hotKeys: Array[Long] = banded
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > hotKeyThreshold)
+      .select(xxhash64(col("band"), col("key")))
+      .collect().map(_.getLong(0))
+    val isHot =
+      if (hotKeys.isEmpty) lit(false)
+      else xxhash64(col("band"), col("key")).isInCollection(hotKeys)
+    val a = banded
+      .withColumn("salt",
+        when(isHot, pmod(xxhash64(col("id")), lit(s.toLong))).otherwise(lit(0L)))
+      .select(col("band"), col("key"), col("salt"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded
+      .withColumn("salt", explode(
+        when(isHot, sequence(lit(0L), lit((s - 1).toLong)))
+          .otherwise(array(lit(0L)))))
+      .select(col("band"), col("key"), col("salt"),
+        col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)

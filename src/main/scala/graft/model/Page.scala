@@ -42,6 +42,12 @@ case class PageResult(
   * /root/reference/utils/dedup_large_csv.py).
   */
 object DropStage {
+  /** URL/domain blocklist filter — runs before everything else, like the
+    * reference's URLFilter position in the datatrove stack
+    * (findweb.py:12). Off by default (empty blocklist) to preserve
+    * reference label parity.
+    */
+  val UrlFilter   = "0_url_filter"
   val NonEnglish  = "1_non_english"
   val GopherRep   = "2_gopher_repetition"
   val GopherQual  = "3_gopher_quality"
@@ -50,6 +56,6 @@ object DropStage {
   val ExactDup    = "6_exact_dup"
   val MinhashDup  = "7_minhash_dup"
   val Perplexity  = "8_perplexity"
-  val all: Seq[String] = Seq(NonEnglish, GopherRep, GopherQual, C4, FineWeb,
-    ExactDup, MinhashDup, Perplexity)
+  val all: Seq[String] = Seq(UrlFilter, NonEnglish, GopherRep, GopherQual,
+    C4, FineWeb, ExactDup, MinhashDup, Perplexity)
 }

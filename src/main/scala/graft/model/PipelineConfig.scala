@@ -41,6 +41,12 @@ case class HeuristicConfig(
 /** End-to-end pipeline configuration. */
 case class PipelineConfig(
     heur: HeuristicConfig = HeuristicConfig(),
+    // Registrable domains to drop before any other stage (the reference's
+    // URLFilter category blocklist, datatrove/findweb.py:12). Empty =
+    // stage off (reference-run parity: the filter is imported but not in
+    // the executed stack). Broadcast to executors as a hash set — scales
+    // to multi-million-entry category lists without plan blowup.
+    urlBlocklist: Set[String] = Set.empty,
     keepLanguages: Set[String] = Set("en"),  // 1_local:54-55 languages=['en']
     minLangProb: Double = 0.65,
     // MinHash-LSH: sha1/64-bit, 14 buckets x 8 hashes, 5-gram shingles

@@ -116,13 +116,31 @@ object CorpusPipeline {
     val pplUdf = udf(KneserNeyLM.perplexityFn(bcLm))
     val keepLangs = cfg.keepLanguages.toSeq
 
+    // stage 0: URL/domain blocklist (reference URLFilter position). The
+    // list rides a broadcast hash set probed per row — a plan-literal
+    // isin would explode the expression tree at category-list sizes, and
+    // a join would add an exchange to the otherwise shuffle-free stage.
+    val urlBlockedCol: org.apache.spark.sql.Column =
+      if (cfg.urlBlocklist.isEmpty) lit(false)
+      else {
+        val bcBlock = spark.sparkContext.broadcast(cfg.urlBlocklist)
+        val blockedUdf = udf(new (String => Boolean) with Serializable {
+          @transient private lazy val set = bcBlock.value
+          def apply(u: String): Boolean =
+            u != null && set.contains(graft.text.DomainOf.registrable(u))
+        })
+        blockedUdf(col("url"))
+      }
+
     val scored = withLangId(pages, models.lang, metrics = metrics)
+      .withColumn("_urlBlocked", urlBlockedCol)
       .withColumn("_h", analyzeUdf(col("text")))
       .withColumn("_langFail",
         !col("lang_pred").isin(keepLangs: _*) ||
           col("lang_prob") < cfg.minLangProb)
       .withColumn("drop_stage",
-        when(col("_langFail"), lit(DropStage.NonEnglish))
+        when(col("_urlBlocked"), lit(DropStage.UrlFilter))
+          .when(col("_langFail"), lit(DropStage.NonEnglish))
           .otherwise(col("_h.drop_stage")))
       .withColumn("scrubbed_text",
         when(col("drop_stage").isNull, col("_h.scrubbed_text")))

@@ -85,6 +85,27 @@ class PipelineE2ESpec extends SparkSpec {
     assert(stats.getDouble(1).isFinite)
   }
 
+  test("url blocklist stage drops blocked domains first, others untouched") {
+    val clean = Synth.cleanDoc(Synth.rngFor(5, 3), Synth.EnVocab, 8)
+    val pages = Seq(
+      ("https://spam.blocked-site.com/page1", new java.sql.Timestamp(1L),
+        Array[Byte](), clean, "en"),
+      ("https://sub.blocked-site.com/page2", new java.sql.Timestamp(2L),
+        Array[Byte](), clean + "\nAnother closing line ends the record here.", "en"),
+      ("https://good.example.org/keep", new java.sql.Timestamp(3L),
+        Array[Byte](), clean, "en")
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    val cfg = PipelineConfig(urlBlocklist = Set("blocked-site.com"),
+      minLangProb = 0.0, minhashDedup = false, exactDedup = false)
+    val out = CorpusPipeline.run(pages, cfg)
+      .select("url", "drop_stage").as[(String, String)].collect().toMap
+    assert(out("https://spam.blocked-site.com/page1") == "0_url_filter")
+    assert(out("https://sub.blocked-site.com/page2") == "0_url_filter")
+    assert(out("https://good.example.org/keep") == null)
+    // default (empty blocklist) config: stage is a no-op — the main E2E
+    // F1/byte-identity tests above pin that path
+  }
+
   test("perplexity gate drops gibberish when enabled") {
     val pages = Seq(
       ("https://a/1", new java.sql.Timestamp(1L), Array[Byte](),
