@@ -54,14 +54,22 @@ object ExactDedup {
     * across snapshots), so uniqueness is verified up front with one cheap
     * narrow aggregation over the id column; on violation this falls back
     * to the windowed [[mark]], which is always correct. The check is one
-    * extra O(rows) pass of an id-only projection — noise next to the dedup
-    * shuffle it guards.
+    * extra O(rows) pass of an id-only projection (count + countDistinct —
+    * a narrow shuffle of the ids) and an EAGER action: callers should
+    * persist `df` first, as [[graft.pipeline.CorpusPipeline.run]] does.
+    * Callers that can GUARANTEE uniqueness (surrogate keys, an
+    * upstream-deduped id column) pass `idIsUnique = Some(true)` to skip
+    * the check entirely; `Some(false)` routes straight to the windowed
+    * mark.
     */
   def markById(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String],
-               idCol: String): DataFrame = {
-    val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
-      countDistinct(col(idCol)).as("nd")).head()
-    val unique = u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+               idCol: String,
+               idIsUnique: Option[Boolean] = None): DataFrame = {
+    val unique = idIsUnique.getOrElse {
+      val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+        countDistinct(col(idCol)).as("nd")).head()
+      u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+    }
     if (!unique) return mark(df, dupCols, orderCols)
     val w = Window
       .partitionBy(col("__k"))
