@@ -45,6 +45,10 @@ object NearDup {
     sig
   }
 
+  /** UDF form kept for callers without a session at hand; the operator
+    * path below uses the codegen'd native expression
+    * ([[graft.functions.SimHash64]]) instead.
+    */
   val simhashUdf = udf((t: String) => simhash64(t))
 
   /** Candidate SimHash near-dup pairs: block on 4 × 16-bit bands (two
@@ -62,7 +66,9 @@ object NearDup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, saltBuckets: Int = 8,
                    hotKeyThreshold: Long = 4096L): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
     val banded = (0 until 4).map { b =>
       sigs.select(col("id"), col("sig"), lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 64-bit SimHash signature
+  * ([[graft.analytics.NearDup.simhash64]]) — the codegen'd replacement
+  * for the Scala UDF on the near-dup hot path.
+  *
+  * Why an `Expression` instead of `udf(...)`: a ScalaUDF sits behind an
+  * encoder boundary (catalyst → external String conversion plus a
+  * megamorphic function call per row, with codegen falling back to an
+  * opaque invoke), while this expression generates a direct static call
+  * inside whole-stage codegen — no wrapper allocation, null handling
+  * compiled inline. Semantics are identical to the Scala function by
+  * construction (both call the same static kernel; asserted in
+  * FunctionsSpec).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  // manual input-type check: ExpectsInputTypes needs AbstractDataType,
+  // which Spark 4 made private[sql]
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.analytics.NearDup.simhash64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.analytics.NearDup.simhash64($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Registration surface for the engine's native SQL functions.
+  *
+  *  - [[GraftFunctions.register]]: imperative, for an existing session
+  *    (idempotent; used by the operators themselves).
+  *  - [[GraftExtensions]]: declarative, via
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  *    cluster-deploy path that makes `SELECT simhash64(text)` available
+  *    to plain `spark.sql` users without touching code.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("simhash64", exprs => SimHash64(exprs.head),
+      "64-bit SimHash document signature over whitespace word features"))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+  /** Column API: `simhash64($"text")`. Registers on the column's session
+    * lazily at call sites that own a session; here we go through
+    * `call_function`, which resolves at analysis time against whatever
+    * session analyzes the plan — callers must have invoked [[register]]
+    * (engine operators do).
+    */
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+}

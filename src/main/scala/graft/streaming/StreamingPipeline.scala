@@ -1,12 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.model.PipelineConfig
 import graft.pipeline.CorpusPipeline
+
+/** Narrow keyed row for the custom-state dedup operator: content key,
+  * identity, event time, and how many duplicates of the key this row had
+  * already seen when emitted.
+  */
+case class KeyedDoc(key: Long, url: String, warc_ts: java.sql.Timestamp,
+                    dups_seen: Long)
 
 /** Structured-Streaming facade over the batch pipeline.
   *
@@ -61,6 +68,48 @@ object StreamingPipeline {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("content_key")
       .drop("content_key")
+
+  /** Streaming keep-first dedup with EXPLICIT custom state —
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` over the content
+    * key, the form to reach for when per-key state is richer than
+    * "seen before" (the built-in `dropDuplicatesWithinWatermark` covers
+    * that case; [[scoreDedupStream]] uses it). Here the state carries the
+    * running duplicate count per key (surfaced as `dups_seen` on the kept
+    * row — the reference's dedup counter logs, dedup_dataset.py:215-227,
+    * as queryable state). State is GC'd via an event-time timeout of
+    * `stateTtlMs` past the watermark: at corpus scale the state store
+    * holds only keys seen within the TTL horizon, not history.
+    */
+  def dedupFirstSeenStream(pages: DataFrame, textCol: String = "text",
+                           watermark: String = "1 hour",
+                           stateTtlMs: Long = 3600L * 1000): Dataset[KeyedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val keyed = pages
+      .withColumn("key", xxhash64(col(textCol)))
+      .withWatermark("warc_ts", watermark)
+      .select(col("key"), col("url"), col("warc_ts"), lit(0L).as("dups_seen"))
+      .as[KeyedDoc]
+    keyed.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[KeyedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq
+            val seenBefore = state.getOption.getOrElse(-1L) // -1 = new key
+            state.update(math.max(seenBefore, 0L) + batch.size)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + stateTtlMs)
+            if (seenBefore >= 0) Iterator.empty // key already emitted
+            else {
+              // deterministic first within the batch: event time, then url
+              val first = batch.minBy(d => (d.warc_ts.getTime, d.url))
+              Iterator.single(first.copy(dups_seen = batch.size - 1L))
+            }
+          }
+      }
+  }
 
   /** Drain-available-and-stop run: processes every file not yet recorded
     * in `checkpointDir`, appends results to `outputDir`, stops. Calling it

@@ -33,6 +33,37 @@ class StreamingSpec extends SparkSpec {
     assert(Set("url", "drop_stage", "scrubbed_text", "perplexity").subsetOf(cols))
   }
 
+  test("custom-state first-seen dedup emits one row per key with dup counts") {
+    val in = Files.createTempDirectory("stream_fs_in").toString
+    val pages = Synth.pages(spark, 60L)
+    // inject two extra copies of doc 0's text under new urls
+    val d0 = pages.filter(col("url") === Synth.urlOf(0))
+    val dups = d0.withColumn("url", lit("https://dup.example.com/a"))
+      .unionByName(d0.withColumn("url", lit("https://dup.example.com/b")))
+    pages.unionByName(dups).write.mode("append").parquet(in)
+
+    val stream = StreamingPipeline.dedupFirstSeenStream(
+      StreamingPipeline.readPages(spark, in))
+    val q = stream.writeStream.format("memory").queryName("fs_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT url, dups_seen FROM fs_out")
+      .as[(String, Long)].collect().toMap
+    // doc 0's key: exactly the original (earliest warc_ts) survives,
+    // carrying dups_seen = 2
+    assert(got.contains(Synth.urlOf(0)))
+    assert(!got.contains("https://dup.example.com/a"))
+    assert(!got.contains("https://dup.example.com/b"))
+    assert(got(Synth.urlOf(0)) == 2L, s"dups_seen=${got(Synth.urlOf(0))}")
+    // 60 distinct texts in this slice (the corpus's planted dup triple
+    // sits at idx 86-88, outside it) + 2 injected copies − 2 suppressed
+    assert(got.size == 60, s"got ${got.size}, expected 60")
+    // every non-duplicated key reports zero dups
+    assert(got.count(_._2 == 0L) == 59)
+  }
+
   test("watermarked dedup collapses in-window duplicates") {
     val in = Files.createTempDirectory("stream_dd_in").toString
     val pages = Synth.pages(spark, 100L)
