@@ -228,6 +228,24 @@ object SparkEntry {
         .select("vec_id", "ivf_cell")
     }),
 
+    // IVF-probed top-k (scale search path; rows-only — cell ranking is a
+    // driver-side computation)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val cents = analytics.Similarity.hyperplanes(8, 64, seed = 7L)
+      analytics.Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, k = 10, cents, nProbe = 3)
+    }),
+
+    // Vocabulary builder: corpus word counts with frequency floor and
+    // deterministic top-k (oracle-checked)
+    "q_vocab" -> ((s, dir) =>
+      analytics.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 100)),
+
     // ---- near-dup family beyond MinHash ------------------------------
 
     // SimHash band-blocked pairs over the synthetic corpus (rows-only)
@@ -691,6 +709,14 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 4)
         |  AS mean_wlen
         |FROM documents""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents)
+        |  WHERE length(word) > 0 GROUP BY word)
+        |WHERE cnt >= 5 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
 
     "q_judge_score" ->
       """SELECT doc_id,

@@ -148,4 +148,29 @@ object Similarity {
     embeddings.select(col(idCol), col(vecCol),
       greatest(sims: _*).getField("cell").as("ivf_cell"))
   }
+
+  /** IVF-probed top-k search: rank cells by query-to-centroid cosine on
+    * the driver (centroid count is tiny), scan only the `nProbe` closest
+    * cells, exact cosine within them. With the cell table written
+    * `partitionBy("ivf_cell")` the probe filter becomes partition pruning
+    * — a query touches nProbe/nCells of the corpus instead of all of it;
+    * `nProbe = centroids.length` degrades to exact brute force (asserted
+    * in AnalyticsSpec).
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int,
+              centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+    }
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) => (cos(query, c), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(math.max(nProbe, 1)).map(_._2).toSeq
+    topK(ivfAssign(embeddings, idCol, vecCol, centroids)
+      .filter(col("ivf_cell").isInCollection(probeCells)),
+      idCol, vecCol, query, k)
+  }
 }

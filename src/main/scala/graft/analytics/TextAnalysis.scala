@@ -80,4 +80,23 @@ object TextAnalysis {
   }
 
   val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
+
+  /** Corpus vocabulary builder — the tokenizer-training / vocab-pruning
+    * prep pass every training-data pipeline needs: whitespace words →
+    * global counts → frequency floor → deterministic top-k. One explode
+    * + one partial+final aggregation; at 100 TB the explode carries
+    * O(tokens) narrow rows into a combiner that reduces to O(vocab)
+    * before the exchange, so the shuffle is vocabulary-sized, not
+    * corpus-sized.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 minCount: Long = 1L, topK: Int = 0): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val ordered = counts.orderBy(col("cnt").desc, col("word"))
+    if (topK > 0) ordered.limit(topK) else ordered
+  }
 }

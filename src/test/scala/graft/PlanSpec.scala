@@ -92,6 +92,37 @@ class PlanSpec extends SparkSpec {
     assert(nEx <= 6, s"too many shuffles ($nEx):\n${planOf(edges)}")
   }
 
+  test("near-pairs bucket shuffle carries ids only, never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val key = "spark.sql.adaptive.enabled"
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val bPrev = spark.conf.get(bKey)
+    spark.conf.set(key, "false") // concrete plan so Exchange nodes are visible
+    spark.conf.set(bKey, "-1")   // force the shuffle join this test audits
+    try {
+      val df = spark.range(50).selectExpr("id AS vec_id",
+        "array_repeat(cast(id as float), 64) AS embedding")
+      val pairs = analytics.Similarity.nearPairs(df, "vec_id", "embedding",
+        minSim = 0.5, bands = 2, bitsPerBand = 4)
+      val exchanges = pairs.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val bucketExchanges = exchanges.filter(
+        _.outputPartitioning.toString.contains("band"))
+      assert(bucketExchanges.nonEmpty, "no bucket-keyed exchange found")
+      bucketExchanges.foreach { e =>
+        val cols = e.output.map(_.name.toLowerCase)
+        assert(!cols.exists(c => c.contains("vec") || c.contains("embedding")
+          || c.startsWith("va") || c.startsWith("vb")),
+          s"vector column rides the bucket shuffle: $cols")
+      }
+    } finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(bKey, bPrev)
+    }
+  }
+
   test("exact dedup window partitions by the dedup key (no global sort)") {
     val pages = SparkEntry.pagesFromDocs(spark, sfDir)
     val marked = dedup.ExactDedup.mark(pages, Seq("text"), Seq("warc_ts", "url"))

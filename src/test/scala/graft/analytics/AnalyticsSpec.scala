@@ -68,6 +68,48 @@ class SimilaritySpec extends SparkSpec {
       "hot-cluster pairs missing")
   }
 
+  test("ivf top-k probing all cells equals brute force; probing fewer is a subset") {
+    val df = (1L to 40L).map { i =>
+      val r = new java.util.SplittableRandom(i * 3)
+      (i, Array.fill(64)(r.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = {
+      val r = new java.util.SplittableRandom(99)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val cents = Similarity.hyperplanes(8, 64, seed = 7L)
+    val brute = Similarity.topK(df, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val allProbes = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      cents, nProbe = 8).as[(Long, Double)].collect().toSeq
+    assert(allProbes == brute, "nProbe = nCells must equal brute force")
+    val oneProbe = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      cents, nProbe = 1).as[(Long, Double)].collect()
+    assert(oneProbe.nonEmpty && oneProbe.length <= 10)
+    val bruteSims = brute.toMap
+    // every probed result's sim matches the exact cosine from brute path
+    oneProbe.foreach { case (id, sim) =>
+      bruteSims.get(id).foreach(b => assert(b == sim)) }
+  }
+
+  test("vocabulary builder counts, floors and ranks deterministically") {
+    val df = Seq(
+      "the cat and the dog and the bird",
+      "the dog runs and the cat sleeps",
+      "  spaced   words the  "
+    ).toDF("text")
+    val v = TextAnalysis.vocabulary(df, "text", minCount = 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(v.head == ("the", 6L))
+    assert(v.contains(("and", 3L)) && v.contains(("cat", 2L)) &&
+      v.contains(("dog", 2L)))
+    assert(!v.exists(_._1 == "bird")) // below the floor
+    assert(!v.exists(_._1 == ""))     // whitespace artifacts dropped
+    val top2 = TextAnalysis.vocabulary(df, "text", minCount = 1L, topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top2 == Seq(("the", 6L), ("and", 3L)))
+  }
+
   test("ivf assignment is deterministic and total") {
     val df = (1L to 20L).map { i =>
       val r = new java.util.SplittableRandom(i)
