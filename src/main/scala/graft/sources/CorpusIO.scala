@@ -194,6 +194,25 @@ object CorpusIO {
     }
   }
 
+  /** Bucketed-table writer — the co-located-join storage layout for hot
+    * join/aggregation keys (the north rule's "explicit repartitioning" as
+    * a persistent property). Two tables bucketed the same way
+    * (same column, same bucket count) join and aggregate on that key with
+    * ZERO exchanges: the bucket id IS the partitioning, recorded in the
+    * catalog, so Catalyst plans the join shuffle-free (asserted in
+    * CorpusIOSpec). At 100 TB this turns the repeated page⋈domain-stats
+    * joins from per-query corpus shuffles into local merges. Bucketing
+    * requires the table catalog (`saveAsTable`), not a bare path.
+    */
+  def writeBucketedTable(df: DataFrame, table: String,
+                         bucketCol: String, nBuckets: Int,
+                         sortCol: Option[String] = None): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.foreach(c => w = w.sortBy(c))
+    w.saveAsTable(table)
+  }
+
   /** S8: exclusion tee. One pass over a (persisted) scored frame:
     * kept rows → `path/kept`, dropped rows → `path/removed/<drop_stage>=…`
     * — the reference's per-stage exclusion dirs (findweb.py:95-113) as a

@@ -148,6 +148,34 @@ class CorpusIOSpec extends SparkSpec {
     assert(langDirs.nonEmpty)
   }
 
+  test("co-bucketed tables join with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pages = Synth.pages(spark, 200L).select("url", "lang", "text")
+    val scores = Synth.pages(spark, 200L)
+      .select(col("url"), length(col("text")).as("n_chars"))
+    CorpusIO.writeBucketedTable(pages, "bk_pages", "url", 4,
+      sortCol = Some("url"))
+    CorpusIO.writeBucketedTable(scores, "bk_scores", "url", 4,
+      sortCol = Some("url"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force the join shape under audit
+    try {
+      val joined = spark.table("bk_pages")
+        .join(spark.table("bk_scores"), "url")
+      assert(joined.count() == 200L)
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffled:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.sql("DROP TABLE IF EXISTS bk_pages")
+      spark.sql("DROP TABLE IF EXISTS bk_scores")
+    }
+  }
+
   test("exclusion tee writes kept and per-stage removed dirs") {
     val dir = tmp()
     val result = CorpusPipeline.run(Synth.pages(spark, 300L))
