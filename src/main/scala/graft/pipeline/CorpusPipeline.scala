@@ -134,10 +134,17 @@ object CorpusPipeline {
 
     val scored = withLangId(pages, models.lang, metrics = metrics)
       .withColumn("_urlBlocked", urlBlockedCol)
-      .withColumn("_h", analyzeUdf(col("text")))
       .withColumn("_langFail",
         !col("lang_pred").isin(keepLangs: _*) ||
           col("lang_prob") < cfg.minLangProb)
+      // reference short-circuit semantics, enforced as compute savings
+      // too: a doc dropped by the URL filter or langid never runs the
+      // heuristic analyze pass (codegen evaluates the `when` branch
+      // lazily). On real Common-Crawl mixes where most docs fail langid,
+      // this skips the most expensive per-doc function for the majority
+      // of the corpus.
+      .withColumn("_h",
+        when(!col("_urlBlocked") && !col("_langFail"), analyzeUdf(col("text"))))
       .withColumn("drop_stage",
         when(col("_urlBlocked"), lit(DropStage.UrlFilter))
           .when(col("_langFail"), lit(DropStage.NonEnglish))
