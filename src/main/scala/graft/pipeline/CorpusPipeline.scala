@@ -90,11 +90,19 @@ object CorpusPipeline {
     * would also double the metrics accumulators).
     */
   def withLangId(df: DataFrame, model: FastTextModel,
-                 metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
+                 metrics: Option[Metrics.PipelineMetrics] = None,
+                 gate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val fn: String => (String, Double) = new LangScoreFn(bc, metrics)
     val scoreUdf = udf(fn).asNondeterministic()
-    df.withColumn("_lid", scoreUdf(col("text")))
+    // optional gate: rows failing it skip model inference entirely
+    // (lang_pred/lang_prob null) — used to run the URL filter BEFORE
+    // langid, the reference's stage order
+    val lid = gate match {
+      case Some(g) => when(g, scoreUdf(col("text")))
+      case None => scoreUdf(col("text"))
+    }
+    df.withColumn("_lid", lid)
       .withColumn("lang_pred", col("_lid._1"))
       .withColumn("lang_prob", col("_lid._2"))
       .drop("_lid")
@@ -132,8 +140,10 @@ object CorpusPipeline {
         blockedUdf(col("url"))
       }
 
-    val scored = withLangId(pages, models.lang, metrics = metrics)
-      .withColumn("_urlBlocked", urlBlockedCol)
+    val base = pages.withColumn("_urlBlocked", urlBlockedCol)
+    val scored = withLangId(base, models.lang, metrics = metrics,
+        gate = if (cfg.urlBlocklist.isEmpty) None
+               else Some(!col("_urlBlocked")))
       .withColumn("_langFail",
         !col("lang_pred").isin(keepLangs: _*) ||
           col("lang_prob") < cfg.minLangProb)
