@@ -246,6 +246,19 @@ object SparkEntry {
       analytics.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
+    // Corpus profile: per-group column statistics (the pandas-describe
+    // surface the reference's notebooks lean on; one partial+final agg)
+    "q_corpus_profile" -> ((s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        countDistinct(col("source")).as("sources"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        round(avg(col("n_chars").cast("decimal(18,4)")), 2)
+          .cast("double").as("avg_chars"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1)
+          .otherwise(0)).cast("bigint").as("empty_texts"))),
+
     // ---- near-dup family beyond MinHash ------------------------------
 
     // SimHash band-blocked pairs over the synthetic corpus (rows-only)
@@ -717,6 +730,17 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE length(word) > 0 GROUP BY word)
         |WHERE cnt >= 5 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q_corpus_profile" ->
+      """SELECT lang, count(*) AS docs,
+        |CAST(count(DISTINCT source) AS BIGINT) AS sources,
+        |CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |CAST(round(avg(CAST(n_chars AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  AS avg_chars,
+        |CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS empty_texts
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q_judge_score" ->
       """SELECT doc_id,

@@ -111,6 +111,22 @@ object StreamingPipeline {
       }
   }
 
+  /** Watermarked event-time windowed aggregation: per (window, lang)
+    * docs-kept / docs-dropped counters on the streaming scored frame —
+    * the stream form of the reference's per-run counter logs
+    * (mult_infer.py:260-275) as continuously-maintained state. Append
+    * mode + watermark: a window finalizes (emits once, state GC'd) when
+    * the watermark passes its end, so state is bounded by
+    * watermark-horizon windows, not stream history.
+    */
+  def keepRateByWindow(scored: DataFrame, windowLength: String = "1 hour",
+                       watermark: String = "1 hour"): DataFrame =
+    scored
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowLength), col("lang_pred"))
+      .agg(count(lit(1)).as("docs"),
+        count(when(col("drop_stage").isNull, 1)).as("kept"))
+
   /** Drain-available-and-stop run: processes every file not yet recorded
     * in `checkpointDir`, appends results to `outputDir`, stops. Calling it
     * again later picks up only new files — the reference's resume loop as

@@ -64,6 +64,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2 == 0L) == 59)
   }
 
+  test("watermarked windowed aggregation counts kept/dropped per window") {
+    val in = Files.createTempDirectory("stream_win_in").toString
+    Synth.pages(spark, 120L).write.mode("append").parquet(in)
+    val agg = StreamingPipeline.keepRateByWindow(
+      StreamingPipeline.scoreStream(StreamingPipeline.readPages(spark, in)),
+      windowLength = "10 minutes", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete") // finite AvailableNow drain: emit all state
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT docs, kept FROM win_out").collect()
+    assert(rows.map(_.getLong(0)).sum == 120L, "window counts must cover input")
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+    assert(rows.map(_.getLong(1)).sum > 0L)
+  }
+
   test("watermarked dedup collapses in-window duplicates") {
     val in = Files.createTempDirectory("stream_dd_in").toString
     val pages = Synth.pages(spark, 100L)
