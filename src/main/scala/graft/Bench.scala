@@ -71,7 +71,9 @@ object Bench {
     // round-2 per-doc cost, 40k docs finish in ~1 s of work at 32 cores
     // and would measure scheduling, not the pipeline.
     val throughputN = synthN * 4
-    val (tPipe2, nDocs2) = timeBest(2)(filterScrub(spark, throughputN))
+    // best-of-3: measured neighbor storms span minutes, long enough to
+    // poison both samples of a best-of-2 (observed: 29 s vs 2 s quiet)
+    val (tPipe2, nDocs2) = timeBest(3)(filterScrub(spark, throughputN))
     results += "pipeline_filter_scrub_warm" -> tPipe2
     val docsPerSec = nDocs2 / tPipe2
 
