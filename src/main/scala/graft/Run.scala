@@ -17,7 +17,9 @@ import graft.sources.CorpusIO
   *   spark-submit --class graft.Run <jar> \
   *     --input <dir> [--format jsonl|parquet|csv|warc] | --synth <N> \
   *     --output <dir> [--out-format jsonl|parquet] \
-  *     [--repartition <n>] [--lineage] [--no-minhash] [--no-exact]
+  *     [--repartition <n>] [--lineage [--buckets-per-commit <k>]] \
+  *     [--no-minhash] [--no-exact] [--minhash-salt <s>] \
+  *     [--cc-driver-max-edges <m>] [--url-blocklist <file>]
   *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
@@ -87,9 +89,14 @@ object Run {
 
     val result =
       if (a.contains("lineage")) {
-        // resumable scoring: per-bucket commits; dedup (a global operation)
-        // runs on the full scored output
-        val staged = Lineage.runStage(pages, s"$out/_score_stage", "url") {
+        // resumable scoring; dedup (a global operation) runs on the full
+        // scored output. Default = one commit for the whole run (input
+        // read exactly once); --buckets-per-commit N opts into N-bucket
+        // durable commits at one input scan per group — finer crash
+        // granularity for very long runs, explicit about the scan cost.
+        val perCommit = a.get("buckets-per-commit").map(_.toInt).getOrElse(0)
+        val staged = Lineage.runStage(pages, s"$out/_score_stage", "url",
+          bucketsPerCommit = perCommit) {
           df => CorpusPipeline.score(df, cfg, metrics = Some(metrics))
         }
         System.err.println(s"[run] lineage: recomputed " +
