@@ -147,8 +147,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
+    // synth_docs = the flagship/per-query input size; throughput_docs =
+    // the (4x larger) input docs_per_sec was actually measured on
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs,"throughput_docs":$nDocs2$scaling}""")
     if (!sys.env.get("SPARK_GRAFT_SCALE").contains("1")) spark.stop()
   }
 }

@@ -23,8 +23,11 @@ import graft.sources.CorpusIO
   *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
-  * `--lineage` runs the scoring stage through [[Lineage.runStage]] so a
-  * killed job resumes from committed buckets instead of rescanning.
+  * `--lineage` runs the scoring stage through [[Lineage.runStage]]. By
+  * default the whole run is one commit — the input is read exactly once,
+  * and a kill before completion resumes from nothing; pass
+  * `--buckets-per-commit <k>` to trade one input scan per k-bucket group
+  * for resume-from-committed-buckets durability on long runs.
   */
 object Run {
 

@@ -40,6 +40,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Query vector for the similarity queries: embedding of vec_id 0,
+    * degrading to a deterministic synthetic vector if that row is absent
+    * (subset exports / reseeded tables) instead of crashing the whole
+    * query sweep on an eager head().
+    */
+  private def queryVector(emb: DataFrame): Array[Double] =
+    emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head(1).headOption
+      .map(_.getSeq[Double](0).toArray)
+      .getOrElse(analytics.Similarity.hyperplanes(1, 64, seed = 3L).head)
+
   // Shared email/IP regexes — kept RE2-compatible so the same pattern
   // string runs in DuckDB (oracle) and Spark (engine).
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -207,9 +219,7 @@ object SparkEntry {
     // Brute-force cosine top-k against a query vector (exact baseline)
     "q_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVector(emb)
       analytics.Similarity.topK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, 10)
     }),
@@ -232,9 +242,7 @@ object SparkEntry {
     // driver-side computation)
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
+      val q = queryVector(emb)
       val cents = analytics.Similarity.hyperplanes(8, 64, seed = 7L)
       analytics.Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, k = 10, cents, nProbe = 3)

@@ -75,11 +75,13 @@ object NearDup {
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(saltBuckets, 1)
-    val hotKeys: Array[Long] = banded
-      .groupBy("band", "key").agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotKeyThreshold)
-      .select(xxhash64(col("band"), col("key")))
-      .collect().map(_.getLong(0))
+    val hotKeys: Array[Long] =
+      if (s <= 1) Array.empty
+      else banded
+        .groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .filter(col("n") > hotKeyThreshold)
+        .select(xxhash64(col("band"), col("key")))
+        .collect().map(_.getLong(0))
     val isHot =
       if (hotKeys.isEmpty) lit(false)
       else xxhash64(col("band"), col("key")).isInCollection(hotKeys)
@@ -94,12 +96,19 @@ object NearDup {
           .otherwise(array(lit(0L)))))
       .select(col("band"), col("key"), col("salt"),
         col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key", "salt"))
+    // materialize verified pairs while the band table is cached, then
+    // release the cache (same leak-avoidance discipline as
+    // Similarity.nearPairs; the pair cache is result-sized)
+    val pairs = a.join(b, Seq("band", "key", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    banded.unpersist(false)
+    pairs
   }
 
   /** Exact word n-gram Jaccard between two texts (verification kernel). */

@@ -90,12 +90,15 @@ object Similarity {
 
     val s = math.max(saltBuckets, 1)
     // hot (band, bucket) keys, collected as hashes: collisions could only
-    // mark a cold bucket hot (harmless — salting is output-preserving)
-    val hotKeys: Array[Long] = withBuckets
-      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") > hotBucketThreshold)
-      .select(xxhash64(col("band"), col("bucket")))
-      .collect().map(_.getLong(0))
+    // mark a cold bucket hot (harmless — salting is output-preserving).
+    // Skipped entirely when salting is off — no wasted detection job.
+    val hotKeys: Array[Long] =
+      if (s <= 1) Array.empty
+      else withBuckets
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") > hotBucketThreshold)
+        .select(xxhash64(col("band"), col("bucket")))
+        .collect().map(_.getLong(0))
     val isHot =
       if (hotKeys.isEmpty) lit(false)
       else xxhash64(col("band"), col("bucket")).isInCollection(hotKeys)
@@ -110,10 +113,18 @@ object Similarity {
           .otherwise(array(lit(0L)))))
       .select(col("band"), col("bucket"), col("salt"), col("id").as("id_b"))
 
+    // materialize the (small) deduped candidate set while the bucket
+    // table is cached, then release the cache — leaving it persisted
+    // would leak one MEMORY_AND_DISK entry per nearPairs call in a
+    // long-lived session. The candidate cache itself is O(pairs), stays
+    // for the returned plan's consumption, and is candidate-sized.
     val candidates = a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates.count()
+    withBuckets.unpersist(false)
 
     // exact verify: vectors rejoin by id AFTER pair dedup, so each vector
     // crosses the wire O(candidate pairs) once instead of riding every

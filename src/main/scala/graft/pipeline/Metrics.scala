@@ -53,6 +53,13 @@ object Metrics {
     * metrics, which Spark applies exactly once per action).
     */
   final class PipelineMetrics(spark: SparkSession) extends Serializable {
+    /** Docs that reached the langid scorer. With a URL blocklist
+      * configured, blocked rows skip inference and are NOT counted here
+      * (they show up in the `0_url_filter` stage counts instead).
+      * `partitionsProcessed` likewise counts tasks that scored at least
+      * one document — genuinely empty partitions contribute no task work
+      * and no count.
+      */
     val docsSeen: LongAccumulator =
       spark.sparkContext.longAccumulator("graft.docs_seen")
     val emptyTexts: LongAccumulator =

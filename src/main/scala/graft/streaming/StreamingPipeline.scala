@@ -99,8 +99,16 @@ object StreamingPipeline {
             val batch = rows.toSeq
             val seenBefore = state.getOption.getOrElse(-1L) // -1 = new key
             state.update(math.max(seenBefore, 0L) + batch.size)
+            // anchor the timeout to the key's LATEST sighting, not the
+            // current watermark: in batch 1 the watermark is still 0, so
+            // a watermark-anchored timeout would expire the moment real
+            // event time arrives and later duplicates would re-emit as
+            // first-seen. Event-time anchor + TTL keeps the key alive for
+            // stateTtlMs of event time past its last occurrence (clamped
+            // above the watermark, which Spark requires).
+            val maxEvent = batch.map(_.warc_ts.getTime).max
             state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + stateTtlMs)
+              math.max(maxEvent, state.getCurrentWatermarkMs()) + stateTtlMs)
             if (seenBefore >= 0) Iterator.empty // key already emitted
             else {
               // deterministic first within the batch: event time, then url

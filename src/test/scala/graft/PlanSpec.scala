@@ -105,18 +105,26 @@ class PlanSpec extends SparkSpec {
         "array_repeat(cast(id as float), 64) AS embedding")
       val pairs = analytics.Similarity.nearPairs(df, "vec_id", "embedding",
         minSim = 0.5, bands = 2, bitsPerBand = 4)
-      val exchanges = pairs.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
+      // the bucket self-join runs eagerly inside nearPairs and lands in
+      // the candidates cache; the returned plan must read an ID-ONLY
+      // cached relation (vectors never entered the bucket stage) and
+      // fetch vectors per candidate pair via id-keyed joins
+      val plan = pairs.queryExecution.executedPlan
+      val cacheScans = plan.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
       }
-      val bucketExchanges = exchanges.filter(
-        _.outputPartitioning.toString.contains("band"))
-      assert(bucketExchanges.nonEmpty, "no bucket-keyed exchange found")
-      bucketExchanges.foreach { e =>
-        val cols = e.output.map(_.name.toLowerCase)
-        assert(!cols.exists(c => c.contains("vec") || c.contains("embedding")
-          || c.startsWith("va") || c.startsWith("vb")),
-          s"vector column rides the bucket shuffle: $cols")
+      assert(cacheScans.nonEmpty, s"no cached candidate scan found:\n$plan")
+      cacheScans.foreach { s =>
+        val cols = s.output.map(_.name.toLowerCase)
+        assert(cols.toSet == Set("id_a", "id_b"),
+          s"candidate cache is not id-only: $cols")
       }
+      // the verify stage's exchanges are keyed on the pair ids
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.forall(e =>
+        e.outputPartitioning.toString.contains("id_") ||
+          e.outputPartitioning.toString.contains("_vid")),
+        s"unexpected exchange keys:\n$plan")
     } finally {
       spark.conf.set(key, prev)
       spark.conf.set(bKey, bPrev)

@@ -64,6 +64,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2 == 0L) == 59)
   }
 
+  test("first-seen dedup state survives batch boundaries within the TTL") {
+    val in = Files.createTempDirectory("stream_fs2_in").toString
+    val out = Files.createTempDirectory("stream_fs2_out").toString
+    val ckpt = Files.createTempDirectory("stream_fs2_ckpt").toString
+    def drain(): Unit = {
+      val q = StreamingPipeline.dedupFirstSeenStream(
+        StreamingPipeline.readPages(spark, in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: the corpus slice
+    val pages = Synth.pages(spark, 20L)
+    pages.write.mode("append").parquet(in)
+    drain()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == 20L)
+    // batch 2 (separate micro-batch via new files + checkpoint): a
+    // duplicate of doc 0's text at an event time just after the original
+    // — inside the TTL horizon, so it must NOT re-emit as first-seen
+    pages.filter(col("url") === Synth.urlOf(0))
+      .withColumn("url", lit("https://dup.example.com/late"))
+      .withColumn("warc_ts",
+        col("warc_ts") + expr("INTERVAL 10 MINUTES"))
+      .write.mode("append").parquet(in)
+    drain()
+    val urls = spark.read.parquet(out).select("url")
+      .as[String].collect().toSet
+    assert(!urls.contains("https://dup.example.com/late"),
+      "cross-batch duplicate re-emitted: state expired prematurely")
+    assert(spark.read.parquet(out).count() == 20L)
+  }
+
   test("watermarked windowed aggregation counts kept/dropped per window") {
     val in = Files.createTempDirectory("stream_win_in").toString
     Synth.pages(spark, 120L).write.mode("append").parquet(in)
