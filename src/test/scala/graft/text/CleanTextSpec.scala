@@ -107,6 +107,43 @@ class DomainOfSpec extends AnyFunSuite {
     // IPv4 literal stays whole
     assert(DomainOf.registrable("http://192.168.10.1:8080/x") == "192.168.10.1")
   }
+
+  test("every snapshot rule round-trips through the PSL algorithm") {
+    // systematic sweep: for each committed rule, synthesize a host under
+    // it and assert the registrable domain the PSL algorithm mandates —
+    // catches snapshot parsing bugs on every line, not just the pinned
+    // examples above
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat"), "UTF-8")
+    val rules = try src.getLines().map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+    finally src.close()
+    assert(rules.size > 250, s"snapshot unexpectedly small: ${rules.size}")
+    val exceptions = rules.filter(_.startsWith("!")).map(_.drop(1)).toSet
+    rules.foreach {
+      case r if r.startsWith("!") =>
+        // exception: the rule ITSELF is registrable (suffix = rule minus
+        // its leftmost label)
+        val e = r.drop(1)
+        assert(DomainOf.registrable(s"https://sub.$e/") == e,
+          s"exception rule $r")
+      case r if r.startsWith("*.") =>
+        // wildcard: any single label under it is a public suffix
+        val w = r.drop(2)
+        assert(DomainOf.registrable(s"https://host.zzexample.$w/")
+          == s"host.zzexample.$w", s"wildcard rule $r")
+      case r =>
+        // exact rule: one label under it is registrable — unless a MORE
+        // SPECIFIC wildcard over this suffix also matches the test host
+        // (e.g. exact "jp" vs wildcard "*.kawasaki.jp"); synthesize a
+        // label that no wildcard in the snapshot extends
+        assert(DomainOf.registrable(s"https://www.zzexample.$r/")
+          == s"zzexample.$r", s"exact rule $r")
+    }
+    assert(exceptions.forall(e => rules.contains("*." +
+      e.split('.').drop(1).mkString("."))),
+      "every exception must shadow a committed wildcard")
+  }
 }
 
 class SegmenterSpec extends AnyFunSuite {
