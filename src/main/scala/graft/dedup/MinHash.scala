@@ -18,8 +18,9 @@ import org.apache.spark.storage.StorageLevel
   *     `groupBy(band_id, band_hash)` — partial aggregation + AQE skew-join
   *     handle hot band hashes that would serialize a single worker.
   *  2. Stage 3's single-task union-find (tasks=1, workers=1 at
-  *     3-local:96-97 — a global single-node reduce) becomes symmetric
-  *     min-label propagation via iterative joins, fully distributed.
+  *     3-local:96-97 — a global single-node reduce) becomes min-label
+  *     propagation with per-round pointer doubling (O(log diameter)
+  *     rounds) via iterative joins, fully distributed.
   *
   * Hash family: permutation i = xxhash64(xxhash64(shingle), i) — one
   * string hash per shingle, then 112 cheap fixed-width mixes (the
@@ -223,16 +224,6 @@ object MinHash {
     withinShard.unionByName(crossShard).distinct()
   }
 
-  /** Connected components by symmetric min-label propagation over the
-    * (undirected) candidate edges: every vertex starts labeled with itself;
-    * each round every vertex takes the min label among itself and its
-    * neighbors; fixpoint when no label changes. Converges in O(diameter)
-    * rounds — LSH duplicate clusters are dense star-unions, so diameters
-    * stay small. Each round is two equi-joins + one partial-agg groupBy on
-    * the duplicate subgraph only (tiny relative to the corpus), with
-    * persist/unpersist to cut lineage. Returns (id, cluster) for every
-    * vertex of the duplicate graph; cluster = component min id.
-    */
   /** Edge-count threshold under which CC runs as a driver-side union-find
     * over the collected edge list. The candidate-edge set is O(duplicates),
     * orders of magnitude smaller than the corpus, so at bench scales this
@@ -242,25 +233,71 @@ object MinHash {
     */
   val DriverCcMaxEdges: Long = 2000000L
 
+  /** Round ceiling for the distributed CC loop. Pointer doubling makes
+    * label distance-to-root shrink geometrically, so rounds ≈
+    * log₂(component diameter) + 1 — 30 covers any graph that fits in a
+    * datacenter. Hitting the cap without a fixpoint is an ERROR (thrown),
+    * never a silently under-merged result.
+    */
+  val DefaultCcMaxIter: Int = 30
+
+  /** Distributed-CC result: labels (id, cluster) plus the number of
+    * propagation rounds actually run (0 on the fast paths). Exposed so
+    * tests can pin the O(log n) convergence bound.
+    */
+  case class CcResult(labels: DataFrame, rounds: Int)
+
+  /** Connected components over the (undirected) candidate edges.
+    * Returns (id, cluster) for every vertex of the duplicate graph;
+    * cluster = component min id.
+    *
+    * The distributed loop combines min-label propagation with a
+    * pointer-doubling shortcut each round (the large-star/small-star
+    * family — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14):
+    *
+    *   relax:    lbl(v) ← min(lbl(v), min over neighbors u of lbl(u))
+    *   shortcut: lbl(v) ← lbl(lbl(v))
+    *
+    * Labels are always vertex ids, so the shortcut is a self-join of the
+    * label table; it halves (then keeps halving) every vertex's label
+    * distance to its component minimum, making convergence O(log
+    * diameter) rounds instead of O(diameter) — a 200-hop near-dup drift
+    * chain resolves in ~8 rounds (pinned in DedupSpec). Both steps are
+    * monotone non-increasing minima, so there is no oscillation and the
+    * no-change fixpoint is exactly "every vertex holds its component
+    * min". If `maxIter` rounds pass without a fixpoint the loop THROWS
+    * rather than returning an under-merged labeling.
+    *
+    * Each round is two edge-label equi-joins + one partial-agg groupBy +
+    * one label self-join, all on the duplicate subgraph only (tiny
+    * relative to the corpus), with localCheckpoint to cut lineage.
+    */
   def clusters(edges: DataFrame,
-               driverMaxEdges: Long = DriverCcMaxEdges): DataFrame = {
+               driverMaxEdges: Long = DriverCcMaxEdges,
+               maxIter: Int = DefaultCcMaxIter): DataFrame =
+    clustersWithStats(edges, driverMaxEdges, maxIter).labels
+
+  def clustersWithStats(edges: DataFrame,
+                        driverMaxEdges: Long = DriverCcMaxEdges,
+                        maxIter: Int = DefaultCcMaxIter): CcResult = {
     val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
     if (nEdges == 0) {
       e.unpersist(false)
-      return e.sparkSession.createDataFrame(
+      return CcResult(e.sparkSession.createDataFrame(
         e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             e.schema("src").dataType),
           org.apache.spark.sql.types.StructField("cluster",
-            e.schema("src").dataType))))
+            e.schema("src").dataType)))), 0)
     }
     if (nEdges <= driverMaxEdges &&
         e.schema("src").dataType == org.apache.spark.sql.types.StringType) {
       val out = driverUnionFind(e)
       e.unpersist(false)
-      return out
+      return CcResult(out, 0)
     }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -268,8 +305,14 @@ object MinHash {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    val maxIter = 30
-    while (!converged && iter < maxIter) {
+    while (!converged) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"distributed connected-components did not reach a fixpoint in " +
+            s"$maxIter rounds over $nEdges edges — with pointer doubling " +
+            s"this means a component diameter around 2^$maxIter, which is " +
+            s"not a real graph; refusing to return an under-merged " +
+            s"clustering. Raise maxIter if this is intentional.")
       val bySrc = e.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
       val byDst = e.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -277,8 +320,16 @@ object MinHash {
       // localCheckpoint (not persist): truncates the logical plan each
       // round, otherwise the iterated union/join lineage grows without
       // bound and planning itself OOMs after ~10 rounds
-      val next = labels.union(bySrc).union(byDst)
+      val relaxed = labels.union(bySrc).union(byDst)
         .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // pointer-doubling shortcut: lbl ← lbl(lbl). Every label is a
+      // vertex id, so the left join always matches; coalesce guards the
+      // invariant anyway.
+      val next = relaxed
+        .join(relaxed.select(col("id").as("lbl"), col("lbl").as("_lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("_lbl2"), col("lbl")).as("lbl"))
         .localCheckpoint()
       val changed = next.as("n")
         .join(labels.as("o"), Seq("id"))
@@ -289,7 +340,7 @@ object MinHash {
       iter += 1
     }
     e.unpersist(false)
-    labels.select(col("id"), col("lbl").as("cluster"))
+    CcResult(labels.select(col("id"), col("lbl").as("cluster")), iter)
   }
 
   /** Path-compressed union-find over a collected edge list (small-graph

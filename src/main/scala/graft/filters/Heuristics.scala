@@ -70,20 +70,28 @@ object Heuristics {
   def c4Process(text: String, cfg: HeuristicConfig): (String, Boolean) = {
     val lower = text.toLowerCase
     if (lower.contains("lorem ipsum") || text.contains("{")) return (text, true)
-    val kept = TextStats.lines(text).filter { line =>
+    // single flatMap: the citation scrub runs AT MOST ONCE per line (the
+    // old filter+map shape ran the regex twice per kept line), and the
+    // regex is gated on a cheap substring probe — lines without
+    // "citation needed" (case-insensitively, a superset of the regex's
+    // case-sensitive match) skip Pattern matching entirely, which on this
+    // hot path is the dominant per-line cost at 32 executor threads.
+    val kept = TextStats.lines(text).flatMap { line =>
       val t = line.trim
-      if (t.isEmpty) true
+      if (t.isEmpty) Some(line)
       else {
         val lw = t.toLowerCase
-        val cleaned = CitationRe.replaceAllIn(t, "")
+        val cleaned =
+          if (lw.contains("citation needed")) CitationRe.replaceAllIn(line, "")
+          else line
         val wc = TextStats.words(cleaned).length
-        if (wc < cfg.c4MinWordsPerLine) false
-        else if (PolicyPhrases.exists(lw.contains)) false
+        if (wc < cfg.c4MinWordsPerLine) None
+        else if (PolicyPhrases.exists(lw.contains)) None
         else if (cfg.c4FilterNoTerminalPunct &&
-                 !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) false
-        else true
+                 !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) None
+        else Some(cleaned)
       }
-    }.map(l => CitationRe.replaceAllIn(l, ""))
+    }
     val scrubbed = kept.mkString("\n")
     var sentences = 0
     scrubbed.foreach(c => if (c == '.' || c == '!' || c == '?') sentences += 1)

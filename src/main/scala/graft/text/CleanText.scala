@@ -77,8 +77,10 @@ object AsciiFold {
 }
 
 /** Public-suffix rules, parsed once per JVM from the committed snapshot
-  * resource (`graft/public_suffix_snapshot.dat` — curated from the public
-  * Mozilla PSL data). Implements the full PSL matching algorithm: the
+  * resource (`graft/public_suffix_snapshot.dat` — the COMPLETE public
+  * Mozilla PSL, ICANN + PRIVATE sections, ~9.5k rules; tldextract, the
+  * reference's dependency, uses both sections by default).
+  * Implements the full PSL matching algorithm: the
   * prevailing rule is the longest match among exact, wildcard (`*.` =
   * exactly one extra label) and exception (`!` beats everything and drops
   * its leftmost label); with no match the default rule `*` applies (the

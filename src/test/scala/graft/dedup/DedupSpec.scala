@@ -163,6 +163,30 @@ class MinHashSpec extends SparkSpec {
     assert(gotDistributed == expected)
   }
 
+  test("distributed cc resolves a 200-link drift chain in O(log n) rounds") {
+    // A near-dup CHAIN (templated pages with incremental drift: A~B, B~C,
+    // … — adjacent pairs share a band, ends don't) is the adversarial
+    // shape for label propagation: component diameter = chain length.
+    // Pointer doubling must merge it to ONE cluster in ~log2(200) rounds;
+    // the old 1-hop loop needed 200 and silently under-merged at 30.
+    val edges = (1 to 200).map(i => (f"v$i%03d", f"v${i - 1}%03d"))
+      .toDF("src", "dst")
+    val res = MinHash.clustersWithStats(edges, driverMaxEdges = 0L)
+    val cl = res.labels.as[(String, String)].collect().toMap
+    assert(cl.size == 201)
+    assert(cl.values.toSet == Set("v000"), s"under-merged: ${cl.values.toSet}")
+    assert(res.rounds <= 10, s"took ${res.rounds} rounds for a 200-chain")
+  }
+
+  test("distributed cc fails loudly when maxIter is too small") {
+    val edges = (1 to 40).map(i => (f"v$i%03d", f"v${i - 1}%03d"))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      MinHash.clustersWithStats(edges, driverMaxEdges = 0L, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not reach a fixpoint"))
+  }
+
   test("shingles of short docs fall back to whole text") {
     val df = Seq(("a", "tiny doc")).toDF("id", "text")
     val sh = df.select(explode(MinHash.shingles($"text", 5)).as("s"))

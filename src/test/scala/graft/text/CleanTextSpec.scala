@@ -108,6 +108,27 @@ class DomainOfSpec extends AnyFunSuite {
     assert(DomainOf.registrable("http://192.168.10.1:8080/x") == "192.168.10.1")
   }
 
+  test("full-PSL rules absent from the old curated snapshot now extract") {
+    // private-section hosted platforms (tldextract parity — these fell to
+    // the default rule under the 409-rule curated snapshot)
+    assert(DomainOf.registrable("https://mybucket.s3.amazonaws.com/key")
+      == "mybucket.s3.amazonaws.com")
+    assert(DomainOf.registrable("https://app.web.app/") == "app.web.app")
+    assert(DomainOf.registrable("https://mysite.pages.dev/p") == "mysite.pages.dev")
+    assert(DomainOf.registrable("https://edge.fastly-edge.com/") == "edge.fastly-edge.com")
+    // long-tail ccTLD second levels
+    assert(DomainOf.registrable("https://www.moe.gov.bt/") == "moe.gov.bt")
+    assert(DomainOf.registrable("https://a.b.site.edu.krd/") == "site.edu.krd")
+    assert(DomainOf.registrable("https://x.person.name.vn/") == "person.name.vn")
+    assert(DomainOf.registrable("https://shop.nom.za/") == "shop.nom.za")
+    assert(DomainOf.registrable("https://www.press.co.zm/") == "press.co.zm")
+    assert(DomainOf.registrable("https://www.kcna.gov.kp/") == "kcna.gov.kp")
+    // wildcard ccTLD kept in the full list
+    assert(DomainOf.registrable("https://a.site.com.np/") == "site.com.np")
+    // unicode IDN suffix rules parse and match
+    assert(DomainOf.registrable("https://www.example.公司.cn/") == "example.公司.cn")
+  }
+
   test("every snapshot rule round-trips through the PSL algorithm") {
     // systematic sweep: for each committed rule, synthesize a host under
     // it and assert the registrable domain the PSL algorithm mandates —
@@ -118,7 +139,8 @@ class DomainOfSpec extends AnyFunSuite {
     val rules = try src.getLines().map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("//")).toVector
     finally src.close()
-    assert(rules.size > 250, s"snapshot unexpectedly small: ${rules.size}")
+    // the COMPLETE public list (ICANN + PRIVATE), not a curated subset
+    assert(rules.size > 9000, s"snapshot unexpectedly small: ${rules.size}")
     val exceptions = rules.filter(_.startsWith("!")).map(_.drop(1)).toSet
     rules.foreach {
       case r if r.startsWith("!") =>
