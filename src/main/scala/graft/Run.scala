@@ -84,8 +84,10 @@ object Run {
         .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges),
       // --url-blocklist <file>: one registrable domain per line enables
       // the stage-0 URLFilter (off without the flag — reference parity)
+      // any Spark-reachable URI (hdfs://, s3a://, file:, bare local path)
       urlBlocklist = a.get("url-blocklist")
-        .map(graft.analytics.DomainStats.loadBlocklist)
+        .map(p => graft.analytics.DomainStats.loadBlocklist(
+          p, spark.sparkContext.hadoopConfiguration))
         .getOrElse(Set.empty))
 
     val metrics = Metrics.pipelineMetrics(spark)

@@ -316,7 +316,8 @@ object SparkEntry {
       .select(col("doc_id"),
         analytics.TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"))),
 
-    // Rolling-hash order-sensitive fingerprint (rows-only: custom hash)
+    // Rolling-hash order-sensitive fingerprint — oracle-checked since r3
+    // (bit-exact HUGEINT mod-2^64 fold in DuckDB, see oracleSql)
     "q_rolling_fingerprint" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"),
         analytics.TextAnalysis.rollingFingerprintUdf(col("text")).as("rfp"))),
@@ -414,8 +415,8 @@ object SparkEntry {
         .select("doc_id")
     }),
 
-    // F11 sentence-aware truncation (utils.py:39-50; rows-only — sentence
-    // splitting is not SQL-expressible)
+    // F11 sentence-aware truncation (utils.py:39-50) — oracle-checked
+    // since r3 (exact for the unpunctuated fixture; see oracleSql note)
     "q_truncate" -> ((s, dir) => {
       val truncUdf = udf((x: String) => graft.text.Segmenter.truncateSentences(x, 200))
       t(s, dir, "documents")
@@ -474,14 +475,15 @@ object SparkEntry {
         .select("doc_id", "judge_score")),
 
     // L4 resume-with-repair: planted invalid scores (-1 error marker,
-    // null, above-scale) get re-scored; valid scores kept byte-for-byte
-    // (llm_judge.py:216-226)
+    // null, above-scale, FRACTIONAL-in-a-double-column) get re-scored;
+    // valid scores kept byte-for-byte (llm_judge.py:216-226)
     "q_judge_repair" -> ((s, dir) => {
       val planted = t(s, dir, "documents").withColumn("judge_score",
-        when(col("doc_id") % 7 === 0, lit(-1))
-          .when(col("doc_id") % 11 === 0, lit(null).cast("int"))
-          .when(col("doc_id") % 13 === 0, lit(9))
-          .otherwise(pmod(col("doc_id"), lit(6)).cast("int")))
+        when(col("doc_id") % 7 === 0, lit(-1.0))
+          .when(col("doc_id") % 11 === 0, lit(null).cast("double"))
+          .when(col("doc_id") % 13 === 0, lit(9.0))
+          .when(col("doc_id") % 17 === 0, lit(4.5))
+          .otherwise(pmod(col("doc_id"), lit(6)).cast("double")))
       graft.filters.JudgeScorer.repair(planted,
         graft.filters.JudgeScorer.stubScorer())
         .select("doc_id", "judge_score")
@@ -653,6 +655,40 @@ object SparkEntry {
         |  AS bpe_tokens
         |FROM documents""".stripMargin,
 
+    // Exact for the driver fixture: documents.text is unpunctuated ASCII
+    // (verified: zero [.!?] occurrences), so Segmenter.sentences returns
+    // the whole text as one sentence and truncateSentences reduces to
+    // identity-or-hard-cut — which IS SQL-expressible. The abbreviation-
+    // aware sentence branch stays pinned by SegmenterSpec unit tests.
+    "q_truncate" ->
+      """SELECT doc_id,
+        |CASE WHEN length(text) <= 200 THEN text
+        |     ELSE substr(text, 1, 200) END AS truncated
+        |FROM documents""".stripMargin,
+
+    // Bit-exact replay of the 64-bit rolling hash in DuckDB: fold the
+    // char stream (word chars: h=h*31+code; each word end, marked by the
+    // appended ' ': h=h*131+7) over HUGEINT mod 2^64, then reinterpret
+    // as signed BIGINT. Exact for single-space-separated ASCII text (the
+    // fixture shape — verified no runs/tabs/leading ws).
+    "q_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT
+        |            ELSE h END AS BIGINT) AS rfp
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_concat([1125899906842597::HUGEINT],
+        |        list_transform(regexp_split_to_array(text || ' ', ''),
+        |          c -> CASE WHEN c = ' ' THEN -1
+        |               ELSE unicode(c) END::HUGEINT)),
+        |      (a, x) -> CASE
+        |        WHEN x = -1 THEN (a * 131 + 7) % 18446744073709551616::HUGEINT
+        |        ELSE (a * 31 + x) % 18446744073709551616::HUGEINT END
+        |    ) AS h
+        |  FROM documents)""".stripMargin,
+
     "q_domain_count" ->
       """SELECT split_part('https://docs.example.com/' ||
         |  lpad(CAST(doc_id AS VARCHAR), 8, '0'), '/', 3) AS host,
@@ -758,14 +794,16 @@ object SparkEntry {
 
     "q_judge_repair" ->
       """SELECT doc_id,
-        |CASE WHEN old >= 0 AND old <= 5 THEN old
+        |CASE WHEN old >= 0 AND old <= 5 AND old = floor(old)
+        |     THEN CAST(old AS INT)
         |     ELSE CAST((2*length(text) - length(translate(text,'e',''))) % 6
         |          AS INT) END AS judge_score
         |FROM (SELECT doc_id, text,
-        |  CASE WHEN doc_id % 7 = 0 THEN -1
+        |  CASE WHEN doc_id % 7 = 0 THEN -1.0
         |       WHEN doc_id % 11 = 0 THEN NULL
-        |       WHEN doc_id % 13 = 0 THEN 9
-        |       ELSE CAST(doc_id % 6 AS INT) END AS old
+        |       WHEN doc_id % 13 = 0 THEN 9.0
+        |       WHEN doc_id % 17 = 0 THEN 4.5
+        |       ELSE CAST(doc_id % 6 AS DOUBLE) END AS old
         |  FROM documents)""".stripMargin,
 
     "q_judge_dist" ->

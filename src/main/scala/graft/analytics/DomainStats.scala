@@ -1,5 +1,7 @@
 package graft.analytics
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -73,11 +75,22 @@ object DomainStats {
     * comments and blanks skipped (the on-disk shape of public category
     * blocklists like the UT1 list the reference's URLFilter consumes).
     * Feed the result to `PipelineConfig.urlBlocklist`.
+    *
+    * Reads through the Hadoop FileSystem API, so the path may be any
+    * Spark-reachable URI (`hdfs://`, `s3a://`, `gs://`, `file:` or a
+    * bare local path) — on a real cluster deploy the list lives next to
+    * the data, not on the driver's local disk.
     */
-  def loadBlocklist(path: String): Set[String] = {
-    val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().map(_.trim.toLowerCase)
+  def loadBlocklist(path: String,
+                    hadoopConf: org.apache.hadoop.conf.Configuration =
+                      new org.apache.hadoop.conf.Configuration()): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .map(_.trim.toLowerCase)
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
-    finally src.close()
+    finally in.close()
   }
 }

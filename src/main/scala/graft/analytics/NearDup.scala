@@ -12,6 +12,11 @@ import graft.dedup.MinHash
   */
 object NearDup {
 
+  /** Cap on hot keys collected to the driver for salting (see
+    * [[Similarity.MaxHotKeysCollected]] — shared discipline).
+    */
+  private val MaxHotKeysCollected: Int = Similarity.MaxHotKeysCollected
+
   /** 64-bit SimHash over word features (Charikar 2002): per-word 64-bit
     * hash votes ±1 per bit, sign of the vote sum becomes the bit. Pure
     * per-document function (no shuffle); near-dups differ in few bits.
@@ -75,11 +80,17 @@ object NearDup {
     }.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = math.max(saltBuckets, 1)
+    // top-N hottest keys only (TakeOrderedAndProject — a bounded driver
+    // collect even on a degenerate corpus where every key crosses the
+    // threshold); keys past the cap fall back to AQE skew handling.
+    // Salting is output-preserving, so the cap only shifts work.
     val hotKeys: Array[Long] =
       if (s <= 1) Array.empty
       else banded
         .groupBy("band", "key").agg(count(lit(1)).as("n"))
         .filter(col("n") > hotKeyThreshold)
+        .orderBy(col("n").desc, col("band"), col("key"))
+        .limit(MaxHotKeysCollected)
         .select(xxhash64(col("band"), col("key")))
         .collect().map(_.getLong(0))
     val isHot =
@@ -97,16 +108,18 @@ object NearDup {
       .select(col("band"), col("key"), col("salt"),
         col("id").as("id_b"), col("sig").as("sig_b"))
     // materialize verified pairs while the band table is cached, then
-    // release the cache (same leak-avoidance discipline as
-    // Similarity.nearPairs; the pair cache is result-sized)
+    // release the cache. localCheckpoint (eager), not persist: the
+    // returned frame is backed by GC-managed checkpoint blocks that the
+    // ContextCleaner releases when the caller drops it — a persist here
+    // leaked one permanent CacheManager entry per call in a long-lived
+    // session.
     val pairs = a.join(b, Seq("band", "key", "salt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
+      .localCheckpoint()
     banded.unpersist(false)
     pairs
   }
@@ -131,12 +144,20 @@ object NearDup {
     * verifies each candidate against `minJaccard`. This is the
     * "MinHash with exact verification" variant datatrove omits (its
     * stage 2 trusts the bands — SURVEY.md §2.5 D6).
+    *
+    * `saltBuckets > 1` routes blocking through
+    * [[MinHash.candidateEdgesSalted]] — identical edge set, hot band
+    * hashes sharded — mirroring every sibling near-dup path (MinHash
+    * dedup, SimHash pairs, embedding near-pairs).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, n: Int = 3,
-                   cfg: MinHash.Config = MinHash.Config()): DataFrame = {
-    val edges = MinHash.candidateEdges(
-      MinHash.signatures(df, idCol, textCol, cfg))
+                   cfg: MinHash.Config = MinHash.Config(),
+                   saltBuckets: Int = 0): DataFrame = {
+    val sigs = MinHash.signatures(df, idCol, textCol, cfg)
+    val edges =
+      if (saltBuckets > 1) MinHash.candidateEdgesSalted(sigs, saltBuckets)
+      else MinHash.candidateEdges(sigs)
     val texts = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
     edges
       .join(texts.withColumnRenamed("_id", "src")

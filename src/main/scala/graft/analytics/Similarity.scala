@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cap on the number of hot (band,bucket) keys collected to the driver
+    * for salting. 10k longs is ~80 KB; on a degenerate corpus (or a tiny
+    * `hotBucketThreshold`) the uncapped set is bounded only by
+    * rows/threshold and can exhaust driver memory. Keys past the cap are
+    * simply not salted — AQE skew-join splitting still applies, and
+    * salting is output-preserving, so the cap shifts work, never results.
+    */
+  val MaxHotKeysCollected: Int = 10000
+
   /** Cosine similarity between a vector column and a broadcast query
     * vector, computed with codegen'd higher-order functions — no UDF, no
     * shuffle; stays inside whole-stage codegen.
@@ -97,6 +106,11 @@ object Similarity {
       else withBuckets
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .filter(col("n") > hotBucketThreshold)
+        // top-N hottest only: bounded driver collect (TakeOrderedAndProject)
+        // even when every bucket crosses the threshold; see
+        // MaxHotKeysCollected
+        .orderBy(col("n").desc, col("band"), col("bucket"))
+        .limit(MaxHotKeysCollected)
         .select(xxhash64(col("band"), col("bucket")))
         .collect().map(_.getLong(0))
     val isHot =
@@ -114,16 +128,16 @@ object Similarity {
       .select(col("band"), col("bucket"), col("salt"), col("id").as("id_b"))
 
     // materialize the (small) deduped candidate set while the bucket
-    // table is cached, then release the cache — leaving it persisted
-    // would leak one MEMORY_AND_DISK entry per nearPairs call in a
-    // long-lived session. The candidate cache itself is O(pairs), stays
-    // for the returned plan's consumption, and is candidate-sized.
+    // table is cached, then release the cache. localCheckpoint (eager),
+    // not persist: checkpoint blocks are GC-managed (ContextCleaner
+    // releases them when the caller drops the frame), whereas a persist
+    // here leaked one permanent CacheManager entry per nearPairs call in
+    // a long-lived session. The candidate set is O(pairs)-sized.
     val candidates = a.join(b, Seq("band", "bucket", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates.count()
+      .localCheckpoint()
     withBuckets.unpersist(false)
 
     // exact verify: vectors rejoin by id AFTER pair dedup, so each vector

@@ -33,8 +33,17 @@ object TextAnalysis {
     val scored = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(markerHits(textCol, words).as("hits"), lit(lang).as("lang"))
     }
-    when(greatest(scored: _*).getField("hits") > 0,
-      greatest(scored: _*).getField("lang")).otherwise(lit("und"))
+    // single evaluation of the marker-hit structs: a (0,'und') sentinel
+    // rides the same greatest() — struct comparison is (hits, lang), and
+    // 'und' sorts after every marker code, so an all-zero row resolves to
+    // it while any positive hit count beats it. Semantically identical to
+    // the old when(hits>0, lang).otherwise('und') double-greatest shape,
+    // but the expensive scan provably runs once regardless of codegen
+    // subexpression elimination.
+    require(Markers.keys.forall(_ < "und"),
+      "sentinel tie-break requires every marker code to sort before 'und'")
+    val sentinel = struct(lit(0).as("hits"), lit("und").as("lang"))
+    greatest(scored :+ sentinel: _*).getField("lang")
   }
 
   /** Composite quality score in [0,1]: length saturation × terminal-punct

@@ -41,12 +41,16 @@ object JudgeScorer {
     pmod(length(textCol) * 2 - length(translate(textCol, "e", "")),
       lit(maxScore + 1)).cast("int")
 
-  /** Valid = present and on the 0..maxScore scale (llm_judge.py:216-226:
-    * NaN, negative — including the reference's -1 error marker — and
-    * above-scale values are all re-scored).
+  /** Valid = present, on the 0..maxScore scale, and INTEGRAL
+    * (llm_judge.py:216-226: NaN, negative — including the reference's -1
+    * error marker — and above-scale values are all re-scored; the scale
+    * is integer, so a fractional value like 4.5 in a double column is a
+    * malformed score, not a valid one — without the floor check `repair`
+    * would keep it and silently truncate it to 4 via the int cast).
     */
   def isValid(scoreCol: Column, maxScore: Int = 5): Column =
-    scoreCol.isNotNull && scoreCol >= 0 && scoreCol <= maxScore
+    scoreCol.isNotNull && scoreCol >= 0 && scoreCol <= maxScore &&
+      scoreCol === floor(scoreCol)
 
   /** Fresh scoring pass: adds/overwrites `scoreCol` for every row. */
   def score(df: DataFrame, scorer: Scorer,

@@ -105,19 +105,20 @@ class PlanSpec extends SparkSpec {
         "array_repeat(cast(id as float), 64) AS embedding")
       val pairs = analytics.Similarity.nearPairs(df, "vec_id", "embedding",
         minSim = 0.5, bands = 2, bitsPerBand = 4)
-      // the bucket self-join runs eagerly inside nearPairs and lands in
-      // the candidates cache; the returned plan must read an ID-ONLY
-      // cached relation (vectors never entered the bucket stage) and
-      // fetch vectors per candidate pair via id-keyed joins
+      // the bucket self-join runs eagerly inside nearPairs and lands in a
+      // localCheckpoint (GC-released, unlike the r2 persist); the
+      // returned plan must read an ID-ONLY materialized relation
+      // (vectors never entered the bucket stage) and fetch vectors per
+      // candidate pair via id-keyed joins
       val plan = pairs.queryExecution.executedPlan
-      val cacheScans = plan.collect {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+      val rddScans = plan.collect {
+        case s: org.apache.spark.sql.execution.RDDScanExec => s
       }
-      assert(cacheScans.nonEmpty, s"no cached candidate scan found:\n$plan")
-      cacheScans.foreach { s =>
+      assert(rddScans.nonEmpty, s"no checkpointed candidate scan found:\n$plan")
+      rddScans.foreach { s =>
         val cols = s.output.map(_.name.toLowerCase)
         assert(cols.toSet == Set("id_a", "id_b"),
-          s"candidate cache is not id-only: $cols")
+          s"candidate scan is not id-only: $cols")
       }
       // the verify stage's exchanges are keyed on the pair ids
       val exchanges = plan.collect { case e: ShuffleExchangeExec => e }

@@ -171,6 +171,37 @@ class NearDupSpec extends SparkSpec {
     assert(pairs.map(p => Set(p._1, p._2)).toSet == Set(Set("a", "b")))
   }
 
+  test("salted jaccard pairs are CC-equivalent to unsalted, degenerate corpus") {
+    // VERDICT r2 #4: saltBuckets plumbs through jaccardPairs like every
+    // sibling near-dup path. MinHash blocking is star-reduced (edges are
+    // O(members), not the clique), and salting re-shards stars, so the
+    // invariant — as for MinHash dedup itself — is CLUSTER equivalence:
+    // same vertex set, same connected components, every emitted pair
+    // verified ≥ minJaccard. Degenerate shape: 30 identical texts make
+    // every band hash maximally hot.
+    val hot = Synth.cleanDoc(Synth.rngFor(7, 1), Synth.EnVocab, 10)
+    val other = Synth.cleanDoc(Synth.rngFor(7, 2), Synth.EnVocab, 10)
+    val df = ((0 until 30).map(i => (f"h$i%02d", hot)) :+ ("x0", other))
+      .toDF("id", "text")
+    def result(salt: Int) = {
+      val pairs = NearDup.jaccardPairs(df, "id", "text", minJaccard = 0.9,
+        saltBuckets = salt)
+      assert(pairs.filter(col("jaccard") < 0.9).isEmpty,
+        "emitted a pair below the threshold")
+      val cl = graft.dedup.MinHash.clusters(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .as[(String, String)].collect().toMap
+      (cl.keySet, cl.values.toSet)
+    }
+    val (unVerts, unClusters) = result(0)
+    val (saVerts, saClusters) = result(4)
+    assert(unVerts == (0 until 30).map(i => f"h$i%02d").toSet,
+      "all hot docs and only hot docs form the duplicate graph")
+    assert(saVerts == unVerts, "salting changed the duplicate vertex set")
+    assert(unClusters.size == 1 && saClusters == unClusters,
+      "salting changed the cluster structure")
+  }
+
   test("embedding near-dups cluster jittered vectors") {
     implicit val s = spark
     val rng = new java.util.SplittableRandom(9)

@@ -47,6 +47,23 @@ class JudgeScorerSpec extends SparkSpec {
     assert(repaired.values.forall(s => s >= 0 && s <= 5))
   }
 
+  test("repair re-scores fractional scores instead of truncating them") {
+    // ADVICE r2: 4.5 in a double column passed the old isValid and was
+    // silently truncated to 4 by the int cast; integrality makes it a
+    // malformed score that gets re-scored like -1/null/above-scale.
+    // doc 3 ("short"): stub re-score = (2*5-5)%6 = 5, distinct from the
+    // truncation result 4 — so the assertion separates the two behaviors
+    val planted = docs.withColumn("judge_score",
+      when($"doc_id" === 3, lit(4.5))
+        .when($"doc_id" === 2, lit(3.0))
+        .otherwise(lit(1.0)))
+    val repaired = JudgeScorer.repair(planted, JudgeScorer.stubScorer())
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    assert(repaired(3L) == 5, s"fractional score must be re-scored, got ${repaired(3L)}")
+    assert(repaired(2L) == 3 && repaired(1L) == 1 && repaired(4L) == 1,
+      "integral in-scale scores stay byte-for-byte")
+  }
+
   test("repair of an already-valid frame is the identity") {
     val scored = JudgeScorer.score(docs, JudgeScorer.stubScorer())
     val repaired = JudgeScorer.repair(scored, JudgeScorer.stubScorer())
