@@ -33,13 +33,21 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
-  /** Best-of-n wall time for the same job — the sandbox VM has noisy
-    * neighbors, so a single sample can be 2-4x off; min is the standard
-    * noise-robust estimator for deterministic workloads.
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Time a job and report (wall seconds, result, process-CPU
+    * utilization of the JVM across the run, 0..1 of `cores`). Stolen-CPU
+    * phases (neighbor storms) show up as low utilization on a
+    * CPU-saturating job — recording it per sample makes storms visible
+    * in the bench JSON instead of only in prose.
     */
-  private def timeBest(n: Int)(f: => Long): (Double, Long) = {
-    val runs = (1 to n).map(_ => time(f))
-    runs.minBy(_._1)
+  private def timeWithCpu(cores: Int)(f: => Long): (Double, Long, Double) = {
+    val c0 = osBean.getProcessCpuTime
+    val (t, n) = time(f)
+    val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+    (t, n, cpuSec / math.max(t * cores, 1e-9))
   }
 
   /** The flagship job: full filter+scrub (stages 1–5 + PII + perplexity)
@@ -65,17 +73,22 @@ object Bench {
 
     val (tPipe, nDocs) = time(filterScrub(spark, synthN))
     results += "pipeline_filter_scrub" -> tPipe
-    // steady-state throughput: best of two further runs of a 4× larger
-    // input, after C2 has compiled the heuristic/LM hot loops. Sized so
-    // per-doc compute dominates the ~2-4 s fixed job overhead — at the
-    // round-2 per-doc cost, 40k docs finish in ~1 s of work at 32 cores
-    // and would measure scheduling, not the pipeline.
+    // steady-state throughput: best of three runs of a 4× larger input,
+    // after C2 has compiled the heuristic/LM hot loops. Sized so per-doc
+    // compute dominates the ~2-4 s fixed job overhead — at the round-2
+    // per-doc cost, 40k docs finish in ~1 s of work at 32 cores and
+    // would measure scheduling, not the pipeline.
     val throughputN = synthN * 4
-    // best-of-3: measured neighbor storms span minutes, long enough to
-    // poison both samples of a best-of-2 (observed: 29 s vs 2 s quiet)
-    val (tPipe2, nDocs2) = timeBest(3)(filterScrub(spark, throughputN))
-    results += "pipeline_filter_scrub_warm" -> tPipe2
-    val docsPerSec = nDocs2 / tPipe2
+    // The three samples are INTERLEAVED across the whole bench (one here,
+    // one after the dedup pipeline, one after the per-query section)
+    // instead of back-to-back: measured neighbor storms span minutes —
+    // long enough to poison three consecutive samples (the recorded r2
+    // driver bench did exactly that) but rarely the full bench duration.
+    // Each sample also records process-CPU utilization: a quiet sample
+    // saturates its cores (util near 1), a storm-hit one does not, so
+    // the JSON itself shows which samples to trust.
+    val tputSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
+    tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
 
     val (tFull, _) = time {
       pipeline.CorpusPipeline.run(pipeline.Synth.pages(spark, synthN))
@@ -83,12 +96,21 @@ object Bench {
     }
     results += "pipeline_full_dedup" -> tFull
 
+    tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
+
     val headline = Seq("q_agg_sum", "q_join_ratio", "q_dedup_exact", "q_topk",
       "q_minhash_mark", "q_word_count", "q_stratified_sample")
     headline.foreach { name =>
       val (t, _) = time(SparkEntry.queries(name)(spark, sfDir).count())
       results += name -> t
     }
+
+    tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
+    val (tPipe2, nDocs2, _) = tputSamples.minBy(_._1)
+    results += "pipeline_filter_scrub_warm" -> tPipe2
+    val docsPerSec = nDocs2 / tPipe2
+    val tputJson = tputSamples.map(s => f"${s._1}%.3f").mkString("[", ",", "]")
+    val tputCpuJson = tputSamples.map(s => f"${s._3}%.3f").mkString("[", ",", "]")
 
     // scaling runs by default: the BASELINE metric explicitly includes
     // N-vs-4N efficiency, so the driver-run bench must carry it.
@@ -123,15 +145,15 @@ object Bench {
         val rounds = (1 to 3).map { _ =>
           val sLo = session(nLo)
           filterScrub(sLo, 40000L) // JIT + codegen warm at this parallelism
-          val (tLo, docsLo) = time(filterScrub(sLo, scaleN))
+          val (tLo, docsLo, uLo) = timeWithCpu(nLo)(filterScrub(sLo, scaleN))
           sLo.stop()
           val sHi = session(nHi)
           filterScrub(sHi, 40000L)
-          val (tHi, docsHi) = time(filterScrub(sHi, scaleN))
+          val (tHi, docsHi, uHi) = timeWithCpu(nHi)(filterScrub(sHi, scaleN))
           sHi.stop()
-          (tLo, tHi, docsLo, docsHi)
+          (tLo, tHi, docsLo, docsHi, uLo, uHi)
         }
-        val perRound = rounds.map { case (tLo, tHi, _, _) => (tLo / tHi) / ratio }
+        val perRound = rounds.map { case (tLo, tHi, _, _, _, _) => (tLo / tHi) / ratio }
         val effMedian = perRound.sorted.apply(perRound.size / 2) // upper median
         val effMean = perRound.sum / perRound.size
         val tLoBest = rounds.map(_._1).min
@@ -142,7 +164,9 @@ object Bench {
         val raw = hi / (ratio * lo)
         val eff = math.min(raw, 1.0)
         val roundsJson = perRound.map(e => f"$e%.3f").mkString("[", ",", "]")
-        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$lo%.1f,"docs_per_sec_hi":$hi%.1f,"efficiency":$eff%.3f,"efficiency_raw":$raw%.3f,"efficiency_rounds":$roundsJson,"efficiency_median":$effMedian%.3f,"efficiency_mean":$effMean%.3f}"""
+        val utilLoJson = rounds.map(r => f"${r._5}%.3f").mkString("[", ",", "]")
+        val utilHiJson = rounds.map(r => f"${r._6}%.3f").mkString("[", ",", "]")
+        f""","scaling":{"cores_lo":$nLo,"cores_hi":$nHi,"scale_docs":$scaleN,"docs_per_sec_lo":$lo%.1f,"docs_per_sec_hi":$hi%.1f,"efficiency":$eff%.3f,"efficiency_raw":$raw%.3f,"efficiency_rounds":$roundsJson,"efficiency_median":$effMedian%.3f,"efficiency_mean":$effMean%.3f,"cpu_util_lo":$utilLoJson,"cpu_util_hi":$utilHiJson}"""
       } else ""
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -150,7 +174,7 @@ object Bench {
     // synth_docs = the flagship/per-query input size; throughput_docs =
     // the (4x larger) input docs_per_sec was actually measured on
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs,"throughput_docs":$nDocs2$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs,"throughput_docs":$nDocs2,"throughput_samples_sec":$tputJson,"throughput_cpu_util":$tputCpuJson$scaling}""")
     if (!sys.env.get("SPARK_GRAFT_SCALE").contains("1")) spark.stop()
   }
 }

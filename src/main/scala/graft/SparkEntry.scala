@@ -415,6 +415,23 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // P20 main-content extraction (datatrove Trafilatura stage,
+    // findweb.py:5; simplified readability-style reimplementation).
+    // Deterministic harness: wrap each doc's text in a page skeleton
+    // (head/script/title chrome + a link-dense nav) — the extractor must
+    // return exactly the text, with the chrome and nav pruned, so the
+    // PLUMBING is oracle-checked while the boilerplate heuristics are
+    // unit-tested in HtmlExtractSpec.
+    "q_html_extract" -> ((s, dir) => {
+      val ex = udf((h: String) => graft.text.HtmlExtract.extract(h))
+      t(s, dir, "documents").select(col("doc_id"),
+        ex(concat(
+          lit("<html><head><title>t</title><script>var x=\"<p>no</p>\";</script></head><body><p>"),
+          col("text"),
+          lit("</p><nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav></body></html>")))
+          .as("extracted"))
+    }),
+
     // F11 sentence-aware truncation (utils.py:39-50) — oracle-checked
     // since r3 (exact for the unpunctuated fixture; see oracleSql note)
     "q_truncate" -> ((s, dir) => {
@@ -654,6 +671,12 @@ object SparkEntry {
         |CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
         |  AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    // The deterministic page-skeleton harness means extraction must
+    // return the text verbatim (fixture texts are single-spaced with >4
+    // words, so no collapse or minWords effect applies)
+    "q_html_extract" ->
+      "SELECT doc_id, text AS extracted FROM documents",
 
     // Exact for the driver fixture: documents.text is unpunctuated ASCII
     // (verified: zero [.!?] occurrences), so Segmenter.sentences returns

@@ -110,6 +110,24 @@ object CorpusPipeline {
 
   private val scoreObserveId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Opt-in P20 pre-stage (the reference's Trafilatura position, before
+    * the filters — datatrove/findweb.py:75): rows whose `text` is
+    * null/empty but whose `html` payload is present get text extracted
+    * from the html ([[graft.text.HtmlExtract]], simplified
+    * readability-style). Rows that already carry extracted text keep it
+    * BYTE-IDENTICAL — the input-hint invariant the E2E suite pins. One
+    * narrow projection, no shuffle; call before [[score]] when ingesting
+    * raw WARC without a pre-extraction step.
+    */
+  def extractText(pages: DataFrame, textCol: String = "text",
+                  htmlCol: String = "html"): DataFrame = {
+    val ex = udf((h: Array[Byte]) => graft.text.HtmlExtract.extractFromBytes(h))
+    pages.withColumn(textCol,
+      when((col(textCol).isNull || length(col(textCol)) === 0) &&
+        col(htmlCol).isNotNull, ex(col(htmlCol)))
+        .otherwise(col(textCol)))
+  }
+
   /** Stages 1–5 + scrub + perplexity: adds lang_pred, lang_prob,
     * drop_stage (nullable, stages 1–5 only so far), scrubbed_text,
     * n_tokens, perplexity.

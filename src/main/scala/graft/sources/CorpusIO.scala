@@ -213,6 +213,25 @@ object CorpusIO {
     w.saveAsTable(table)
   }
 
+  /** F10 filename sanitize (utils.py:22-25 `clean_filename`): keep
+    * letters, digits, '.' and '_'; drop everything else. The reference
+    * uses Python `str.isalnum`, which is Unicode-aware —
+    * `Character.isLetterOrDigit` mirrors that (so 'café.txt' keeps the
+    * é). Used when deriving sink file/dir names from user-supplied labels
+    * or source paths.
+    */
+  def sanitizeFilename(name: String): String = {
+    if (name == null) return ""
+    val sb = new java.lang.StringBuilder(name.length)
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (Character.isLetterOrDigit(c) || c == '.' || c == '_') sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** S8: exclusion tee. One pass over a (persisted) scored frame:
     * kept rows → `path/kept`, dropped rows → `path/removed/<drop_stage>=…`
     * — the reference's per-stage exclusion dirs (findweb.py:95-113) as a

@@ -25,10 +25,15 @@ object CleanText {
 /** Deterministic ASCII transliteration (reference uses the public
   * `unidecode` library, /root/reference/utils/data_util.py:122). We fold
   * via Unicode NFD decomposition + combining-mark strip, plus a table for
-  * Latin-1 Supplement and Latin Extended-A/B characters NFD alone doesn't
-  * reduce, so European text transliterates instead of dropping.
-  * CJK/Cyrillic remain out of scope (dropped) — a documented divergence
-  * from unidecode's full table.
+  * characters NFD alone doesn't reduce: Latin-1 Supplement, Latin
+  * Extended-A/B, and (since r3) the Cyrillic and Greek alphabets with
+  * standard romanization, so European + Slavic + Greek text
+  * transliterates instead of dropping. The table applies AFTER NFD, so
+  * accented Cyrillic/Greek (й ё ά ύ …) decompose to their base letters
+  * first and then romanize (й → и-breve → i — the unidecode behavior).
+  * Transliteration is unidecode-STYLE (standard romanization tables),
+  * not a byte-for-byte unidecode clone; CJK remains out of scope
+  * (dropped) — a documented divergence from unidecode's full table.
   */
 object AsciiFold {
   private val Extra: Map[Char, String] = Map(
@@ -53,6 +58,39 @@ object AsciiFold {
     'Ǆ' -> "DZ", 'ǅ' -> "Dz", 'ǆ' -> "dz", 'Ǉ' -> "LJ", 'ǈ' -> "Lj",
     'ǉ' -> "lj", 'Ǌ' -> "NJ", 'ǋ' -> "Nj", 'ǌ' -> "nj", 'Ǳ' -> "DZ",
     'ǲ' -> "Dz", 'ǳ' -> "dz",
+    // Cyrillic (Russian core + Ukrainian/Belarusian/Serbian letters;
+    // NFD-decomposable forms like й ё ї ў reach their base letters и е і у
+    // before this table applies). Standard scientific/GOST-style
+    // romanization.
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d",
+    'е' -> "e", 'ж' -> "zh", 'з' -> "z", 'и' -> "i", 'к' -> "k",
+    'л' -> "l", 'м' -> "m", 'н' -> "n", 'о' -> "o", 'п' -> "p",
+    'р' -> "r", 'с' -> "s", 'т' -> "t", 'у' -> "u", 'ф' -> "f",
+    'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch", 'ш' -> "sh", 'щ' -> "shch",
+    'ъ' -> "", 'ы' -> "y", 'ь' -> "", 'э' -> "e", 'ю' -> "yu",
+    'я' -> "ya", 'і' -> "i", 'є' -> "ye", 'ґ' -> "g", 'ј' -> "j",
+    'љ' -> "lj", 'њ' -> "nj", 'ђ' -> "dj", 'ћ' -> "c", 'џ' -> "dz",
+    'ѓ' -> "g", 'ќ' -> "k", 'ѕ' -> "dz",
+    'А' -> "A", 'Б' -> "B", 'В' -> "V", 'Г' -> "G", 'Д' -> "D",
+    'Е' -> "E", 'Ж' -> "Zh", 'З' -> "Z", 'И' -> "I", 'К' -> "K",
+    'Л' -> "L", 'М' -> "M", 'Н' -> "N", 'О' -> "O", 'П' -> "P",
+    'Р' -> "R", 'С' -> "S", 'Т' -> "T", 'У' -> "U", 'Ф' -> "F",
+    'Х' -> "Kh", 'Ц' -> "Ts", 'Ч' -> "Ch", 'Ш' -> "Sh", 'Щ' -> "Shch",
+    'Ъ' -> "", 'Ы' -> "Y", 'Ь' -> "", 'Э' -> "E", 'Ю' -> "Yu",
+    'Я' -> "Ya", 'І' -> "I", 'Є' -> "Ye", 'Ґ' -> "G", 'Ј' -> "J",
+    'Љ' -> "Lj", 'Њ' -> "Nj", 'Ђ' -> "Dj", 'Ћ' -> "C", 'Џ' -> "Dz",
+    'Ѓ' -> "G", 'Ќ' -> "K", 'Ѕ' -> "Dz",
+    // Greek (modern monotonic; accented forms decompose to these bases)
+    'α' -> "a", 'β' -> "b", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e",
+    'ζ' -> "z", 'η' -> "e", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k",
+    'λ' -> "l", 'μ' -> "m", 'ν' -> "n", 'ξ' -> "x", 'ο' -> "o",
+    'π' -> "p", 'ρ' -> "r", 'σ' -> "s", 'ς' -> "s", 'τ' -> "t",
+    'υ' -> "u", 'φ' -> "ph", 'χ' -> "ch", 'ψ' -> "ps", 'ω' -> "o",
+    'Α' -> "A", 'Β' -> "B", 'Γ' -> "G", 'Δ' -> "D", 'Ε' -> "E",
+    'Ζ' -> "Z", 'Η' -> "E", 'Θ' -> "Th", 'Ι' -> "I", 'Κ' -> "K",
+    'Λ' -> "L", 'Μ' -> "M", 'Ν' -> "N", 'Ξ' -> "X", 'Ο' -> "O",
+    'Π' -> "P", 'Ρ' -> "R", 'Σ' -> "S", 'Τ' -> "T", 'Υ' -> "U",
+    'Φ' -> "Ph", 'Χ' -> "Ch", 'Ψ' -> "Ps", 'Ω' -> "O",
     // symbols / punctuation
     '€' -> "EUR", '£' -> "GBP", '«' -> "\"", '»' -> "\"",
     '‘' -> "'", '’' -> "'", '“' -> "\"", '”' -> "\"",
@@ -60,17 +98,22 @@ object AsciiFold {
   )
 
   def apply(s: String): String = {
-    val pre = {
-      val sb = new StringBuilder(s.length)
-      s.foreach(c => sb.append(Extra.getOrElse(c, c.toString)))
-      sb.toString
-    }
-    val nfd = java.text.Normalizer.normalize(pre, java.text.Normalizer.Form.NFD)
+    // NFD FIRST: decomposable letters (é, й, ё, ά …) split into base +
+    // combining marks, the marks are stripped, and the base letter (which
+    // may itself be non-ASCII — Cyrillic и, Greek α) then transliterates
+    // through the table. No table entry has an NFD decomposition, so
+    // table outputs never need re-normalizing. (Pre-r3 the table ran
+    // before NFD, so accented Cyrillic/Greek never reached it.)
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new StringBuilder(nfd.length)
     nfd.foreach { c =>
-      val t = Character.getType(c)
-      if (t != Character.NON_SPACING_MARK && c < 128) sb.append(c)
-      else if (t != Character.NON_SPACING_MARK && c >= 128) () // drop non-ASCII
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        if (c < 128) sb.append(c)
+        else Extra.get(c) match {
+          case Some(t) => sb.append(t)
+          case None    => () // drop untransliterated non-ASCII (CJK etc.)
+        }
+      }
     }
     sb.toString
   }

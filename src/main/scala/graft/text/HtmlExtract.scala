@@ -1,0 +1,200 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Simplified main-content HTML extraction — SURVEY §2 P20, the
+  * reference's `Trafilatura` stage (datatrove/findweb.py:5,
+  * `datatrove.pipeline.extractors.Trafilatura`): WARC html → the page's
+  * main text, boilerplate (navigation, link farms, chrome) removed.
+  *
+  * This is a readability-style HEURISTIC reimplementation, not a port of
+  * trafilatura's full precision/recall machinery (documented divergence;
+  * trafilatura carries per-site rules, XML tree scoring and fallbacks).
+  * The pipeline semantics match: script/style/comment content never
+  * reaches the text, block structure is preserved as newlines, entities
+  * are decoded, and boilerplate blocks are pruned by the standard
+  * link-density + minimum-length test (a block whose characters are
+  * mostly anchor text is navigation, not content).
+  *
+  * Implementation is ONE hand-rolled char scan — no regex anywhere: on
+  * this box per-char regex matching inside executor threads measured
+  * ~35× slower than char loops (see BENCH.md round-1 findings), and this
+  * runs per document on the hot ingest path.
+  */
+object HtmlExtract {
+
+  /** Content of these elements is skipped entirely. `nav`/`aside` are
+    * structural boilerplate by definition (readability heuristic).
+    */
+  private val DropTags = Set(
+    "script", "style", "noscript", "template", "svg", "head", "iframe",
+    "nav", "aside")
+
+  /** Tags that terminate a text block (block-level boundary → '\n'). */
+  private val BlockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "dl", "dt", "dd", "h1", "h2",
+    "h3", "h4", "h5", "h6", "tr", "td", "th", "table", "thead", "tbody",
+    "section", "article", "header", "footer", "blockquote", "pre", "hr",
+    "main", "figure", "figcaption", "form", "fieldset", "address")
+
+  private val NamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "hellip" -> "...", "mdash" -> "-",
+    "ndash" -> "-", "rsquo" -> "'", "lsquo" -> "'", "rdquo" -> "\"",
+    "ldquo" -> "\"", "copy" -> "(c)", "reg" -> "(r)", "trade" -> "(tm)")
+
+  /** Extract main text from an html string. Blocks (paragraphs, list
+    * items, headings …) become lines; a block is kept when it has at
+    * least `minWords` words AND at most `maxLinkDensity` of its
+    * non-whitespace characters inside `<a>` elements.
+    */
+  def extract(html: String, minWords: Int = 3,
+              maxLinkDensity: Double = 0.5): String = {
+    if (html == null || html.isEmpty) return ""
+    val n = html.length
+    val blocks = ArrayBuffer.empty[(String, Int, Int)] // text, chars, linkChars
+    val cur = new StringBuilder
+    var curChars = 0
+    var curLink = 0
+    var aDepth = 0
+    var skipTag: String = null
+    var i = 0
+
+    def flush(): Unit = {
+      val t = collapseWs(cur)
+      if (t.nonEmpty) blocks += ((t, curChars, curLink))
+      cur.setLength(0); curChars = 0; curLink = 0
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close = html.indexOf('>', i + 1)
+          if (close < 0) i = n // truncated tag: done
+          else {
+            // tag name: letters/digits after optional '/'
+            var j = i + 1
+            val isEnd = j < close && html.charAt(j) == '/'
+            if (isEnd) j += 1
+            val nameStart = j
+            while (j < close && (Character.isLetterOrDigit(html.charAt(j))))
+              j += 1
+            val name = html.substring(nameStart, j).toLowerCase
+            val selfClosing = close > i && html.charAt(close - 1) == '/'
+            if (skipTag != null) {
+              if (isEnd && name == skipTag) skipTag = null
+            } else if (name.nonEmpty) {
+              if (isEnd) {
+                if (BlockTags(name)) flush()
+                else if (name == "a" && aDepth > 0) aDepth -= 1
+              } else {
+                if (DropTags(name) && !selfClosing) { flush(); skipTag = name }
+                else if (BlockTags(name)) flush()
+                else if (name == "a" && !selfClosing) aDepth += 1
+              }
+            }
+            i = close + 1
+          }
+        }
+      } else if (skipTag != null) {
+        i += 1
+      } else if (c == '&') {
+        val (decoded, next) = entityAt(html, i)
+        decoded.foreach { d =>
+          cur.append(d)
+          if (!Character.isWhitespace(d)) {
+            curChars += 1
+            if (aDepth > 0) curLink += 1
+          }
+        }
+        i = next
+      } else {
+        cur.append(c)
+        if (!Character.isWhitespace(c)) {
+          curChars += 1
+          if (aDepth > 0) curLink += 1
+        }
+        i += 1
+      }
+    }
+    flush()
+
+    val kept = blocks.filter { case (t, chars, link) =>
+      wordCount(t) >= minWords &&
+        (chars == 0 || link.toDouble / chars <= maxLinkDensity)
+    }
+    kept.map(_._1).mkString("\n")
+  }
+
+  /** UTF-8 decode (malformed bytes replaced) then [[extract]] — the WARC
+    * payload surface (`html` binary column).
+    */
+  def extractFromBytes(html: Array[Byte], minWords: Int = 3,
+                       maxLinkDensity: Double = 0.5): String = {
+    if (html == null) return ""
+    extract(new String(html, java.nio.charset.StandardCharsets.UTF_8),
+      minWords, maxLinkDensity)
+  }
+
+  /** Decode the entity starting at `i` (html(i) == '&'). Returns the
+    * decoded string and the next scan index; an unrecognized or
+    * unterminated entity passes '&' through literally.
+    */
+  private def entityAt(html: String, i: Int): (String, Int) = {
+    val n = html.length
+    var j = i + 1
+    val maxScan = math.min(n, i + 12) // longest supported entity + '#x' form
+    while (j < maxScan && html.charAt(j) != ';' && html.charAt(j) != '&' &&
+           !Character.isWhitespace(html.charAt(j))) j += 1
+    if (j >= n || html.charAt(j) != ';') return ("&", i + 1)
+    val body = html.substring(i + 1, j)
+    if (body.startsWith("#")) {
+      val num = body.drop(1)
+      val cp =
+        try {
+          if (num.startsWith("x") || num.startsWith("X"))
+            Integer.parseInt(num.drop(1), 16)
+          else Integer.parseInt(num)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0 && cp <= 0x10FFFF && Character.isValidCodePoint(cp))
+        (new String(Character.toChars(cp)), j + 1)
+      else ("&", i + 1)
+    } else NamedEntities.get(body) match {
+      case Some(s) => (s, j + 1)
+      case None    => ("&", i + 1)
+    }
+  }
+
+  /** Trim + collapse whitespace runs to single spaces (char loop). */
+  private def collapseWs(sb: StringBuilder): String = {
+    val out = new StringBuilder(sb.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (Character.isWhitespace(c)) { if (out.nonEmpty) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  private def wordCount(s: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      if (Character.isWhitespace(s.charAt(i))) inWord = false
+      else if (!inWord) { count += 1; inWord = true }
+      i += 1
+    }
+    count
+  }
+}

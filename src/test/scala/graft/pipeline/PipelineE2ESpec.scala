@@ -85,6 +85,32 @@ class PipelineE2ESpec extends SparkSpec {
     assert(stats.getDouble(1).isFinite)
   }
 
+  test("extractText fills empty text from html, keeps existing text byte-identical") {
+    import org.apache.spark.sql.functions._
+    val pages = Synth.pages(spark, 40L)
+    val htmlOf = udf((t: String) =>
+      (s"<html><head><title>x</title><script>var a=1;</script></head>" +
+        s"<body><p>$t</p><nav><a href='/'>home</a></nav></body></html>")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cut = Synth.tsOf(10)
+    val doctored = pages
+      .withColumn("html", htmlOf(col("text")))
+      .withColumn("orig_text", col("text"))
+      .withColumn("text", when(col("warc_ts") < cut, lit("")).otherwise(col("text")))
+    val out = CorpusPipeline.extractText(doctored)
+      .select("warc_ts", "text", "orig_text")
+      .as[(java.sql.Timestamp, String, String)].collect()
+    assert(out.length == 40)
+    out.foreach { case (ts, text, orig) =>
+      if (ts.before(cut)) {
+        // extraction recovers the doc body; block collapse turns any
+        // internal newlines into single spaces (documented)
+        val collapsed = orig.split("\\s+").filter(_.nonEmpty).mkString(" ")
+        assert(text == collapsed, s"extracted mismatch at $ts")
+      } else assert(text == orig, s"pre-extracted text not byte-identical at $ts")
+    }
+  }
+
   test("url blocklist stage drops blocked domains first, others untouched") {
     val clean = Synth.cleanDoc(Synth.rngFor(5, 3), Synth.EnVocab, 8)
     val pages = Seq(

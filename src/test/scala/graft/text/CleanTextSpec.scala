@@ -65,6 +65,32 @@ class CleanTextSpec extends AnyFunSuite {
     // unmapped non-Latin still drops (documented unidecode divergence)
     assert(AsciiFold("abc 中文 xyz") == "abc  xyz")
   }
+
+  test("ascii fold transliterates Cyrillic and Greek (r3 unidecode breadth)") {
+    // Russian core romanization
+    assert(AsciiFold("Москва") == "Moskva")
+    assert(AsciiFold("хорошо") == "khorosho")
+    assert(AsciiFold("щи и борщ") == "shchi i borshch")
+    // NFD-decomposable Cyrillic: й → и + breve → i; ё → е + diaeresis → e
+    assert(AsciiFold("чай") == "chai")
+    assert(AsciiFold("ёлка") == "elka")
+    // hard/soft signs vanish
+    assert(AsciiFold("объём мышь") == "obem mysh")
+    // Ukrainian і/ї/є/ґ and Belarusian ў
+    assert(AsciiFold("Київ ґанок ў") == "Kiiv ganok u")
+    // Serbian digraph letters
+    assert(AsciiFold("Љубљана Ђоковић џеп") == "Ljubljana Djokovic dzep")
+    // Greek (monotonic accents decompose then map)
+    assert(AsciiFold("Ελλάδα") == "Ellada")
+    assert(AsciiFold("φιλοσοφία") == "philosophia")
+    assert(AsciiFold("ψυχή") == "psuche")
+    assert(AsciiFold("Θεσσαλονίκη") == "Thessalonike")
+    // final sigma
+    assert(AsciiFold("λόγος") == "logos")
+    // mixed-script sentence survives clean_text end to end
+    assert(CleanText("Привет мир это тест пример текста") ==
+      "privet mir eto test primer teksta")
+  }
 }
 
 class DomainOfSpec extends AnyFunSuite {

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlExtractSpec extends AnyFunSuite {
+
+  test("extracts paragraph text, skipping script/style/head/comments") {
+    val html =
+      """<html><head><title>Site</title><script>var x = "<p>not text</p>";</script>
+        |<style>p { color: red; }</style></head>
+        |<body><!-- navigation comment -->
+        |<p>The first real paragraph of the page content.</p>
+        |<p>A second paragraph with more actual words here.</p>
+        |</body></html>""".stripMargin
+    val out = HtmlExtract.extract(html)
+    assert(out ==
+      "The first real paragraph of the page content.\n" +
+        "A second paragraph with more actual words here.")
+  }
+
+  test("block tags become line boundaries; inline tags do not") {
+    val html = "<div>alpha beta gamma</div><div>delta epsilon zeta</div>" +
+      "<p>one <b>bold</b> and <i>italic</i> run stays together</p>"
+    val out = HtmlExtract.extract(html)
+    assert(out.split("\n").toSeq == Seq(
+      "alpha beta gamma", "delta epsilon zeta",
+      "one bold and italic run stays together"))
+  }
+
+  test("entities decode; unknown entities pass through literally") {
+    val html = "<p>fish &amp; chips &lt;cheap&gt; &quot;daily&quot; " +
+      "caf&#233; &#x2764; &bogus; end</p>"
+    val out = HtmlExtract.extract(html)
+    assert(out == "fish & chips <cheap> \"daily\" café ❤ &bogus; end")
+  }
+
+  test("link-dense navigation blocks are pruned, content kept") {
+    val html =
+      """<ul><li><a href="/">Home page link</a></li>
+        |<li><a href="/about">About the site</a></li></ul>
+        |<p>Genuine article content with <a href="x">one inline link</a> and
+        |plenty of ordinary prose around it to keep density low.</p>""".stripMargin
+    val out = HtmlExtract.extract(html)
+    assert(!out.contains("Home page link"), s"nav survived: $out")
+    assert(out.contains("Genuine article content"))
+  }
+
+  test("nav and aside elements are dropped wholesale") {
+    val html = "<nav><p>site menu items listed right here</p></nav>" +
+      "<aside><p>related links sidebar text block</p></aside>" +
+      "<p>main content paragraph stands alone</p>"
+    assert(HtmlExtract.extract(html) == "main content paragraph stands alone")
+  }
+
+  test("short boilerplate blocks fall below minWords") {
+    val html = "<p>ok</p><p>the real content sentence is long enough</p>"
+    assert(HtmlExtract.extract(html) ==
+      "the real content sentence is long enough")
+  }
+
+  test("byte surface decodes UTF-8 and survives null/truncated input") {
+    val s = "<p>bytes café content row here</p>"
+    assert(HtmlExtract.extractFromBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      == "bytes café content row here")
+    assert(HtmlExtract.extract(null) == "")
+    assert(HtmlExtract.extractFromBytes(null) == "")
+    // truncated tag at EOF must not loop or throw
+    assert(HtmlExtract.extract("<p>kept words before truncation <a href=") ==
+      "kept words before truncation")
+  }
+
+  test("whitespace collapses within blocks") {
+    val html = "<p>  spaced    out\n\n words   across lines  </p>"
+    assert(HtmlExtract.extract(html) == "spaced out words across lines")
+  }
+}
