@@ -19,7 +19,8 @@ import graft.sources.CorpusIO
   *     --output <dir> [--out-format jsonl|parquet] \
   *     [--repartition <n>] [--lineage [--buckets-per-commit <k>]] \
   *     [--no-minhash] [--no-exact] [--minhash-salt <s>] \
-  *     [--cc-driver-max-edges <m>] [--url-blocklist <file>]
+  *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
+  *     [--extract-html]
   *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
@@ -36,7 +37,8 @@ object Run {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case f @ ("--lineage" | "--no-minhash" | "--no-exact") =>
+        case f @ ("--lineage" | "--no-minhash" | "--no-exact"
+            | "--extract-html") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -68,9 +70,14 @@ object Run {
       case (None, Some(n)) => Synth.pages(spark, n.toLong)
       case _ => sys.error("one of --input <dir> or --synth <N> is required")
     }
+    // --extract-html: P20 pre-stage for raw WARC ingestion — fill text
+    // from the html payload where text is absent (pre-extracted text is
+    // untouched; see CorpusPipeline.extractText)
+    val extracted =
+      if (a.contains("extract-html")) CorpusPipeline.extractText(raw) else raw
     val pages = a.get("repartition") match {
-      case Some(n) => raw.repartition(n.toInt)
-      case None => raw
+      case Some(n) => extracted.repartition(n.toInt)
+      case None => extracted
     }
 
     val cfg = graft.model.PipelineConfig(

@@ -44,6 +44,24 @@ object ExcelIO {
       spark.sparkContext.parallelize(data.toSeq, 1), schema)
   }
 
+  /** The reference's seed-ingest composition (process_data.py:13-24
+    * `load_data`): read a csv or xlsx seed file, `clean_text` the chosen
+    * field into `text`, drop null/empty rows, return the single-column
+    * frame (the reference then writes it as a one-column csv —
+    * `CorpusIO.writeCorpus(df, path, Csv)` here).
+    */
+  def loadSeed(spark: SparkSession, path: String, field: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw =
+      if (path.toLowerCase.endsWith(".csv"))
+        spark.read.option("header", "true").csv(path)
+      else readXlsx(spark, path)
+    val cleanUdf = udf((s: String) => graft.text.CleanText(s))
+    raw.withColumn("text", cleanUdf(col(field)))
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select("text")
+  }
+
   /** Parse rows (as string cells) out of an xlsx stream. */
   private[sources] def readRows(in: InputStream): Vector[Array[String]] = {
     var shared: Vector[String] = Vector.empty

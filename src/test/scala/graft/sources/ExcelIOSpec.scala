@@ -72,6 +72,24 @@ class ExcelIOSpec extends SparkSpec {
     assert(ExcelIO.colIndexOf("AB1") == 27)
   }
 
+  test("loadSeed reproduces process_data.load_data over an xlsx") {
+    // field → clean_text → drop empty (≤4 words cleans to "") → text col
+    val shared = Seq("Abstract", "Other")
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>The Quick Brown Fox Jumps Over Things!</t></is></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>too few words</t></is></c></row>
+        |<row r="4"><c r="B4" t="inlineStr"><is><t>no abstract present</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val f = java.nio.file.Files.createTempFile("seed", ".xlsx")
+    java.nio.file.Files.write(f, xlsxBytes(shared, sheet))
+    val df = ExcelIO.loadSeed(spark, f.toString, "Abstract")
+    val got = df.collect().map(_.getString(0)).toSeq
+    // row 2 cleans + keeps; row 3 ≤4 words → dropped; row 4 null → dropped
+    assert(got == Seq("the quick brown fox jumps over things!"))
+  }
+
   test("sanitizeFilename mirrors the reference clean_filename") {
     // utils.py:22-25 — keep alnum, '.', '_'; drop spaces and symbols
     assert(CorpusIO.sanitizeFilename("my file (v2).csv") == "myfilev2.csv")
