@@ -415,6 +415,19 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Benchmark decontamination by word n-gram overlap (GPT-3/PaLM-style
+    // 13-gram collision removal; n=4 here so the fixture's 31-word vocab
+    // produces real cross-doc collisions — 36 contaminated docs, not
+    // just the planted exact dups). Broadcast probe path; the join path
+    // is asserted equivalent in DedupSpec.
+    "q_ngram_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Decontaminate.filter(
+        docs.filter(col("source") =!= "src4"), "text",
+        docs.filter(col("source") === "src4"), "text", n = 4)
+        .select("doc_id")
+    }),
+
     // P20 main-content extraction (datatrove Trafilatura stage,
     // findweb.py:5; simplified readability-style reimplementation).
     // Deterministic harness: wrap each doc's text in a page skeleton
@@ -671,6 +684,18 @@ object SparkEntry {
         |CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
         |  AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_ngram_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source,
+        |            regexp_split_to_array(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(ws[i:i+3], ' ') AS gram
+        |      FROM (SELECT doc_id, source, ws,
+        |                   unnest(range(1, len(ws) - 2)) AS i FROM w)),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src4')
+        |SELECT doc_id FROM documents
+        |WHERE source <> 'src4' AND doc_id NOT IN (
+        |  SELECT DISTINCT doc_id FROM g WHERE source <> 'src4'
+        |    AND gram IN (SELECT gram FROM bench))""".stripMargin,
 
     // The deterministic page-skeleton harness means extraction must
     // return the text verbatim (fixture texts are single-spaced with >4

@@ -52,6 +52,19 @@ object Sampling {
       ranked.filter(!col("_train")).drop("_rn", "_n", "_train"))
   }
 
+  /** Corpus balancing: cap documents per registrable domain (the
+    * training-mix guard against a single crawl domain dominating the
+    * corpus). A composition: derive eTLD+1, then [[stratifiedQuota]]
+    * with the domain as the stratum — one window shuffle on the domain,
+    * deterministic hash order.
+    */
+  def perDomainCap(df: DataFrame, urlCol: String, cap: Int,
+                   keyCols: Seq[String], seed: Long = 42L): DataFrame = {
+    val domUdf = udf((u: String) => graft.text.DomainOf.registrable(u))
+    stratifiedQuota(df.withColumn("_domain", domUdf(col(urlCol))),
+      "_domain", cap, keyCols, seed).drop("_domain")
+  }
+
   /** Histogram-bin stratified sample over a numeric column (the pd.cut
     * path, utils.py:92-95): fixed-width bins become the strata.
     */

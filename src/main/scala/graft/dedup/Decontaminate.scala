@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination by word n-gram overlap — the published
+  * standard for training-corpus hygiene (GPT-3 appendix C / PaLM-style
+  * 13-gram collision removal): a training document is contaminated when
+  * it shares ANY word n-gram with the evaluation benchmark. Complements
+  * the exact-text paths ([[ExactDedup.bloomDecontaminate]], anti-join
+  * decontamination): those catch verbatim copies, this catches partial
+  * inclusion (a benchmark question quoted inside a larger page).
+  *
+  * Two execution paths, chosen by the caller per benchmark size:
+  *
+  *  - `broadcast = true` (default; benchmarks are MB-scale): the
+  *    benchmark's n-gram hash set is collected and broadcast; each
+  *    corpus doc is probed by ONE narrow UDF pass — no shuffle, no
+  *    explode, cost O(corpus words). The 100 TB plan: the corpus side
+  *    stays a shuffle-free scan.
+  *  - `broadcast = false` (benchmark too big for one executor's heap):
+  *    both sides explode to (id, gram-hash) and a semi-join marks
+  *    contaminated ids — shuffles O(corpus grams), always correct.
+  *
+  * Hashes are 64-bit FNV-1a over the joined gram words; at corpus scale
+  * the false-collision probability (a clean doc dropped) is
+  * |corpus grams| × |bench grams| / 2^64 — vanishing, and only ever
+  * drops extra (never leaks contamination through).
+  */
+object Decontaminate {
+
+  /** 64-bit FNV-1a over the n-gram's words joined by a single space. */
+  private def fnv64(words: Array[String], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var w = 0
+    while (w < n) {
+      if (w > 0) { h ^= ' '; h *= 0x100000001b3L }
+      val s = words(start + w)
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      w += 1
+    }
+    h
+  }
+
+  private[dedup] def gramHashes(text: String, n: Int): Array[Long] = {
+    val ws = graft.text.TextStats.words(if (text == null) "" else text)
+    if (ws.length < n) return Array.empty
+    val out = new Array[Long](ws.length - n + 1)
+    var i = 0
+    while (i <= ws.length - n) { out(i) = fnv64(ws, i, n); i += 1 }
+    out
+  }
+
+  /** Adds `is_contaminated` (doc shares ≥1 word n-gram with `bench`). */
+  def mark(df: DataFrame, textCol: String,
+           bench: DataFrame, benchTextCol: String,
+           n: Int = 13, broadcast: Boolean = true): DataFrame = {
+    if (broadcast) {
+      val grams: Set[Long] = bench.select(col(benchTextCol))
+        .na.drop()
+        .rdd.flatMap(r => gramHashes(r.getString(0), n))
+        .distinct().collect().toSet
+      val bc = df.sparkSession.sparkContext.broadcast(grams)
+      // read the broadcast once per task, not per row (SoftReference +
+      // global-lock re-deserialization trap; see bloomDecontaminate)
+      val probe = udf(new (String => Boolean) with Serializable {
+        @transient private lazy val set = bc.value
+        def apply(t: String): Boolean = {
+          val hs = gramHashes(t, n)
+          var i = 0
+          while (i < hs.length) { if (set.contains(hs(i))) return true; i += 1 }
+          false
+        }
+      })
+      df.withColumn("is_contaminated", probe(col(textCol)))
+    } else {
+      val gramUdf = udf((t: String) => gramHashes(t, n))
+      val benchGrams = bench.select(explode(gramUdf(col(benchTextCol))).as("_g"))
+        .distinct()
+      val docGrams = df.select(col(textCol).as("_t"))
+        // uniquely tag rows by the full text hash: the join-back key.
+        // (Callers with an id column can pre-project; text hash keeps the
+        // API symmetric with the broadcast path.)
+        .withColumn("_k", xxhash64(col("_t")))
+        .select(col("_k"), explode(gramUdf(col("_t"))).as("_g"))
+      val contaminatedKeys = docGrams.join(benchGrams, "_g")
+        .select("_k").distinct()
+      df.join(contaminatedKeys,
+          xxhash64(col(textCol)) === contaminatedKeys("_k"), "left")
+        .withColumn("is_contaminated", col("_k").isNotNull)
+        .drop("_k")
+    }
+  }
+
+  /** Survivors only: drops contaminated docs. */
+  def filter(df: DataFrame, textCol: String,
+             bench: DataFrame, benchTextCol: String,
+             n: Int = 13, broadcast: Boolean = true): DataFrame =
+    mark(df, textCol, bench, benchTextCol, n, broadcast)
+      .filter(!col("is_contaminated")).drop("is_contaminated")
+}

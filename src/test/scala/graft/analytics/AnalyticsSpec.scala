@@ -297,6 +297,25 @@ class SamplingSpec extends SparkSpec {
     assert(a.size == 40 && a == b)
   }
 
+  test("per-domain cap bounds every registrable domain, deterministically") {
+    // cap is per eTLD+1: every subdomain of hot.com counts against ONE
+    // quota, while each coldN.com keeps its own
+    val pages = ((0 until 24).map(i => (s"https://sub$i.hot.com/p/$i", s"page $i"))
+      ++ (0 until 10).map(i => (s"https://www.cold$i.com/p/$i", s"cold $i")))
+      .toDF("url", "text")
+    val capped = Sampling.perDomainCap(pages, "url", cap = 3, keyCols = Seq("url"))
+    val perDomain = capped
+      .withColumn("d", udf((u: String) => graft.text.DomainOf.registrable(u))
+        .apply(col("url")))
+      .groupBy("d").count().as[(String, Long)].collect().toMap
+    assert(perDomain("hot.com") == 3, s"hot domain not capped: $perDomain")
+    assert((0 until 10).forall(i => perDomain(s"cold$i.com") == 1))
+    // deterministic across reruns
+    val again = Sampling.perDomainCap(pages, "url", cap = 3, keyCols = Seq("url"))
+      .select("url").as[String].collect().toSet
+    assert(again == capped.select("url").as[String].collect().toSet)
+  }
+
   test("stratified quota respects per-stratum cap") {
     val s = Sampling.stratifiedQuota(docs, "lang", 5, Seq("text"))
     val byLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap

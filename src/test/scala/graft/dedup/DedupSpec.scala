@@ -68,6 +68,45 @@ class ExactDedupSpec extends SparkSpec {
     assert(ids == expected)
   }
 
+  test("ngram decontamination drops partial inclusion, keeps clean docs") {
+    // the case exact-text decontamination cannot catch: a benchmark
+    // question QUOTED inside a larger page
+    val benchQ = "what is the capital of france in europe"
+    val bench = Seq(benchQ).toDF("text")
+    val corpus = Seq(
+      ("quoted", s"some page intro $benchQ and trailing commentary here"),
+      ("clean", "a completely unrelated page about cooking pasta dishes tonight"),
+      ("short-overlap", "the capital of france appears but only four words align")
+    ).toDF("id", "text")
+    val marked = Decontaminate.mark(corpus, "text", bench, "text", n = 8)
+      .select("id", "is_contaminated").as[(String, Boolean)].collect().toMap
+    assert(marked("quoted"), "8-gram inclusion must mark contaminated")
+    assert(!marked("clean"))
+    assert(!marked("short-overlap"), "sub-n overlap must not mark")
+  }
+
+  test("ngram decontamination broadcast and join paths agree") {
+    val pages = graft.pipeline.Synth.pages(spark, 200L)
+      .select(col("url"), col("text"), col("warc_ts"))
+    val cut = graft.pipeline.Synth.tsOf(20)
+    val bench = pages.filter(col("warc_ts") < cut).select("text")
+    val benchFirst = bench.as[String].head()
+    val corpus = pages.filter(col("warc_ts") >= cut).select("url", "text")
+      .unionByName(Seq(
+        ("planted-contaminated", s"intro words then $benchFirst trailing text"),
+        ("planted-clean", "entirely fresh words never seen in any benchmark row"))
+        .toDF("url", "text"))
+    def survivors(broadcastPath: Boolean) =
+      Decontaminate.filter(corpus, "text", bench, "text", n = 13,
+        broadcast = broadcastPath)
+        .select("url").as[String].collect().toSet
+    val b = survivors(true)
+    val j = survivors(false)
+    assert(b == j, s"paths disagree: ${(b diff j) ++ (j diff b)}")
+    assert(!b.contains("planted-contaminated"))
+    assert(b.contains("planted-clean"))
+  }
+
   test("strong key is sha256 of '|'-joined columns (reference parity)") {
     val df = Seq(("a", "b")).toDF("c1", "c2")
     val h = df.select(ExactDedup.strongKey(Seq($"c1", $"c2")).as("h"))
