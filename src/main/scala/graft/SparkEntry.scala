@@ -415,6 +415,18 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Token-budget corpus cut (M-family extension): keep docs in
+    // md5-hash order while the running word-token total stays <= 5000.
+    // Runs the two-scan bucketed scale path; the oracle replays the
+    // naive cumulative window it must equal bit-for-bit.
+    "q_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      graft.analytics.Sampling.tokenBudget(d, "toks", 5000L,
+        md5(col("text")), Seq("doc_id"))
+        .select("doc_id")
+    }),
+
     // Benchmark decontamination by word n-gram overlap (GPT-3/PaLM-style
     // 13-gram collision removal; n=4 here so the fixture's 31-word vocab
     // produces real cross-doc collisions — 36 contaminated docs, not
@@ -684,6 +696,14 @@ object SparkEntry {
         |CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
         |  AS bpe_tokens
         |FROM documents""".stripMargin,
+
+    "q_token_budget" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    sum(len(string_split(text, ' ')))
+        |      OVER (ORDER BY md5(text), doc_id ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM documents)
+        |WHERE c <= 5000""".stripMargin,
 
     "q_ngram_decontaminate" ->
       """WITH w AS (SELECT doc_id, source,

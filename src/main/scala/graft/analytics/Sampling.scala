@@ -74,4 +74,64 @@ object Sampling {
       floor(col(numCol) / binWidth).cast("long"))
     stratifiedQuota(binned, "_bin", quota, keyCols, seed).drop("_bin")
   }
+
+  /** Token-budget cut — "give me exactly ≤ N training tokens": keep
+    * documents, in deterministic `orderCol` order (tie-broken by
+    * `tieCols`), while the RUNNING token total stays ≤ `budget`. The
+    * standard corpus-assembly final cut.
+    *
+    * Semantics are exactly `cumsum(tokens) OVER (ORDER BY orderCol,
+    * tieCols) <= budget` — but the naive window serializes the whole
+    * corpus through ONE task after a global sort. Scale path instead:
+    *
+    *  1. One partial-agg pass sums tokens per ORDER-PRESERVING bucket
+    *     (the `prefixLen`-char prefix of the order key — string-prefix
+    *     buckets sort exactly like the full keys across buckets). The
+    *     driver prefix-sums the ≤ 16^prefixLen bucket totals and locates
+    *     the boundary bucket where the budget is crossed.
+    *  2. Buckets before the boundary are kept WHOLESALE (no sort at
+    *     all), buckets after are dropped, and only the boundary bucket's
+    *     rows — ~corpus/(16^prefixLen) — run the exact cumulative window
+    *     against the remaining budget.
+    *
+    * Two scans, no global sort, bit-identical to the naive window
+    * (oracle-checked). `orderCol` should be a deterministic uniformly
+    * distributed string (e.g. `md5(text)`); `tieCols` must make the
+    * order total or the boundary cut is ambiguous.
+    */
+  def tokenBudget(df: DataFrame, tokenCol: String, budget: Long,
+                  orderCol: Column, tieCols: Seq[String],
+                  prefixLen: Int = 3): DataFrame = {
+    val withKeys = df
+      .withColumn("_o", orderCol.cast("string"))
+      .withColumn("_b", substring(col("_o"), 1, prefixLen))
+    val totals = withKeys.groupBy("_b")
+      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .orderBy("_b")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var acc = 0L
+    var boundary: Option[String] = None
+    totals.foreach { case (b, t) =>
+      if (boundary.isEmpty) {
+        if (acc + t <= budget) acc += t
+        else boundary = Some(b)
+      }
+    }
+    val result = boundary match {
+      case None => withKeys // whole corpus fits the budget
+      case Some(bb) =>
+        val wholesale = withKeys.filter(col("_b") < lit(bb))
+        // exact window over the boundary bucket only (tiny slice); the
+        // empty partitionBy is safe — only ~1/16^prefixLen of rows enter
+        val w = Window
+          .orderBy(col("_o") +: tieCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundaryKept = withKeys.filter(col("_b") === lit(bb))
+          .withColumn("_c", sum(col(tokenCol).cast("long")).over(w))
+          .filter(col("_c") <= lit(budget - acc))
+          .drop("_c")
+        wholesale.unionByName(boundaryKept)
+    }
+    result.drop("_o", "_b")
+  }
 }

@@ -323,6 +323,28 @@ class SamplingSpec extends SparkSpec {
     assert(byLang.keySet == docs.select("lang").distinct().as[String].collect().toSet)
   }
 
+  test("token budget cut is bit-identical to the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Synth.pages(spark, 300L)
+      .select(col("url"), col("text"))
+      .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
+    def naive(budget: Long): Set[String] = {
+      val w = Window.orderBy(md5(col("text")), col("url"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("_c", sum(col("toks")).over(w))
+        .filter(col("_c") <= budget).select("url").as[String].collect().toSet
+    }
+    def scaled(budget: Long): Set[String] =
+      Sampling.tokenBudget(docs, "toks", budget, md5(col("text")), Seq("url"))
+        .select("url").as[String].collect().toSet
+    val total = docs.agg(sum("toks")).as[Long].head()
+    for (budget <- Seq(0L, 137L, 1000L, total / 3, total - 1, total, total + 10)) {
+      assert(scaled(budget) == naive(budget), s"mismatch at budget=$budget")
+    }
+    // sanity: a mid budget keeps a strict subset
+    assert(scaled(total / 3).nonEmpty && scaled(total / 3).size < 300)
+  }
+
   test("train/val split partitions every stratum near the target fraction") {
     val (tr, va) = Sampling.trainValSplit(docs, "lang", 0.8, Seq("text"))
     assert(tr.count() + va.count() == docs.count())
