@@ -415,6 +415,16 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Sequence packing (rows-only: stateful greedy fold per partition;
+    // invariants pinned in AnalyticsSpec — see SURVEY §2.12 ledger)
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      graft.analytics.Sampling.packSequences(d, "toks", maxTokens = 500L,
+        keyCols = Seq("doc_id"), numPartitions = 8)
+        .select("doc_id", "doc_tokens", "seq_id", "seq_tokens")
+    }),
+
     // Token-budget corpus cut (M-family extension): keep docs in
     // md5-hash order while the running word-token total stays <= 5000.
     // Runs the two-scan bucketed scale path; the oracle replays the

@@ -1,8 +1,11 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Deterministic sampling — reimplements the reference's sampling family
   * (/root/reference/utils/sample.py:11-27 uniform n-sample,
@@ -133,5 +136,77 @@ object Sampling {
         wholesale.unionByName(boundaryKept)
     }
     result.drop("_o", "_b")
+  }
+
+  /** Greedy sequence packing — group documents into training sequences
+    * of at most `maxTokens` tokens each (the concat-and-pack step every
+    * LLM pretraining pipeline runs before tokenization). Adds `seq_id`
+    * (the sequence a doc landed in) and `seq_tokens` (that sequence's
+    * token total) to the projection `keyCols` + `tokenCol`.
+    *
+    * Scale design: packing is inherently sequential, so it runs PER
+    * PARTITION — rows are range-partitioned and sorted by a seeded
+    * content hash (deterministic for a fixed `numPartitions`), then one
+    * `mapPartitions` pass packs greedily with one-bin buffering (bounded
+    * memory). No global sort, no driver state; the only waste is ≤ one
+    * partial sequence per partition, negligible at corpus scale. A doc
+    * longer than `maxTokens` becomes a singleton sequence (callers
+    * truncate/segment first — `Segmenter.segment` — if that matters).
+    *
+    * Not SQL-expressible (stateful greedy fold) → invariants are pinned
+    * in AnalyticsSpec: exact row preservation, per-sequence budget,
+    * determinism at fixed parallelism.
+    */
+  def packSequences(df: DataFrame, tokenCol: String, maxTokens: Long,
+                    keyCols: Seq[String], numPartitions: Int = 0,
+                    seed: Long = 42L): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val proj = df.select(
+      keyCols.map(col) ++ Seq(col(tokenCol).cast("long").as("_toks"),
+        hashOrder(keyCols.map(col), seed).as("_h")): _*)
+    val arranged = proj.repartitionByRange(parts, col("_h"))
+      .sortWithinPartitions("_h")
+    val outSchema = StructType(arranged.schema.fields.filterNot(_.name == "_h")
+      ++ Seq(StructField("seq_id", StringType, nullable = false),
+        StructField("seq_tokens", LongType, nullable = false)))
+    val hIdx = arranged.schema.fieldIndex("_h")
+    val tIdx = arranged.schema.fieldIndex("_toks")
+    arranged.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var seqIdx = -1
+      new Iterator[Row] {
+        private var pending: Row = if (rows.hasNext) rows.next() else null
+        private var queue: Iterator[Row] = Iterator.empty
+        private def fillSeq(): Unit = {
+          seqIdx += 1
+          val buf = ArrayBuffer.empty[Row]
+          var acc = 0L
+          var open = true
+          while (open && pending != null) {
+            val t = pending.getLong(tIdx)
+            if (buf.isEmpty || acc + t <= maxTokens) {
+              buf += pending; acc += t
+              pending = if (rows.hasNext) rows.next() else null
+            } else open = false
+          }
+          val id = s"p$pid-s$seqIdx"
+          queue = buf.iterator.map { r =>
+            val base = r.toSeq.zipWithIndex.collect {
+              case (v, i) if i != hIdx => v
+            }
+            Row.fromSeq(base ++ Seq(id, acc))
+          }
+        }
+        def hasNext: Boolean = queue.hasNext || pending != null
+        def next(): Row = {
+          if (!queue.hasNext) fillSeq()
+          queue.next()
+        }
+      }
+    }(Encoders.row(outSchema))
+      .withColumnRenamed("_toks", "doc_tokens")
   }
 }

@@ -345,6 +345,36 @@ class SamplingSpec extends SparkSpec {
     assert(scaled(total / 3).nonEmpty && scaled(total / 3).size < 300)
   }
 
+  test("sequence packing preserves rows, respects budget, deterministic") {
+    val docs = Synth.pages(spark, 250L)
+      .select(col("url"), size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val packed = Sampling.packSequences(docs, "toks", maxTokens = 300L,
+      keyCols = Seq("url"), numPartitions = 7).cache()
+    // every doc appears exactly once
+    val urls = packed.select("url").as[String].collect()
+    assert(urls.length == 250 && urls.toSet.size == 250)
+    // per-sequence token sums: recomputed == reported == within budget
+    // (unless a singleton doc exceeds it on its own)
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("doc_tokens").as("s"), first("seq_tokens").as("rep"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    seqs.foreach { case (id, s, rep, n) =>
+      assert(s == rep, s"reported total wrong for $id")
+      assert(s <= 300L || n == 1L, s"sequence $id over budget with $n docs")
+    }
+    // real packing happened (docs ~30-90 tokens → several per sequence)
+    assert(seqs.length < 250 / 2)
+    // deterministic at fixed parallelism
+    val again = Sampling.packSequences(docs, "toks", 300L, Seq("url"),
+      numPartitions = 7)
+      .select("url", "seq_id").as[(String, String)].collect().toMap
+    val firstRun = packed.select("url", "seq_id")
+      .as[(String, String)].collect().toMap
+    assert(again == firstRun)
+    packed.unpersist()
+  }
+
   test("train/val split partitions every stratum near the target fraction") {
     val (tr, va) = Sampling.trainValSplit(docs, "lang", 0.8, Seq("text"))
     assert(tr.count() + va.count() == docs.count())
