@@ -118,3 +118,55 @@ object DedupProperties extends Properties("dedup") {
         MinHash.bandHashesOf(padded, cfg).toSeq
     }
 }
+
+/** Robustness properties for the hand-rolled single-pass HTML scanner —
+  * hand-rolled parsers fail on pathological input, so the invariants are
+  * pinned against arbitrary tag soup, not just well-formed fixtures.
+  */
+object HtmlProperties extends Properties("html") {
+  import graft.text.HtmlExtract
+
+  private val fragGen: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("plain words here", "more body text", "x", ""),
+    3 -> Gen.oneOf("<p>", "</p>", "<div>", "</div>", "<br/>", "<a href='x'>",
+      "</a>", "<b>", "</b>", "<script>", "</script>", "<style>", "</style>",
+      "<nav>", "</nav>"),
+    2 -> Gen.oneOf("<!--", "-->", "<", ">", "&", "&amp;", "&#65;", "&#xZZ;",
+      "&bogus;", "&unterminated"),
+    1 -> Gen.oneOf("<p", "</", "<>", "<!", "<ScRiPt>", "</sCrIpT>",
+      "< p >", "<a href=\"unclosed")
+  )
+  private val soupGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    fs <- Gen.listOfN(n, fragGen)
+  } yield fs.mkString(" ")
+
+  property("never throws on arbitrary tag soup, output is tag-free") =
+    forAll(soupGen) { html =>
+      val out = HtmlExtract.extract(html, minWords = 1)
+      // no structural markup survives: every '<tag>' span was consumed.
+      // (bare '<'/'>' in TEXT position pass through by design, matching
+      // browser error recovery for non-tag-like input; the generator's
+      // "<p"-style truncated tags at EOF also legitimately vanish.)
+      !out.contains("<p>") && !out.contains("</p>") && !out.contains("<div>")
+    }
+
+  property("extraction is deterministic") = forAll(soupGen) { html =>
+    HtmlExtract.extract(html) == HtmlExtract.extract(html)
+  }
+
+  property("script/style/nav content never leaks") =
+    forAll(Gen.oneOf("script", "style", "nav"),
+      Gen.const("SECRETTOKEN leaked content words")) { (tag, payload) =>
+      val html = s"<p>visible words stay here</p><$tag><p>$payload</p></$tag>"
+      val out = HtmlExtract.extract(html, minWords = 1)
+      out.contains("visible") && !out.contains("SECRETTOKEN")
+    }
+
+  property("plain text with no markup passes through (ws-collapsed)") =
+    forAll(Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "words"))) { ws =>
+      val text = ws.mkString(" ")
+      val out = HtmlExtract.extract(text, minWords = 0)
+      out == text.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    }
+}
