@@ -71,6 +71,52 @@ object JudgeScorer {
       when(isValid(col(scoreCol), maxScore), col(scoreCol).cast("int"))
         .otherwise(scorer(col(textCol))))
 
+  /** Wrap an external BATCH transport (the reference's HTTP judge
+    * endpoint shape — llm_judge.py:102-173 scores texts in batches with
+    * a failed-batch retry queue) as a scoring stage. Per partition,
+    * texts stream through `transport` in `batchSize` groups (bounded
+    * memory: one batch buffered at a time); a transport failure or
+    * malformed answer (None) lands as the reference's `-1` error marker,
+    * which [[repair]] — the engine's retry queue — re-scores on the next
+    * pass, touching ONLY the failed rows. So the reference's
+    * score-with-retries flow is `scoreBatched` → `repair*`, and the
+    * HTTP/threading itself stays out of engine scope: any `Seq[String]
+    * => Seq[Option[Int]]` plugs in.
+    */
+  def scoreBatched(df: DataFrame,
+                   transport: Seq[String] => Seq[Option[Int]],
+                   textCol: String = "text",
+                   scoreCol: String = "judge_score",
+                   batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val inSchema = df.schema
+    val tIdx = inSchema.fieldIndex(textCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields.filterNot(_.name == scoreCol) :+
+        org.apache.spark.sql.types.StructField(scoreCol,
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    val dropIdx =
+      if (inSchema.fieldNames.contains(scoreCol)) inSchema.fieldIndex(scoreCol)
+      else -1
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val scores =
+          try transport(batch.map(r => r.getString(tIdx)))
+          catch { case scala.util.control.NonFatal(_) =>
+            Seq.fill(batch.size)(None) }
+        val padded =
+          if (scores.length == batch.size) scores
+          else Seq.fill(batch.size)(None) // size-mismatched answer = failed
+        batch.zip(padded).map { case (r, s) =>
+          val base = r.toSeq.zipWithIndex.collect {
+            case (v, i) if i != dropIdx => v
+          }
+          org.apache.spark.sql.Row.fromSeq(base :+ s.getOrElse(-1))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Score distribution — count and within-group share per score value,
     * globally (`groupCols` empty) or per group (the reference's per-file
     * stats; llm_judge.py:345-416 prints count + pct per score). One

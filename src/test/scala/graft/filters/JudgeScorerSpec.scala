@@ -71,6 +71,42 @@ class JudgeScorerSpec extends SparkSpec {
     assert(repaired.exceptAll(scored).count() == 0)
   }
 
+  test("batched transport scoring: batch shape, failure markers, repair retry") {
+    // a transport that records batch sizes and fails on texts with 'z'
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("sizes")
+    val transport: Seq[String] => Seq[Option[Int]] = { texts =>
+      batchSizes.add(texts.size)
+      texts.map(t => if (t.contains("z")) None else Some(t.length % 6))
+    }
+    val docs5 = docs.repartition(1) // deterministic batching for the test
+    val scored = JudgeScorer.scoreBatched(docs5, transport, batchSize = 2)
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    // 'lazy' (doc 1) contains z → failed → -1 error marker
+    assert(scored(1L) == -1)
+    assert(scored(3L) == "short".length % 6)
+    // batches respected the size cap
+    batchSizes.value.forEach(s => assert(s <= 2))
+    // the reference's retry queue == repair over the failed markers:
+    // only doc 1 is invalid, and one repair pass fixes exactly it
+    val planted = docs.withColumn("judge_score",
+      when($"doc_id" === 1, lit(-1)).otherwise(lit(2)))
+    val repaired = JudgeScorer.repair(planted, JudgeScorer.stubScorer())
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    assert(repaired(1L) >= 0 && repaired(2L) == 2)
+  }
+
+  test("batched transport that throws or answers malformed marks the batch") {
+    val transport: Seq[String] => Seq[Option[Int]] = { texts =>
+      if (texts.exists(_.contains("elephant"))) throw new RuntimeException("502")
+      else Seq.empty // malformed (wrong-size) answer for non-throwing batches
+    }
+    val scored = JudgeScorer.scoreBatched(docs.repartition(1), transport,
+      batchSize = 2)
+      .select("doc_id", "judge_score").as[(Long, Int)].collect()
+    // every batch either threw or answered the wrong size → all -1
+    assert(scored.forall(_._2 == -1))
+  }
+
   test("distribution shares sum to 1 per group; counts sum to N") {
     val df = Seq(
       ("en", 5), ("en", 5), ("en", 3), ("en", 1),
