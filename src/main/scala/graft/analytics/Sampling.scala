@@ -108,10 +108,20 @@ object Sampling {
     val withKeys = df
       .withColumn("_o", orderCol.cast("string"))
       .withColumn("_b", substring(col("_o"), 1, prefixLen))
-    val totals = withKeys.groupBy("_b")
+    // bounded driver collect: for a hex order key the bucket count is
+    // ≤ 16^prefixLen; an arbitrary orderCol could explode it, so the
+    // collect is capped and over-cardinality fails loudly instead of
+    // OOMing the driver (shorten prefixLen or hash the order key).
+    val maxBuckets = 1 << 20
+    val rows = withKeys.groupBy("_b")
       .agg(sum(col(tokenCol).cast("long")).as("_t"))
       .orderBy("_b")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .limit(maxBuckets + 1)
+      .collect()
+    require(rows.length <= maxBuckets,
+      s"tokenBudget: > $maxBuckets distinct order-key prefixes at " +
+        s"prefixLen=$prefixLen — use a hash-valued orderCol or a shorter prefix")
+    val totals = rows.map(r => (r.getString(0), r.getLong(1)))
     var acc = 0L
     var boundary: Option[String] = None
     totals.foreach { case (b, t) =>

@@ -52,15 +52,29 @@ object Decontaminate {
     out
   }
 
+  /** Ceiling on the broadcast path's collected benchmark gram-hash set:
+    * 64M longs ≈ 512 MB on the driver — real eval benchmarks are far
+    * below it. Crossing it fails with a pointer to `broadcast = false`
+    * instead of silently OOMing the driver (the Similarity.MaxHotKeys
+    * lesson applied at design time).
+    */
+  val MaxBroadcastGrams: Long = 64L * 1024 * 1024
+
   /** Adds `is_contaminated` (doc shares ≥1 word n-gram with `bench`). */
   def mark(df: DataFrame, textCol: String,
            bench: DataFrame, benchTextCol: String,
            n: Int = 13, broadcast: Boolean = true): DataFrame = {
     if (broadcast) {
-      val grams: Set[Long] = bench.select(col(benchTextCol))
+      val gramRdd = bench.select(col(benchTextCol))
         .na.drop()
         .rdd.flatMap(r => gramHashes(r.getString(0), n))
-        .distinct().collect().toSet
+        .distinct()
+      val nGrams = gramRdd.count()
+      require(nGrams <= MaxBroadcastGrams,
+        s"benchmark has $nGrams distinct $n-grams (> $MaxBroadcastGrams); " +
+          "too large to broadcast — call with broadcast = false for the " +
+          "semi-join path")
+      val grams: Set[Long] = gramRdd.collect().toSet
       val bc = df.sparkSession.sparkContext.broadcast(grams)
       // read the broadcast once per task, not per row (SoftReference +
       // global-lock re-deserialization trap; see bloomDecontaminate)
