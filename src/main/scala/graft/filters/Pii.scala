@@ -57,14 +57,44 @@ object Pii {
     true
   }
 
+  // Each regex pass is gated on a cheap char probe that is a strict
+  // SUPERSET of "the regex can match" — clean documents (the common
+  // case) skip the regex engine entirely. Even precompiled
+  // java.util.regex matching measures ~35x slower than char loops
+  // inside the 32-thread executor pool on this class of host (BENCH.md
+  // round-1 findings; round-3 jstack showed Pii inside ~1/3 of analyze
+  // samples), so the probes are hand-rolled scans, not patterns.
+
+  /** True iff text contains digit '.' digit somewhere — necessary for
+    * any IPv4 match.
+    */
+  private def hasDottedDigit(text: String): Boolean = {
+    var i = 1
+    val n = text.length
+    while (i < n - 1) {
+      if (text.charAt(i) == '.' &&
+          text.charAt(i - 1) >= '0' && text.charAt(i - 1) <= '9' &&
+          text.charAt(i + 1) >= '0' && text.charAt(i + 1) <= '9') return true
+      i += 1
+    }
+    false
+  }
+
   def scrubEmails(text: String): String =
-    EmailRe.replaceAllIn(text, EmailReplacement)
+    if (text.indexOf('@') < 0) text // no '@' → no email
+    else EmailRe.replaceAllIn(text, EmailReplacement)
 
   def scrubIps(text: String): String =
-    Ipv4Re.replaceAllIn(text, m =>
+    if (!hasDottedDigit(text)) text
+    else Ipv4Re.replaceAllIn(text, m =>
       if (isGlobalIpv4(m.group(1))) IpReplacement else m.group(1))
 
   def scrubToxic(text: String, words: Seq[String] = DefaultToxicWords): String = {
+    // ASCII-case-insensitive regex hits imply the unicode-lowercased
+    // text contains the (lowercase) word — intrinsified contains scans
+    // are a superset probe
+    val lower = text.toLowerCase
+    if (!words.exists(lower.contains)) return text
     val re = if (words eq DefaultToxicWords) defaultToxicRe else toxicRe(words)
     re.replaceAllIn(text, java.util.regex.Matcher.quoteReplacement(ToxicReplacement))
   }

@@ -183,10 +183,10 @@ object TextStats {
   private def topNgramCharFrac(ws: Array[String], hs: Array[Long], n: Int,
                                totWordChars: Int): Double = {
     if (ws.length < n || totWordChars == 0) return 0.0
-    // presized to the exact n-gram count: the default 16-slot map repacks
-    // ~log2(ngrams) times per doc per n — jstack showed LongMap.repack as
-    // a top executor frame on the analyze hot path (round-3 profile)
-    val counts = new mutable.LongMap[Int](ws.length - n + 1)
+    // presized to 2× the n-gram count: LongMap repacks at ~50% load, so
+    // exact-count sizing still rehashed once at the end (confirmed by a
+    // second jstack pass); 2× clears the load factor for the whole doc
+    val counts = new mutable.LongMap[Int](2 * (ws.length - n + 1))
     var best = 0.0
     var i = 0
     while (i + n <= ws.length) {
@@ -212,7 +212,7 @@ object TextStats {
                                totWordChars: Int, dupWordIdx: Array[Boolean]): Double = {
     if (ws.length < n || totWordChars == 0) return 0.0
     java.util.Arrays.fill(dupWordIdx, false)
-    val seen = new mutable.LongMap[Boolean](ws.length - n + 1) // see above
+    val seen = new mutable.LongMap[Boolean](2 * (ws.length - n + 1)) // see above
     var i = 0
     while (i + n <= ws.length) {
       val k = ngramKey(hs, i, n)
