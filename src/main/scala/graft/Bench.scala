@@ -123,13 +123,17 @@ object Bench {
         // scheduling instead of scaling. After the round-2 langid
         // narrowing halved per-doc cost, 640k docs ran only ~40 s at 4
         // cores (measured efficiency collapsed to 0.71 from overhead
-        // dilution alone), so the default is now 40× the flagship size.
+        // dilution alone) → 40×. Round 3's PII gating + LongMap
+        // presizing halved per-doc cost AGAIN (1.6M docs = ~15 s on the
+        // 16-core side, back in scheduling territory; one disturbed
+        // round measured 0.52 with cpu_util confirming dilution), so the
+        // default is now 80× the flagship size (~2 min lo / ~30 s hi).
         // Pairing: cpus/8 → cpus/2 (4→16 on the 32-core sandbox) — still
         // N vs 4N, but leaving headroom dodges the shared VM's all-core
         // frequency / neighbor asymmetry that makes full-machine runs
         // swing 2×.
         val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N",
-          (synthN * 40).toString).toLong
+          (synthN * 80).toString).toLong
         val nLo = math.max(cpus / 8, 1)
         val nHi = math.max(cpus / 2, 4 * nLo)
         val ratio = nHi.toDouble / nLo

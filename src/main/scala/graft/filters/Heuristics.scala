@@ -84,7 +84,7 @@ object Heuristics {
         val cleaned =
           if (lw.contains("citation needed")) CitationRe.replaceAllIn(line, "")
           else line
-        val wc = TextStats.words(cleaned).length
+        val wc = TextStats.countWords(cleaned)
         if (wc < cfg.c4MinWordsPerLine) None
         else if (PolicyPhrases.exists(lw.contains)) None
         else if (cfg.c4FilterNoTerminalPunct &&
@@ -130,7 +130,7 @@ object Heuristics {
       return AnalyzeResult(DropStage.FineWeb, null, 0, st.nWords, st.nChars,
         st.nLines, st.nSentences)
     val finalText = Pii.scrub(c4Text)
-    AnalyzeResult(null, finalText, TextStats.words(finalText).length,
+    AnalyzeResult(null, finalText, TextStats.countWords(finalText),
       st.nWords, st.nChars, st.nLines, st.nSentences)
   }
 }

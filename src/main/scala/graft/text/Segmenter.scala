@@ -85,7 +85,7 @@ object Segmenter {
     true
   }
 
-  private def wordCount(s: String): Int = TextStats.words(s).length
+  private def wordCount(s: String): Int = TextStats.countWords(s)
 
   /** Split an over-long sentence at the latest connective that keeps the
     * head under maxWords; fall back to a hard word split.

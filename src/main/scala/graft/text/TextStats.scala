@@ -102,6 +102,23 @@ object TextStats {
     out.toArray
   }
 
+  /** Word count without materializing the words — counts ws→non-ws
+    * transitions in one char pass (words(t).length allocates a substring
+    * per word just to throw it away).
+    */
+  def countWords(text: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isWs(text.charAt(i))) inWord = false
+      else if (!inWord) { count += 1; inWord = true }
+      i += 1
+    }
+    count
+  }
+
   def lines(text: String): Array[String] = text.split("\n", -1)
 
   def paragraphs(text: String): Array[String] = ParaPat.split(text, -1)

@@ -38,6 +38,9 @@ object TextProperties extends Properties("text") {
     TextStats.words(t).toSeq == spec
   }
 
+  property("countWords == words().length (allocation-free counter)") =
+    forAll(textGen) { t => TextStats.countWords(t) == TextStats.words(t).length }
+
   property("KN tokenize == lowercase [^a-z0-9']+ split spec") =
     forAll(textGen) { t =>
       val lm = KneserNeyLM.train(Seq("a b"))
