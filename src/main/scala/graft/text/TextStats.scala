@@ -127,8 +127,15 @@ object TextStats {
     * `w.toLowerCase.replaceAll("[^a-z]", "")` for stop-word matching.
     */
   private def lettersLower(w: String): String = {
-    val sb = new java.lang.StringBuilder(w.length)
+    // fast path: a word that is already all-lowercase-letters (the
+    // overwhelming majority in body text) is its own result — return
+    // the SAME reference, no allocation (r3 profile: this per-word
+    // StringBuilder was a visible leaf frame)
     var i = 0
+    while (i < w.length && w.charAt(i) >= 'a' && w.charAt(i) <= 'z') i += 1
+    if (i == w.length) return w
+    val sb = new java.lang.StringBuilder(w.length)
+    i = 0
     while (i < w.length) {
       val c = Character.toLowerCase(w.charAt(i))
       if (c >= 'a' && c <= 'z') sb.append(c)
