@@ -175,7 +175,10 @@ object Sampling {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val proj = df.select(
-      keyCols.map(col) ++ Seq(col(tokenCol).cast("long").as("_toks"),
+      keyCols.map(col) ++ Seq(
+        // null-token docs pack as 0-cost members instead of NPE-ing the
+        // partition iterator's getLong
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as("_toks"),
         hashOrder(keyCols.map(col), seed).as("_h")): _*)
     val arranged = proj.repartitionByRange(parts, col("_h"))
       .sortWithinPartitions("_h")

@@ -373,6 +373,13 @@ class SamplingSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(again == firstRun)
     packed.unpersist()
+    // null token values pack as zero-cost members, no NPE
+    val withNulls = docs.withColumn("toks",
+      when(col("url").endsWith("7"), lit(null).cast("long"))
+        .otherwise(col("toks")))
+    val packedN = Sampling.packSequences(withNulls, "toks", 300L, Seq("url"),
+      numPartitions = 4)
+    assert(packedN.count() == 250)
   }
 
   test("train/val split partitions every stratum near the target fraction") {
