@@ -84,12 +84,18 @@ object DomainStats {
   def loadBlocklist(path: String,
                     hadoopConf: org.apache.hadoop.conf.Configuration =
                       new org.apache.hadoop.conf.Configuration()): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    // Path(String) parses its argument as a URI, so a scheme-less local
+    // path containing '#' or '%' would be mangled (fragment split / escape
+    // decode); route those through File.toURI, which escapes correctly
+    val hasScheme = path.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+    val p =
+      if (hasScheme) new org.apache.hadoop.fs.Path(path)
+      else new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
     val fs = p.getFileSystem(hadoopConf)
     val in = new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
     try Iterator.continually(in.readLine()).takeWhile(_ != null)
-      .map(_.trim.toLowerCase)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
     finally in.close()
   }

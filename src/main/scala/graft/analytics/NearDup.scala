@@ -108,7 +108,7 @@ object NearDup {
       .select(col("band"), col("key"), col("salt"),
         col("id").as("id_b"), col("sig").as("sig_b"))
     // materialize verified pairs while the band table is cached, then
-    // release the cache. localCheckpoint (eager), not persist: the
+    // release the cache. SparkUtil.materialize (eager; reliable checkpoint when a cluster checkpoint dir is set, localCheckpoint otherwise), not persist: the
     // returned frame is backed by GC-managed checkpoint blocks that the
     // ContextCleaner releases when the caller drops it — a persist here
     // leaked one permanent CacheManager entry per call in a long-lived
@@ -119,7 +119,7 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
-      .localCheckpoint()
+      .transform(graft.SparkUtil.materialize)
     banded.unpersist(false)
     pairs
   }

@@ -20,6 +20,18 @@ object Sampling {
   private def hashOrder(cols: Seq[Column], seed: Long): Column =
     xxhash64(cols :+ lit(seed): _*)
 
+  /** An internal-column name not already present on `df` — `withColumn`
+    * silently REPLACES an existing column, so a caller frame that happens
+    * to carry e.g. `_rn` or `_b` (this codebase itself propagates
+    * `_bucket`-style working columns between stages) must not lose it.
+    */
+  private def fresh(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
   /** Exact-n uniform sample: rank by seeded content hash, take n.
     * One shuffle (top-n), deterministic for a given seed.
     */
@@ -34,9 +46,10 @@ object Sampling {
                       keyCols: Seq[String], seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(hashOrder(keyCols.map(col), seed), col(keyCols.head))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= quota)
-      .drop("_rn")
+    val rn = fresh(df, "_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quota)
+      .drop(rn)
   }
 
   /** Stratified train/val split: within each stratum, the hash-rank
@@ -47,12 +60,13 @@ object Sampling {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(hashOrder(keyCols.map(col), seed), col(keyCols.head))
     val n = Window.partitionBy(col(stratumCol))
+    val (rn, cn, tr) = (fresh(df, "_rn"), fresh(df, "_n"), fresh(df, "_train"))
     val ranked = df
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_n", count(lit(1)).over(n))
-      .withColumn("_train", col("_rn") <= (col("_n") * trainFrac).cast("int"))
-    (ranked.filter(col("_train")).drop("_rn", "_n", "_train"),
-      ranked.filter(!col("_train")).drop("_rn", "_n", "_train"))
+      .withColumn(rn, row_number().over(w))
+      .withColumn(cn, count(lit(1)).over(n))
+      .withColumn(tr, col(rn) <= (col(cn) * trainFrac).cast("int"))
+    (ranked.filter(col(tr)).drop(rn, cn, tr),
+      ranked.filter(!col(tr)).drop(rn, cn, tr))
   }
 
   /** Corpus balancing: cap documents per registrable domain (the
@@ -63,9 +77,9 @@ object Sampling {
     */
   def perDomainCap(df: DataFrame, urlCol: String, cap: Int,
                    keyCols: Seq[String], seed: Long = 42L): DataFrame = {
-    val domUdf = udf((u: String) => graft.text.DomainOf.registrable(u))
-    stratifiedQuota(df.withColumn("_domain", domUdf(col(urlCol))),
-      "_domain", cap, keyCols, seed).drop("_domain")
+    val dom = fresh(df, "_domain")
+    stratifiedQuota(df.withColumn(dom, DomainStats.registrableUdf(col(urlCol))),
+      dom, cap, keyCols, seed).drop(dom)
   }
 
   /** Histogram-bin stratified sample over a numeric column (the pd.cut
@@ -73,9 +87,10 @@ object Sampling {
     */
   def binQuota(df: DataFrame, numCol: String, binWidth: Double, quota: Int,
                keyCols: Seq[String], seed: Long = 42L): DataFrame = {
-    val binned = df.withColumn("_bin",
+    val bin = fresh(df, "_bin")
+    val binned = df.withColumn(bin,
       floor(col(numCol) / binWidth).cast("long"))
-    stratifiedQuota(binned, "_bin", quota, keyCols, seed).drop("_bin")
+    stratifiedQuota(binned, bin, quota, keyCols, seed).drop(bin)
   }
 
   /** Token-budget cut — "give me exactly ≤ N training tokens": keep
@@ -105,17 +120,18 @@ object Sampling {
   def tokenBudget(df: DataFrame, tokenCol: String, budget: Long,
                   orderCol: Column, tieCols: Seq[String],
                   prefixLen: Int = 3): DataFrame = {
+    val (oc, bc) = (fresh(df, "_o"), fresh(df, "_b"))
     val withKeys = df
-      .withColumn("_o", orderCol.cast("string"))
-      .withColumn("_b", substring(col("_o"), 1, prefixLen))
+      .withColumn(oc, orderCol.cast("string"))
+      .withColumn(bc, substring(col(oc), 1, prefixLen))
     // bounded driver collect: for a hex order key the bucket count is
     // ≤ 16^prefixLen; an arbitrary orderCol could explode it, so the
     // collect is capped and over-cardinality fails loudly instead of
     // OOMing the driver (shorten prefixLen or hash the order key).
     val maxBuckets = 1 << 20
-    val rows = withKeys.groupBy("_b")
+    val rows = withKeys.groupBy(bc)
       .agg(sum(col(tokenCol).cast("long")).as("_t"))
-      .orderBy("_b")
+      .orderBy(bc)
       .limit(maxBuckets + 1)
       .collect()
     require(rows.length <= maxBuckets,
@@ -133,19 +149,20 @@ object Sampling {
     val result = boundary match {
       case None => withKeys // whole corpus fits the budget
       case Some(bb) =>
-        val wholesale = withKeys.filter(col("_b") < lit(bb))
+        val wholesale = withKeys.filter(col(bc) < lit(bb))
         // exact window over the boundary bucket only (tiny slice); the
         // empty partitionBy is safe — only ~1/16^prefixLen of rows enter
         val w = Window
-          .orderBy(col("_o") +: tieCols.map(col): _*)
+          .orderBy(col(oc) +: tieCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val boundaryKept = withKeys.filter(col("_b") === lit(bb))
-          .withColumn("_c", sum(col(tokenCol).cast("long")).over(w))
-          .filter(col("_c") <= lit(budget - acc))
-          .drop("_c")
+        val cum = fresh(withKeys, "_c")
+        val boundaryKept = withKeys.filter(col(bc) === lit(bb))
+          .withColumn(cum, sum(col(tokenCol).cast("long")).over(w))
+          .filter(col(cum) <= lit(budget - acc))
+          .drop(cum)
         wholesale.unionByName(boundaryKept)
     }
-    result.drop("_o", "_b")
+    result.drop(oc, bc)
   }
 
   /** Greedy sequence packing — group documents into training sequences
@@ -171,6 +188,11 @@ object Sampling {
                     keyCols: Seq[String], numPartitions: Int = 0,
                     seed: Long = 42L): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    // the projection introduces these names; a keyCol sharing one would
+    // silently shadow or become ambiguous downstream
+    val reserved = Set("_toks", "_h", "seq_id", "seq_tokens", "doc_tokens")
+    require(!keyCols.exists(reserved), s"keyCols may not use reserved " +
+      s"names ${reserved.mkString(", ")} (got ${keyCols.mkString(", ")})")
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -137,7 +137,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-      .localCheckpoint()
+      .transform(graft.SparkUtil.materialize)
     withBuckets.unpersist(false)
 
     // exact verify: vectors rejoin by id AFTER pair dedup, so each vector

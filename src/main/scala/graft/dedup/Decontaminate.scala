@@ -74,16 +74,24 @@ object Decontaminate {
         s"benchmark has $nGrams distinct $n-grams (> $MaxBroadcastGrams); " +
           "too large to broadcast — call with broadcast = false for the " +
           "semi-join path")
-      val grams: Set[Long] = gramRdd.collect().toSet
+      // sorted primitive array + binary search, NOT a Set[Long]: boxed
+      // hash-set entries cost 40-80 B each (3-5 GB at the cap, defeating
+      // the guard's 512 MB math); the array is exactly 8 B per gram on
+      // the driver and on every executor
+      val grams: Array[Long] = gramRdd.collect()
+      java.util.Arrays.sort(grams)
       val bc = df.sparkSession.sparkContext.broadcast(grams)
       // read the broadcast once per task, not per row (SoftReference +
       // global-lock re-deserialization trap; see bloomDecontaminate)
       val probe = udf(new (String => Boolean) with Serializable {
-        @transient private lazy val set = bc.value
+        @transient private lazy val sorted = bc.value
         def apply(t: String): Boolean = {
           val hs = gramHashes(t, n)
           var i = 0
-          while (i < hs.length) { if (set.contains(hs(i))) return true; i += 1 }
+          while (i < hs.length) {
+            if (java.util.Arrays.binarySearch(sorted, hs(i)) >= 0) return true
+            i += 1
+          }
           false
         }
       })

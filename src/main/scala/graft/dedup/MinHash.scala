@@ -271,7 +271,7 @@ object MinHash {
     *
     * Each round is two edge-label equi-joins + one partial-agg groupBy +
     * one label self-join, all on the duplicate subgraph only (tiny
-    * relative to the corpus), with localCheckpoint to cut lineage.
+    * relative to the corpus), with SparkUtil.materialize (checkpoint / localCheckpoint) to cut lineage.
     */
   def clusters(edges: DataFrame,
                driverMaxEdges: Long = DriverCcMaxEdges,
@@ -302,7 +302,7 @@ object MinHash {
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     var labels = vertices.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+      .transform(graft.SparkUtil.materialize)
     var converged = false
     var iter = 0
     while (!converged) {
@@ -317,12 +317,12 @@ object MinHash {
         .select(col("dst").as("id"), col("lbl"))
       val byDst = e.join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("lbl"))
-      // localCheckpoint (not persist): truncates the logical plan each
+      // SparkUtil.materialize (not persist): truncates the logical plan each
       // round, otherwise the iterated union/join lineage grows without
       // bound and planning itself OOMs after ~10 rounds
       val relaxed = labels.union(bySrc).union(byDst)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .transform(graft.SparkUtil.materialize)
       // pointer-doubling shortcut: lbl ← lbl(lbl). Every label is a
       // vertex id, so the left join always matches; coalesce guards the
       // invariant anyway.
@@ -330,7 +330,7 @@ object MinHash {
         .join(relaxed.select(col("id").as("lbl"), col("lbl").as("_lbl2")),
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("_lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.SparkUtil.materialize)
       val changed = next.as("n")
         .join(labels.as("o"), Seq("id"))
         .filter(col("n.lbl") =!= col("o.lbl"))

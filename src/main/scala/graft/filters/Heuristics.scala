@@ -68,7 +68,7 @@ object Heuristics {
     * disabled in the reference run (filter_no_terminal_punct=False).
     */
   def c4Process(text: String, cfg: HeuristicConfig): (String, Boolean) = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     if (lower.contains("lorem ipsum") || text.contains("{")) return (text, true)
     // single flatMap: the citation scrub runs AT MOST ONCE per line (the
     // old filter+map shape ran the regex twice per kept line), and the
@@ -80,7 +80,7 @@ object Heuristics {
       val t = line.trim
       if (t.isEmpty) Some(line)
       else {
-        val lw = t.toLowerCase
+        val lw = t.toLowerCase(java.util.Locale.ROOT)
         val cleaned =
           if (lw.contains("citation needed")) CitationRe.replaceAllIn(line, "")
           else line

@@ -48,7 +48,7 @@ class FastTextModel(
     * lowercased text with boundary padding — the lid-style feature space.
     */
   private def charFeatures(text: String, maxChars: Int): Array[Int] = {
-    val t = " " + text.toLowerCase.take(maxChars) + " "
+    val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(maxChars) + " "
     // raw int array (an ArrayBuffer[Int] boxes every element — ~3 boxed
     // Integers per char adds up at 50k docs/s): exact capacity is ≤ 3L-3
     val buf = new Array[Int](t.length * 3)
@@ -72,7 +72,7 @@ class FastTextModel(
     * hash with a multiplicative combine, as in fastText's addWordNgrams).
     */
   private def wordFeatures(text: String, maxChars: Int): Array[Int] = {
-    val t = text.toLowerCase.take(maxChars)
+    val t = text.toLowerCase(java.util.Locale.ROOT).take(maxChars)
     // split on whitespace without a regex (precompiled-Pattern trap at 32
     // executor threads — see KneserNeyLM.tokenize)
     val words = scala.collection.mutable.ArrayBuffer.empty[Long]

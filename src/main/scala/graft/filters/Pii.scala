@@ -90,10 +90,12 @@ object Pii {
       if (isGlobalIpv4(m.group(1))) IpReplacement else m.group(1))
 
   def scrubToxic(text: String, words: Seq[String] = DefaultToxicWords): String = {
-    // ASCII-case-insensitive regex hits imply the unicode-lowercased
-    // text contains the (lowercase) word — intrinsified contains scans
-    // are a superset probe
-    val lower = text.toLowerCase
+    // ASCII-case-insensitive regex hits imply the ROOT-lowercased text
+    // contains the (lowercase) word — intrinsified contains scans are a
+    // superset probe. Locale.ROOT: under tr/az default locales "SHIT"
+    // lowercases to "shıt" and the probe would miss what the regex
+    // matches.
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     if (!words.exists(lower.contains)) return text
     val re = if (words eq DefaultToxicWords) defaultToxicRe else toxicRe(words)
     re.replaceAllIn(text, java.util.regex.Matcher.quoteReplacement(ToxicReplacement))

@@ -43,8 +43,19 @@ object Lineage {
     * rescanning the whole input. (`StageRun.output` drops the column for
     * ordinary consumers.)
     */
-  def readStageOutput(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+  def readStageOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$outDir/data")
+    // stamp the producing run's bucket count (recoverable from a COMPLETE
+    // manifest: every bucket 0..max committed) so a downstream runStage
+    // with a different nBuckets fails loudly instead of dropping buckets
+    val buckets = readManifest(outDir).map(_.bucket).toSet
+    val complete = buckets.nonEmpty && buckets == (0 to buckets.max).toSet
+    if (complete && df.columns.contains("_bucket")) {
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("graft.nBuckets", buckets.max + 1L).build()
+      df.withMetadata("_bucket", meta)
+    } else df
+  }
 
   def readManifest(outDir: String): Seq[BucketCommit] = {
     val p = manifestPath(outDir)
@@ -111,9 +122,21 @@ object Lineage {
     val done = readManifest(outDir).map(_.bucket).toSet
     val missing = (0 until nBuckets).filterNot(done)
     val inputBucketed = input.columns.contains("_bucket")
-    val bucketCol =
-      if (inputBucketed) col("_bucket").cast("int")
-      else pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int")
+    if (inputBucketed) {
+      // readStageOutput stamps the upstream run's bucket count into the
+      // column metadata; a mismatched nBuckets here would silently never
+      // schedule buckets >= nBuckets, so fail loudly instead.
+      val f = input.schema("_bucket")
+      if (f.metadata.contains("graft.nBuckets")) {
+        val upstream = f.metadata.getLong("graft.nBuckets")
+        require(upstream == nBuckets,
+          s"input is bucketed with nBuckets=$upstream but runStage was " +
+          s"called with nBuckets=$nBuckets; buckets >= $nBuckets would " +
+          "silently never be processed")
+      }
+    }
+    val hashBucketCol = pmod(xxhash64(col(idCol)), lit(nBuckets)).cast("int")
+    val bucketCol = if (inputBucketed) col("_bucket").cast("int") else hashBucketCol
     val groupSize = if (bucketsPerCommit > 0) bucketsPerCommit else nBuckets
 
     missing.grouped(groupSize).foreach { group =>
@@ -132,9 +155,13 @@ object Lineage {
         count(when(col("_bucket") === b, 1)).as(s"b$b"))
       val observedIn = slice.observe(obsIn, inAggs.head, inAggs.tail: _*)
       val out = fn(observedIn)
+      // if fn dropped _bucket, recompute it from the id hash (the
+      // documented contract for bucketed inputs is same-nBuckets same-id
+      // bucketing, so the hash reproduces the input's bucket); referencing
+      // the input's _bucket column here would be unresolvable
       val outWithBucket =
         if (out.columns.contains("_bucket")) out
-        else out.withColumn("_bucket", bucketCol)
+        else out.withColumn("_bucket", hashBucketCol)
       val obsOut = org.apache.spark.sql.Observation(s"lineage_out_$snapshotId")
       val outAggs = group.map(b =>
         count(when(col("_bucket") === b, 1)).as(s"b$b"))

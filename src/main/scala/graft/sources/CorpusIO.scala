@@ -43,7 +43,7 @@ object CorpusIO {
     * parquet over warc over csv; default jsonl).
     */
   def sniffFormat(path: String): Format = {
-    val p = path.toLowerCase
+    val p = path.toLowerCase(java.util.Locale.ROOT)
     if (p.contains("jsonl")) Jsonl
     else if (p.contains("parquet")) Parquet
     else if (p.contains("warc")) Warc
@@ -126,7 +126,7 @@ object CorpusIO {
       else {
         val header = content.substring(pos, headerEnd)
         def field(k: String): Option[String] =
-          header.linesIterator.find(_.toLowerCase.startsWith(k.toLowerCase + ":"))
+          header.linesIterator.find(_.toLowerCase(java.util.Locale.ROOT).startsWith(k.toLowerCase(java.util.Locale.ROOT) + ":"))
             .map(_.split(":", 2)(1).trim)
         val payloadStart = headerEnd + 4
         val contentLength = field("Content-Length").flatMap(_.toLongOption)

@@ -53,7 +53,7 @@ object ExcelIO {
   def loadSeed(spark: SparkSession, path: String, field: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw =
-      if (path.toLowerCase.endsWith(".csv"))
+      if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".csv"))
         spark.read.option("header", "true").csv(path)
       else readXlsx(spark, path)
     val cleanUdf = udf((s: String) => graft.text.CleanText(s))

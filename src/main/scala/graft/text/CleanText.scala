@@ -13,7 +13,7 @@ object CleanText {
 
   def apply(text: String): String = {
     if (text == null) return ""
-    val lowered = text.toLowerCase
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val folded = AsciiFold(lowered)
     val noUrl = UrlRe.replaceAllIn(folded, "")
     val whitelisted = NonWhitelistRe.replaceAllIn(noUrl, "")
@@ -190,7 +190,7 @@ object DomainOf {
       val i = s.indexOf(c)
       if (i >= 0 && i < end) end = i
     }
-    s.substring(0, end).toLowerCase.stripSuffix(".")
+    s.substring(0, end).toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
   }
 
   /** eTLD+1 under the PSL snapshot. Hosts that ARE a public suffix (or

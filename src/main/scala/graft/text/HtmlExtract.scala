@@ -83,7 +83,7 @@ object HtmlExtract {
             val nameStart = j
             while (j < close && (Character.isLetterOrDigit(html.charAt(j))))
               j += 1
-            val name = html.substring(nameStart, j).toLowerCase
+            val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
             val selfClosing = close > i && html.charAt(close - 1) == '/'
             if (skipTag != null) {
               if (isEnd && name == skipTag) skipTag = null

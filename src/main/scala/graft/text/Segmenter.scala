@@ -42,7 +42,7 @@ object Segmenter {
         // whole accumulated sentence here was O(n²) per document and
         // compiled a regex per boundary candidate
         val lastTok = lastToken(sb)
-        val bare = lastTok.stripSuffix(".").toLowerCase
+        val bare = lastTok.stripSuffix(".").toLowerCase(java.util.Locale.ROOT)
         val isAbbrev = c == '.' &&
           (Abbrev.contains(bare) || isSingleLetter(bare) || isDecimal(bare))
         if (!isAbbrev) {

@@ -323,6 +323,27 @@ class SamplingSpec extends SparkSpec {
     assert(byLang.keySet == docs.select("lang").distinct().as[String].collect().toSet)
   }
 
+  test("sampling ops preserve caller columns named like internals") {
+    // withColumn REPLACES same-named columns: a frame already carrying
+    // _rn/_b/_o (this codebase's own working-column style) must come out
+    // intact, with grouping run on fresh internal names
+    val pages = (0 until 40)
+      .map(i => (s"u$i", s"lang${i % 4}", s"rn$i", s"b$i", s"o$i"))
+      .toDF("url", "lang", "_rn", "_b", "_o")
+    val q = Sampling.stratifiedQuota(pages, "lang", 5, Seq("url"))
+    assert(q.columns.toSet == pages.columns.toSet)
+    assert(q.select("_rn").as[String].collect().forall(_.startsWith("rn")))
+    val withToks = pages.withColumn("toks", lit(7L))
+    val cut = Sampling.tokenBudget(withToks, "toks", budget = 70L,
+      orderCol = md5(col("url")), tieCols = Seq("url"))
+    assert(cut.count() == 10L)
+    assert(cut.columns.toSet == withToks.columns.toSet)
+    assert(cut.select("_b").as[String].collect().forall(_.startsWith("b")))
+    val (tr, va) = Sampling.trainValSplit(pages, "lang", 0.5, Seq("url"))
+    assert(tr.columns.toSet == pages.columns.toSet)
+    assert(tr.count() + va.count() == 40L)
+  }
+
   test("token budget cut is bit-identical to the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Synth.pages(spark, 300L)

@@ -21,6 +21,15 @@ class PiiSpec extends AnyFunSuite {
     assert(Pii.scrub("this Fucking thing; but scunthorpe is fine") ==
       "this [removed] thing; but scunthorpe is fine")
   }
+  test("toxicity fast-path gate is locale-independent (tr dotless-i trap)") {
+    // under a Turkish default locale "FUCKING".toLowerCase is "fuckıng"
+    // (dotless ı) — a default-locale gate would skip the scrub while the
+    // (?i) regex still matches; the gate must use Locale.ROOT
+    val prior = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+    try assert(Pii.scrub("this FUCKING thing") == "this [removed] thing")
+    finally java.util.Locale.setDefault(prior)
+  }
   test("is_global boundaries") {
     assert(Pii.isGlobalIpv4("8.8.8.8"))
     assert(!Pii.isGlobalIpv4("10.1.2.3"))

@@ -138,6 +138,38 @@ class LineageSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bucketed input: stage fn may drop _bucket (hash recomputed)") {
+    val dir1 = freshDir()
+    val input = Synth.pages(spark, 200L)
+    Lineage.runStage(input, dir1, "url", nBuckets = 4)(identity)
+    val bucketed = Lineage.readStageOutput(spark, dir1)
+    // a perfectly ordinary projection stage that does NOT preserve the
+    // working column — must not crash on an unresolvable _bucket
+    val dir2 = freshDir()
+    val run = Lineage.runStage(bucketed, dir2, "url", nBuckets = 4) { df =>
+      df.select("url", "text")
+    }
+    assert(run.output.count() == 200L)
+    assert(run.commits.map(_.rowsOut).sum == 200L)
+    // recomputed buckets agree with the input bucketing (same id hash):
+    // per-bucket out counts equal per-bucket in counts for an identity-
+    // cardinality fn
+    run.commits.foreach(c => assert(c.rowsIn == c.rowsOut,
+      s"bucket ${c.bucket}: in ${c.rowsIn} != out ${c.rowsOut}"))
+  }
+
+  test("bucketed input with mismatched nBuckets fails loudly") {
+    val dir1 = freshDir()
+    val input = Synth.pages(spark, 200L)
+    Lineage.runStage(input, dir1, "url", nBuckets = 8)(identity)
+    val bucketed = Lineage.readStageOutput(spark, dir1)
+    val dir2 = freshDir()
+    val ex = intercept[IllegalArgumentException] {
+      Lineage.runStage(bucketed, dir2, "url", nBuckets = 4)(identity)
+    }
+    assert(ex.getMessage.contains("nBuckets=8"))
+  }
+
   test("re-running a completed stage is a no-op") {
     val dir = freshDir()
     val input = Synth.pages(spark, 200L)
