@@ -450,6 +450,41 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Cross-document span dedup (C4's corpus-wide keep-first span rule,
+    // word-span form): every 5-word tumbling span that occurs more than
+    // once in the corpus is removed from all but its lexicographically
+    // first (doc_id, pos) occurrence; the trailing partial span never
+    // dedups. Exact-duplicate docs are stripped to "" (all spans
+    // repeat), boilerplate-sharing docs lose only the shared spans.
+    "q_span_dedup" -> ((s, dir) => {
+      graft.dedup.SpanDedup.removeDuplicateWordSpans(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", spanWords = 5)
+        .select(col("doc_id"), col("text").as("deduped"))
+    }),
+
+    // URL-keyed dedup on the canonical form (datatrove url_dedup shape):
+    // deterministic messy variants (scheme case, WWW, :443, trailing
+    // slash, utm_ tracking param, fragment) synthesized per doc_id, path
+    // keyed on doc_id % 100 so ~5 docs collapse per canonical URL;
+    // keep-first by doc_id. Non-utm query params are preserved, so the
+    // %7 docs (carrying ?id=…) form their own canonical groups.
+    "q_url_dedup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val messy = t(s, dir, "documents").select(d).withColumn("url", concat(
+        when(d % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(d % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("example.com")),
+        when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (d % 100).cast("string"),
+        when(d % 4 === 0, lit("/")).otherwise(lit("")),
+        when(d % 7 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 100).cast("string")))
+          .otherwise(lit("")),
+        when(d % 11 === 0, lit("#sec")).otherwise(lit(""))))
+      graft.dedup.ExactDedup.urlDedup(messy, "url", Seq("doc_id"))
+        .select("doc_id", "url")
+    }),
+
     // P20 main-content extraction (datatrove Trafilatura stage,
     // findweb.py:5; simplified readability-style reimplementation).
     // Deterministic harness: wrap each doc's text in a page skeleton
@@ -726,6 +761,68 @@ object SparkEntry {
         |WHERE source <> 'src4' AND doc_id NOT IN (
         |  SELECT DISTINCT doc_id FROM g WHERE source <> 'src4'
         |    AND gram IN (SELECT gram FROM bench))""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 5)) AS i
+        |       FROM w),
+        |sp AS (SELECT doc_id, (i - 1) // 5 AS pos,
+        |         array_to_string(ws[i:least(i + 4, len(ws))], ' ') AS span,
+        |         least(i + 4, len(ws)) - i + 1 AS nw
+        |       FROM st),
+        |rk AS (SELECT doc_id, pos, span,
+        |         row_number() OVER (PARTITION BY span
+        |                            ORDER BY doc_id, pos) AS rn
+        |       FROM sp WHERE nw = 5),
+        |kept AS (SELECT doc_id, pos, span FROM rk WHERE rn = 1
+        |         UNION ALL
+        |         SELECT doc_id, pos, span FROM sp WHERE nw < 5)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS deduped
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+        |        ELSE 'example.com' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, url,
+        |  regexp_replace(split_part(url, '#', 1), '^(?i)https?://', '') AS a
+        |  FROM u),
+        |c2 AS (SELECT doc_id, url, a,
+        |  regexp_extract(a, '^[^/?]*') AS auth_raw FROM c1),
+        |c3 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(lower(auth_raw), '^www\.', ''),
+        |    ':(80|443)$', '') AS auth,
+        |  substr(a, length(auth_raw) + 1) AS rest FROM c2),
+        |c4 AS (SELECT doc_id, url, auth,
+        |  rtrim(split_part(rest, '?', 1), '/') AS pathn,
+        |  CASE WHEN contains(rest, '?')
+        |       THEN array_to_string(list_filter(
+        |         string_split(substr(rest, length(split_part(rest,'?',1)) + 2),
+        |           '&'),
+        |         x -> NOT (starts_with(x, 'utm_') OR x = 'fbclid'
+        |           OR starts_with(x, 'fbclid=') OR x = 'gclid'
+        |           OR starts_with(x, 'gclid=') OR x = 'msclkid'
+        |           OR starts_with(x, 'msclkid='))), '&')
+        |       ELSE '' END AS keptq
+        |  FROM c3)
+        |SELECT doc_id, url FROM (
+        |  SELECT doc_id, url,
+        |    auth || pathn ||
+        |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
+        |  FROM c4)
+        |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
 
     // The deterministic page-skeleton harness means extraction must
     // return the text verbatim (fixture texts are single-spaced with >4

@@ -89,6 +89,21 @@ object ExactDedup {
   def dedup(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String]): DataFrame =
     mark(df, dupCols, orderCols).filter(!col("is_exact_dup")).drop("is_exact_dup")
 
+  /** URL-keyed dedup on the CANONICAL form ([[graft.text.UrlNorm]]):
+    * crawls list the same page under scheme/case/www/tracking-param/
+    * trailing-slash variants; raw-string dedup misses all of them. A
+    * composition — canonicalize (narrow scalar UDF), keep-first on the
+    * canonical key via [[dedup]], drop the key. Same shuffle shape as
+    * plain exact dedup: one window over (key, order) narrow rows.
+    */
+  def urlDedup(df: DataFrame, urlCol: String,
+               orderCols: Seq[String]): DataFrame = {
+    val canonUdf = udf((u: String) => graft.text.UrlNorm.canonical(u))
+    var c = "_canon_url"
+    while (df.columns.contains(c)) c = c + "_"
+    dedup(df.withColumn(c, canonUdf(col(urlCol))), Seq(c), orderCols).drop(c)
+  }
+
   /** Bloom-prefiltered decontamination against a `seen` corpus — the
     * memory-bounded form of the reference's sharded Bloom-service dedup
     * (/root/reference/utils/dedup_dataset.py:37-191,

@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document span deduplication — the C4 "three-sentence span"
+  * rule (every span that occurs more than once in the CORPUS is removed
+  * from all but its first occurrence) generalized to tumbling word- or
+  * sentence-spans. Complements the document-level family: exact dedup
+  * drops whole duplicate docs, MinHash drops near-duplicate docs, this
+  * SURGICALLY removes repeated boilerplate spans (footers, cookie
+  * banners, license blocks) while keeping the host documents.
+  *
+  * Reference anchor: the reference runs C4's PER-DOCUMENT line rules
+  * (Heuristics.c4Process); the cross-document half of C4's dedup is this
+  * operator. Kept out of the flagship pipeline by default for parity.
+  *
+  * Scale design (the 100-TB plan):
+  *  1. Only a NARROW projection (id, span-pos, span-hash) ever shuffles
+  *     — span text stays in place. One map-side-combined groupBy finds
+  *     each hash's first occurrence (min (id, pos) struct), one join
+  *     marks later occurrences; both are AQE-skew-safe (a viral footer
+  *     span is a hot hash key, but the min-agg combines map-side and
+  *     the join splits under AQE skew handling).
+  *  2. Removal positions fold to one small array PER AFFECTED DOC and
+  *     join back on id — typically broadcastable (only docs that lose a
+  *     span appear), so the corpus-side scan is shuffle-free. Docs with
+  *     no removals keep their text object untouched (no re-concat).
+  *
+  * Determinism: "first" is the lexicographically least (id, pos) — a
+  * total order, independent of partitioning.
+  */
+object SpanDedup {
+
+  /** Tumbling n-word spans over a single-space split. The split is kept
+    * single-space (not general whitespace) so that reassembly via
+    * `join(" ")` is byte-faithful for normalized corpora and matches the
+    * SQL-oracle `string_split(text, ' ')` semantics exactly. The last
+    * span may be shorter than n; only full spans are dedup-ELIGIBLE.
+    */
+  private[dedup] def wordSpans(text: String, n: Int): Array[String] = {
+    val ws = (if (text == null) "" else text).split(' ')
+    val out = new Array[String]((ws.length + n - 1) / n max 1)
+    var s = 0
+    while (s < out.length) {
+      val from = s * n
+      val until = math.min(from + n, ws.length)
+      val sb = new StringBuilder
+      var i = from
+      while (i < until) {
+        if (i > from) sb.append(' ')
+        sb.append(ws(i))
+        i += 1
+      }
+      out(s) = sb.toString
+      s += 1
+    }
+    out
+  }
+
+  private[dedup] def sentenceSpans(text: String, n: Int): Array[String] = {
+    val ss = graft.text.Segmenter.sentences(if (text == null) "" else text)
+    if (ss.isEmpty) return Array("")
+    val out = new Array[String]((ss.length + n - 1) / n)
+    var s = 0
+    while (s < out.length) {
+      val from = s * n
+      val until = math.min(from + n, ss.length)
+      out(s) = ss.slice(from, until).mkString(" ")
+      s += 1
+    }
+    out
+  }
+
+  /** Core: chunk with `chunker`, drop every dedup-eligible chunk that is
+    * not its hash's first (id, pos) occurrence, reassemble affected docs
+    * with `sep`. `eligible(chunkIndex, chunkCount)` limits dedup to full
+    * spans (the trailing partial span never dedups — C4 semantics).
+    */
+  private def removeDuplicate(df: DataFrame, idCol: String, textCol: String,
+                              chunker: String => Array[String],
+                              fullSpan: String => Boolean,
+                              sep: String): DataFrame = {
+    val chunkUdf = udf((t: String) => chunker(t))
+    val spans = df
+      .select(col(idCol).as("_sd_id"),
+        posexplode(chunkUdf(col(textCol))).as(Seq("_sd_pos", "_sd_span")))
+    val fullUdf = udf((s: String) => fullSpan(s))
+    // narrow dedup decision: (id, pos, hash) only — span text never
+    // crosses the exchange
+    val narrow = spans.filter(fullUdf(col("_sd_span")))
+      .select(col("_sd_id"), col("_sd_pos"),
+        xxhash64(col("_sd_span")).as("_sd_h"))
+    val first = narrow.groupBy("_sd_h")
+      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_first"))
+    val removals = narrow.join(first, "_sd_h")
+      .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
+      .select(col("_sd_id"), col("_sd_pos"))
+    // one small array per AFFECTED doc; join back on id (usually
+    // broadcast under AQE — docs without removals never join)
+    val remPerDoc = removals.groupBy("_sd_id")
+      .agg(sort_array(collect_list(col("_sd_pos"))).as("_sd_rm"))
+    val stripUdf = udf((t: String, rm: Seq[Int]) => {
+      val chunks = chunker(t)
+      val drop = rm.toSet
+      val keep = chunks.indices.filterNot(drop)
+      keep.map(chunks(_)).mkString(sep)
+    })
+    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
+      .withColumn(textCol,
+        when(col("_sd_rm").isNull, col(textCol))
+          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
+      .drop("_sd_id", "_sd_rm")
+  }
+
+  /** Corpus-wide keep-first dedup of tumbling `spanWords`-word spans. */
+  def removeDuplicateWordSpans(df: DataFrame, idCol: String, textCol: String,
+                               spanWords: Int = 60): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    removeDuplicate(df, idCol, textCol,
+      wordSpans(_, spanWords),
+      s => graft.text.TextStats.countWords(s) == spanWords &&
+        !s.contains("  ") && !s.startsWith(" ") && !s.endsWith(" "),
+      " ")
+  }
+
+  /** C4's actual shape: tumbling `spanSentences`-sentence spans
+    * (abbreviation-aware splitter). Spans rejoin with a single space —
+    * byte-faithful for single-space-normalized corpora.
+    */
+  def removeDuplicateSentenceSpans(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   spanSentences: Int = 3): DataFrame = {
+    require(spanSentences > 0, "spanSentences must be positive")
+    removeDuplicate(df, idCol, textCol,
+      sentenceSpans(_, spanSentences),
+      s => graft.text.Segmenter.sentences(s).length == spanSentences,
+      " ")
+  }
+}

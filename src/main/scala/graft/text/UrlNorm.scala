@@ -1,0 +1,80 @@
+package graft.text
+
+/** URL canonicalization for URL-keyed deduplication — the datatrove
+  * `url_dedup` idea: crawls see the same page under trivially different
+  * URLs (scheme, case, www, default port, tracking params, trailing
+  * slash, fragment), so dedup keys on a CANONICAL form, not the raw
+  * string. Hand-rolled single-scan normalization (no java.net.URI — it
+  * throws on the malformed URLs a web crawl actually contains, and
+  * per-row exception control flow is an executor-thread trap).
+  *
+  * Steps, in order:
+  *  1. trim; cut at the first `#` (fragment)
+  *  2. strip a leading `http://` / `https://` (ASCII case-insensitive)
+  *  3. authority (up to the first `/` or `?`): lowercase, strip one
+  *     leading `www.`, strip a `:80` / `:443` default-port suffix
+  *  4. query: drop tracking params (`utm_*`, `fbclid`, `gclid`,
+  *     `msclkid`), keep the rest in original order; empty query → no `?`
+  *  5. path: strip ALL trailing `/`
+  *
+  * The path and kept query are otherwise preserved byte-for-byte —
+  * over-normalizing (e.g. sorting params) merges genuinely different
+  * pages, which silently DROPS unique documents; this errs conservative.
+  */
+object UrlNorm {
+
+  private val TrackingPrefixes =
+    Array("utm_", "fbclid=", "gclid=", "msclkid=")
+  private def isTracking(param: String): Boolean = {
+    var i = 0
+    while (i < TrackingPrefixes.length) {
+      if (param.startsWith(TrackingPrefixes(i))) return true
+      // bare flag form (no '='): "fbclid" etc.
+      val p = TrackingPrefixes(i)
+      if (p.endsWith("=") && param == p.dropRight(1)) return true
+      i += 1
+    }
+    false
+  }
+
+  private def stripScheme(s: String): String = {
+    def eat(prefix: String): Int =
+      if (s.regionMatches(true, 0, prefix, 0, prefix.length)) prefix.length
+      else -1
+    val https = eat("https://")
+    if (https > 0) return s.substring(https)
+    val http = eat("http://")
+    if (http > 0) s.substring(http) else s
+  }
+
+  def canonical(url: String): String = {
+    if (url == null) return ""
+    var s = url.trim
+    val frag = s.indexOf('#')
+    if (frag >= 0) s = s.substring(0, frag)
+    s = stripScheme(s)
+    // authority ends at the first '/' or '?'
+    var authEnd = s.length
+    var i = 0
+    while (i < authEnd) {
+      val c = s.charAt(i)
+      if (c == '/' || c == '?') authEnd = i
+      i += 1
+    }
+    var auth = s.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
+    if (auth.startsWith("www.")) auth = auth.substring(4)
+    if (auth.endsWith(":80")) auth = auth.dropRight(3)
+    else if (auth.endsWith(":443")) auth = auth.dropRight(4)
+    val rest = s.substring(authEnd)
+    val q = rest.indexOf('?')
+    var path = if (q >= 0) rest.substring(0, q) else rest
+    while (path.endsWith("/")) path = path.dropRight(1)
+    val query =
+      if (q < 0) ""
+      else {
+        val kept = rest.substring(q + 1).split('&').filterNot(isTracking)
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    auth + path + query
+  }
+}

@@ -118,6 +118,86 @@ class ExactDedupSpec extends SparkSpec {
   }
 }
 
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-word spans; doc texts built from single-spaced words
+  private val footer = "subscribe to our newsletter" // one full span
+  private def doc(id: Long, body: String) = (id, s"$body $footer")
+
+  test("shared boilerplate span is removed from all but the first doc") {
+    val df = Seq(
+      doc(1L, "alpha beta gamma delta"),
+      doc(2L, "epsilon zeta eta theta"),
+      doc(3L, "iota kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"alpha beta gamma delta $footer") // first keeps it
+    assert(out(2L) == "epsilon zeta eta theta")
+    assert(out(3L) == "iota kappa lambda mu")
+  }
+
+  test("exact duplicate doc is stripped to empty; partial tail never dedups") {
+    val df = Seq(
+      (1L, "one two three four five"), // trailing partial span "five"
+      (2L, "one two three four five"),
+      (3L, "five") // same text as both docs' partial span — kept (partial)
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "one two three four five")
+    assert(out(2L) == "five") // full span deduped, partial tail kept
+    assert(out(3L) == "five")
+  }
+
+  test("within-doc repeated span dedups against its own first occurrence") {
+    val df = Seq(
+      (1L, "a b c d a b c d tail")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d tail")
+  }
+
+  test("word-span dedup is idempotent and partitioning-independent") {
+    val df = graft.pipeline.Synth.pages(spark, 120L)
+      .select(xxhash64(col("url")).as("doc_id"), col("text"))
+    val once = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 5)
+    val onceMap = once.as[(Long, String)].collect().toMap
+    val twice = SpanDedup.removeDuplicateWordSpans(once, "doc_id", "text", 5)
+      .as[(Long, String)].collect().toMap
+    assert(twice == onceMap, "second pass changed text — not idempotent")
+    val repart = SpanDedup.removeDuplicateWordSpans(
+      df.repartition(7), "doc_id", "text", 5).as[(Long, String)].collect().toMap
+    assert(repart == onceMap, "result depends on partitioning")
+  }
+
+  test("sentence-span variant removes a repeated sentence block surgically") {
+    val block = "Legal notice applies. All rights reserved." // 2 sentences
+    val df = Seq(
+      (1L, s"Unique opening here. $block"),
+      (2L, s"Another fresh start. $block")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSentenceSpans(df, "doc_id", "text", 2)
+      .as[(Long, String)].collect().toMap
+    // spans at pos 0 differ (opening + first legal sentence), so only an
+    // identical FULL 2-sentence span dedups; with 3 sentences per doc the
+    // tumbling spans are [s1 s2][s3] — s3 partial, kept. Nothing equal →
+    // unchanged. Now plant alignment: 4 sentences, shared back half.
+    assert(out(1L) == s"Unique opening here. $block")
+    assert(out(2L) == s"Another fresh start. $block")
+    val aligned = Seq(
+      (1L, s"First doc one. First doc two. $block"),
+      (2L, s"Second doc one. Second doc two. $block")
+    ).toDF("doc_id", "text")
+    val out2 = SpanDedup.removeDuplicateSentenceSpans(aligned, "doc_id", "text", 2)
+      .as[(Long, String)].collect().toMap
+    assert(out2(1L) == s"First doc one. First doc two. $block")
+    assert(out2(2L) == "Second doc one. Second doc two.")
+  }
+}
+
 class MinHashSpec extends SparkSpec {
   import spark.implicits._
 

@@ -232,3 +232,46 @@ class SegmenterSpec extends AnyFunSuite {
     assert(Segmenter.truncateSentences(null, 10) == "")
   }
 }
+
+class UrlNormSpec extends AnyFunSuite {
+  import UrlNorm.canonical
+
+  test("scheme, case, www, default port, fragment all normalize away") {
+    assert(canonical("HTTPS://WWW.Example.COM:443/Path/To?a=1#frag") ==
+      "example.com/Path/To?a=1")
+    assert(canonical("http://example.com:80/x") == "example.com/x")
+    assert(canonical("example.com/x") == "example.com/x") // schemeless
+  }
+
+  test("path and non-tracking query are preserved byte-for-byte") {
+    assert(canonical("https://e.com/A%20B?q=Hello+World&id=3") ==
+      "e.com/A%20B?q=Hello+World&id=3")
+    // param order is NOT sorted (conservative: different order may be
+    // a different page on weird backends)
+    assert(canonical("https://e.com/p?b=2&a=1") == "e.com/p?b=2&a=1")
+  }
+
+  test("tracking params drop; empty query drops the '?'") {
+    assert(canonical("https://e.com/p?utm_source=x&utm_medium=y") == "e.com/p")
+    assert(canonical("https://e.com/p?utm_source=x&id=5") == "e.com/p?id=5")
+    assert(canonical("https://e.com/p?fbclid=abc&gclid=d&msclkid=e") == "e.com/p")
+    assert(canonical("https://e.com/p?fbclid") == "e.com/p") // bare flag
+  }
+
+  test("trailing slashes strip; root collapses to bare host") {
+    assert(canonical("https://e.com/") == "e.com")
+    assert(canonical("https://e.com/a/b///") == "e.com/a/b")
+    assert(canonical("https://e.com") == "e.com")
+  }
+
+  test("non-default port and other schemes survive") {
+    assert(canonical("https://e.com:8443/x") == "e.com:8443/x")
+    assert(canonical("ftp://e.com/x") == "ftp://e.com/x")
+  }
+
+  test("null/garbage safe") {
+    assert(canonical(null) == "")
+    assert(canonical("   ") == "")
+    assert(canonical("not a url at all") == "not a url at all")
+  }
+}
