@@ -485,6 +485,21 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // log-ratio score of every raw doc against the src0 target slice.
+    // portableHash=true (md5 buckets) so the whole model — two smoothed
+    // distributions and the per-doc sums — replays bit-for-bit in the
+    // DuckDB oracle; the fast path (XXH64 buckets) is spec-tested.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.filter(col("source") === "src0")
+      val raw = docs.filter(col("source") =!= "src0")
+      val model = graft.analytics.Dsir.fit(target, raw, "text",
+        buckets = 256, alpha = 1.0, portableHash = true)
+      graft.analytics.Dsir.score(raw, "text", model)
+        .select(col("doc_id"), round(col("dsir_logweight"), 4).as("lw"))
+    }),
+
     // P20 main-content extraction (datatrove Trafilatura stage,
     // findweb.py:5; simplified readability-style reimplementation).
     // Deterministic harness: wrap each doc's text in a page skeleton
@@ -823,6 +838,33 @@ object SparkEntry {
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(ws) AS g FROM w),
+        |bi AS (SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS g
+        |       FROM (SELECT doc_id, source, ws,
+        |                    unnest(range(1, len(ws))) AS i FROM w)),
+        |g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |gb AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b FROM g),
+        |tc AS (SELECT b, count(*) AS n FROM gb WHERE source = 'src0'
+        |       GROUP BY b),
+        |rc AS (SELECT b, count(*) AS n FROM gb WHERE source <> 'src0'
+        |       GROUP BY b),
+        |wt AS (SELECT bb.b,
+        |         ln((coalesce(tc.n, 0) + 1.0) /
+        |            ((SELECT sum(n) FROM tc) + 256.0)) -
+        |         ln((coalesce(rc.n, 0) + 1.0) /
+        |            ((SELECT sum(n) FROM rc) + 256.0)) AS lw
+        |       FROM (SELECT unnest(range(0, 256)) AS b) bb
+        |       LEFT JOIN tc ON bb.b = tc.b
+        |       LEFT JOIN rc ON bb.b = rc.b)
+        |SELECT gb.doc_id, round(sum(wt.lw), 4) AS lw
+        |FROM gb JOIN wt ON gb.b = wt.b
+        |WHERE gb.source <> 'src0'
+        |GROUP BY gb.doc_id""".stripMargin,
 
     // The deterministic page-skeleton harness means extraction must
     // return the text verbatim (fixture texts are single-spaced with >4

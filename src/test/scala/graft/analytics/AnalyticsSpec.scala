@@ -344,6 +344,39 @@ class SamplingSpec extends SparkSpec {
     assert(tr.count() + va.count() == 40L)
   }
 
+  test("dsir: target-like docs outscore off-target docs; resample is " +
+       "deterministic and size-k") {
+    // target vocabulary A, off-target vocabulary B; raw mixes both
+    val aDocs = (0 until 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon alpha beta word$i"))
+    val bDocs = (0 until 30).map(i =>
+      (100L + i, s"zeta eta theta iota kappa zeta eta word$i"))
+    val target = aDocs.take(15).toDF("doc_id", "text")
+    val raw = (aDocs.drop(15) ++ bDocs).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val model = Dsir.fit(target, raw, "text", buckets = 512,
+        portableHash = portable)
+      val scored = Dsir.score(raw, "text", model)
+        .select("doc_id", "dsir_logweight")
+        .as[(Long, Double)].collect().toMap
+      val aScores = aDocs.drop(15).map(d => scored(d._1))
+      val bScores = bDocs.map(d => scored(d._1))
+      assert(aScores.min > bScores.max,
+        s"portable=$portable: target-like docs must outscore " +
+        s"(${aScores.min} vs ${bScores.max})")
+      val picked = Dsir.resample(raw, "text", model, k = 10,
+        keyCols = Seq("doc_id")).select("doc_id").as[Long].collect().toSet
+      assert(picked.size == 10)
+      val again = Dsir.resample(raw.repartition(5), "text", model, k = 10,
+        keyCols = Seq("doc_id")).select("doc_id").as[Long].collect().toSet
+      assert(again == picked, s"portable=$portable: resample must be " +
+        "partitioning-independent")
+      // importance bias: most picks come from the target-like half
+      assert(picked.count(_ < 100L) >= 7,
+        s"portable=$portable: expected target-biased picks, got $picked")
+    }
+  }
+
   test("token budget cut is bit-identical to the naive global window") {
     import org.apache.spark.sql.expressions.Window
     val docs = Synth.pages(spark, 300L)
