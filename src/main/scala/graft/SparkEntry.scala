@@ -485,6 +485,20 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // Exact-substring dedup at sliding-window granularity (Lee et al.
+    // 2022 rule): every duplicated 8-word sliding window keeps only its
+    // first (doc_id, start) occurrence; later occurrences' words are
+    // deleted, consecutive duplicated windows merging into one removed
+    // region. The oracle keys on the window TEXT, so the engine's
+    // internal rolling hash is semantics-invisible (collision-free on
+    // the fixture by construction).
+    "q_substring_dedup" -> ((s, dir) => {
+      graft.dedup.SpanDedup.removeDuplicateSubstrings(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", windowWords = 8)
+        .select(col("doc_id"), col("text").as("deduped"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // log-ratio score of every raw doc against the src0 target slice.
     // portableHash=true (md5 buckets) so the whole model — two smoothed
@@ -838,6 +852,31 @@ object SparkEntry {
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |win AS (SELECT doc_id, i - 1 AS pos,
+        |          array_to_string(ws[i:i+7], ' ') AS wtext
+        |        FROM (SELECT doc_id, ws,
+        |                unnest(range(1, len(ws) - 6)) AS i FROM w)),
+        |rk AS (SELECT doc_id, pos,
+        |         row_number() OVER (PARTITION BY wtext
+        |                            ORDER BY doc_id, pos) AS rn
+        |       FROM win),
+        |rem AS (SELECT DISTINCT doc_id, pos + o AS wi
+        |        FROM (SELECT doc_id, pos, unnest(range(0, 8)) AS o
+        |              FROM rk WHERE rn > 1)),
+        |words AS (SELECT doc_id, i - 1 AS wi, ws[i] AS wd
+        |          FROM (SELECT doc_id, ws,
+        |                  unnest(range(1, len(ws) + 1)) AS i FROM w)),
+        |kept AS (SELECT wo.doc_id, wo.wi, wo.wd FROM words wo
+        |         LEFT JOIN rem ON wo.doc_id = rem.doc_id AND wo.wi = rem.wi
+        |         WHERE rem.wi IS NULL)
+        |SELECT d.doc_id,
+        |       coalesce(string_agg(k.wd, ' ' ORDER BY k.wi), '') AS deduped
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws

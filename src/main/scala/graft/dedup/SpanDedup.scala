@@ -137,4 +137,93 @@ object SpanDedup {
       s => graft.text.Segmenter.sentences(s).length == spanSentences,
       " ")
   }
+
+  /** Per-word FNV-1a then polynomial rolling combine over every SLIDING
+    * n-word window — O(words) total, vs O(words × n) for re-hashing
+    * each window's characters. Index i = hash of words [i, i+n).
+    */
+  private[dedup] def slidingWindowHashes(words: Array[String], n: Int): Array[Long] = {
+    if (words.length < n) return Array.empty
+    val wh = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      var h = 0xcbf29ce484222325L
+      val s = words(i)
+      var j = 0
+      while (j < s.length) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+      wh(i) = h
+      i += 1
+    }
+    val B = 0x9e3779b97f4a7c15L // odd multiplier, invertible mod 2^64
+    var bn = 1L // B^(n-1)
+    i = 1
+    while (i < n) { bn *= B; i += 1 }
+    val out = new Array[Long](words.length - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + wh(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i < out.length) {
+      h = (h - wh(i - 1) * bn) * B + wh(i + n - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data" rule at sliding-window granularity): every `windowWords`-word
+    * SLIDING window that occurs more than once in the corpus keeps only
+    * its lexicographically first (id, start) occurrence — every other
+    * occurrence's words are deleted. Consecutive duplicated windows
+    * union into one removed region, so a long verbatim quote disappears
+    * from all but the first document that carried it, at word (not
+    * document or tumbling-span) granularity.
+    *
+    * Same scale shape as the tumbling form: only (id, start, hash)
+    * shuffles (~word-count rows — the MinHash-shingle order of
+    * magnitude), removed word-index arrays fold per affected doc and
+    * join back; untouched docs keep their text object.
+    */
+  def removeDuplicateSubstrings(df: DataFrame, idCol: String,
+                                textCol: String,
+                                windowWords: Int = 50): DataFrame = {
+    val n = windowWords
+    require(n > 0, "windowWords must be positive")
+    val winUdf = udf((t: String) =>
+      slidingWindowHashes((if (t == null) "" else t).split(' '), n))
+    val wins = df.select(col(idCol).as("_sd_id"),
+      posexplode(winUdf(col(textCol))).as(Seq("_sd_pos", "_sd_h")))
+    val first = wins.groupBy("_sd_h")
+      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_first"))
+    val removals = wins.join(first, "_sd_h")
+      .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
+      .select(col("_sd_id"), col("_sd_pos"))
+    val remPerDoc = removals.groupBy("_sd_id")
+      .agg(collect_list(col("_sd_pos")).as("_sd_rm"))
+    val stripUdf = udf((t: String, starts: Seq[Int]) => {
+      val ws = t.split(' ')
+      val gone = new java.util.BitSet(ws.length)
+      starts.foreach { p =>
+        var i = p
+        while (i < p + n && i < ws.length) { gone.set(i); i += 1 }
+      }
+      val sb = new StringBuilder
+      var i = 0
+      while (i < ws.length) {
+        if (!gone.get(i)) {
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(ws(i))
+        }
+        i += 1
+      }
+      sb.toString
+    })
+    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
+      .withColumn(textCol,
+        when(col("_sd_rm").isNull, col(textCol))
+          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
+      .drop("_sd_id", "_sd_rm")
+  }
 }

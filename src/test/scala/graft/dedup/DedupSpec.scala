@@ -173,6 +173,46 @@ class SpanDedupSpec extends SparkSpec {
     assert(repart == onceMap, "result depends on partitioning")
   }
 
+  test("substring dedup: rolling hash equals direct window hashing") {
+    val words = "the quick brown fox jumps over the lazy dog again and again"
+      .split(' ')
+    for (n <- Seq(2, 3, 5)) {
+      val rolled = SpanDedup.slidingWindowHashes(words, n)
+      assert(rolled.length == words.length - n + 1)
+      // direct recomputation per window must agree (no rolling drift)
+      val direct = words.sliding(n).map(w =>
+        SpanDedup.slidingWindowHashes(w.toArray, n)(0)).toArray
+      assert(rolled.sameElements(direct), s"n=$n rolling drifted")
+    }
+    assert(SpanDedup.slidingWindowHashes(Array("a"), 5).isEmpty)
+  }
+
+  test("substring dedup removes a shared quote from the later doc only") {
+    val quote = "to be or not to be that is the question"
+    val df = Seq(
+      (1L, s"first essay says $quote and moves on"),
+      (2L, s"second essay also quotes $quote differently after")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSubstrings(df, "doc_id", "text", 10)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"first essay says $quote and moves on")
+    assert(out(2L) == "second essay also quotes differently after")
+  }
+
+  test("substring dedup: consecutive duplicated windows merge; no window -> untouched") {
+    // identical docs: doc 2 loses every window's words = everything
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "short text") // fewer words than the window: untouched
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSubstrings(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e f")
+    assert(out(2L) == "")
+    assert(out(3L) == "short text")
+  }
+
   test("sentence-span variant removes a repeated sentence block surgically") {
     val block = "Legal notice applies. All rights reserved." // 2 sentences
     val df = Seq(
