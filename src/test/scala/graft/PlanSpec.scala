@@ -132,6 +132,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("span dedup exchanges never carry span text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val key = "spark.sql.adaptive.enabled"
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val (prev, bPrev) = (spark.conf.get(key), spark.conf.get(bKey))
+    spark.conf.set(key, "false")
+    spark.conf.set(bKey, "-1") // worst case: every join a shuffle join
+    try {
+      val df = spark.range(200).selectExpr("id AS doc_id",
+        "concat('w', cast(id % 37 as string), ' x y z a b c') AS text")
+      val out = dedup.SpanDedup.removeDuplicateWordSpans(
+        df, "doc_id", "text", 3)
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      // the dedup decision rides (id, pos, hash) narrow rows; exploded
+      // span text must never cross an exchange (only the final join-back
+      // moves whole docs, and that broadcasts under AQE in practice)
+      exchanges.foreach { e =>
+        val cols = e.output.map(_.name)
+        assert(!cols.contains("_sd_span"),
+          s"span text crossed an exchange: $cols")
+      }
+    } finally {
+      spark.conf.set(key, prev); spark.conf.set(bKey, bPrev)
+    }
+  }
+
   test("exact dedup window partitions by the dedup key (no global sort)") {
     val pages = SparkEntry.pagesFromDocs(spark, sfDir)
     val marked = dedup.ExactDedup.mark(pages, Seq("text"), Seq("warc_ts", "url"))
