@@ -20,7 +20,16 @@ import graft.sources.CorpusIO
   *     [--repartition <n>] [--lineage [--buckets-per-commit <k>]] \
   *     [--no-minhash] [--no-exact] [--minhash-salt <s>] \
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
-  *     [--extract-html]
+  *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
+  *     [--substring-dedup <w>]
+  *
+  * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
+  * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
+  * variants are not scored and do not appear in the stage accounting.
+  * `--span-dedup <w>` / `--substring-dedup <w>` rewrite KEPT docs'
+  * scrubbed text after document-level dedup: corpus-wide keep-first
+  * removal of duplicated w-word tumbling spans / sliding windows
+  * ([[graft.dedup.SpanDedup]]).
   *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
@@ -38,7 +47,7 @@ object Run {
     while (i < args.length) {
       args(i) match {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
-            | "--extract-html") =>
+            | "--extract-html" | "--url-dedup") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -75,9 +84,16 @@ object Run {
     // untouched; see CorpusPipeline.extractText)
     val extracted =
       if (a.contains("extract-html")) CorpusPipeline.extractText(raw) else raw
+    // --url-dedup: canonical-URL keep-first (earliest warc_ts wins) on
+    // the raw crawl, before any scoring work is spent on URL variants
+    val urlDeduped =
+      if (a.contains("url-dedup"))
+        graft.dedup.ExactDedup.urlDedup(extracted, "url",
+          Seq("warc_ts", "url"))
+      else extracted
     val pages = a.get("repartition") match {
-      case Some(n) => extracted.repartition(n.toInt)
-      case None => extracted
+      case Some(n) => urlDeduped.repartition(n.toInt)
+      case None => urlDeduped
     }
 
     val cfg = graft.model.PipelineConfig(
@@ -127,11 +143,28 @@ object Run {
         CorpusPipeline.dedup(scored, cfg)
       }
 
+    // span-level rewrites apply to KEPT docs only (dropped docs' text
+    // must stay byte-identical for the exclusion audit), after document-
+    // level dedup so surviving docs dedup against survivors
+    val spanDeduped = (a.get("span-dedup"), a.get("substring-dedup")) match {
+      case (None, None) => result
+      case (spanW, subW) =>
+        val kept0 = result.filter(col("keep"))
+        val dropped = result.filter(!col("keep"))
+        val kept1 = spanW.map(w => graft.dedup.SpanDedup
+          .removeDuplicateWordSpans(kept0, "url", "scrubbed_text", w.toInt))
+          .getOrElse(kept0)
+        val kept2 = subW.map(w => graft.dedup.SpanDedup
+          .removeDuplicateSubstrings(kept1, "url", "scrubbed_text", w.toInt))
+          .getOrElse(kept1)
+        kept2.unionByName(dropped)
+    }
+
     val outFormat = a.getOrElse("out-format", "parquet") match {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
-    val persisted = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = spanDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CorpusIO.writeWithExclusions(
       persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
         "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
