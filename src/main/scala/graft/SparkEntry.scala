@@ -198,6 +198,21 @@ object SparkEntry {
           col("minhash_cluster").cast("string").as("minhash_cluster"))
     }),
 
+    // Incremental cross-corpus near-dup marking: src0 docs play the
+    // stored reference snapshot (signatures computed once), the rest the
+    // incoming batch; a batch doc sharing any MinHash band with the
+    // reference is flagged without re-clustering the reference. Rows-
+    // only (band hashes are Spark xxhash64 — see SURVEY §2.12 ledger);
+    // semantics pinned in DedupSpec markAgainst tests.
+    "q_minhash_mark_against" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refSigs = MinHash.signatures(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      MinHash.markAgainst(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", refSigs)
+        .select(col("doc_id"), col("is_minhash_dup"))
+    }),
+
     // D1 windowed keep-first over Page shape, keyed on a text prefix so
     // real dup groups exist (oracle-checked: url/warc_ts derive
     // deterministically from doc_id)

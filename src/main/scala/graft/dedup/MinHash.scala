@@ -188,6 +188,39 @@ object MinHash {
       .distinct()
   }
 
+  /** Incremental cross-corpus near-dup marking — the crawl-snapshot
+    * update path: flag every `newDf` doc whose signature shares ANY band
+    * with the REFERENCE corpus, without re-clustering the reference.
+    * `refSigs` is a [[signatures]] table (compute once per corpus
+    * snapshot, store as parquet, reuse across incoming batches — at
+    * 100 TB the reference side is a band-keyed semi-join probe, never a
+    * re-scan of the old corpus text). New-vs-new duplicates are NOT
+    * marked here; compose with [[mark]] for full batch hygiene.
+    */
+  def markAgainst(newDf: DataFrame, idCol: String, textCol: String,
+                  refSigs: DataFrame, cfg: Config = Config(),
+                  flagCol: String = "is_minhash_dup"): DataFrame = {
+    val newSigs = signatures(newDf, idCol, textCol, cfg)
+    // left_semi keeps the probe narrow: only (id, band, hash) shuffles,
+    // duplicated band hits collapse via distinct before the mark-back
+    val dupIds = newSigs
+      .join(refSigs.select("band_id", "band_hash"),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+    newDf.join(dupIds.withColumnRenamed("id", "__dup_id"),
+        newDf(idCol) === col("__dup_id"), "left")
+      .withColumn(flagCol, col("__dup_id").isNotNull)
+      .drop("__dup_id")
+  }
+
+  /** Survivors of [[markAgainst]]: new docs NOT near-duplicating the
+    * reference corpus.
+    */
+  def dedupAgainst(newDf: DataFrame, idCol: String, textCol: String,
+                   refSigs: DataFrame, cfg: Config = Config()): DataFrame =
+    markAgainst(newDf, idCol, textCol, refSigs, cfg)
+      .filter(!col("is_minhash_dup")).drop("is_minhash_dup")
+
   /** Salted skew-aware variant of [[candidateEdges]]: the group key is
     * extended with `salt = pmod(xxhash64(id), saltBuckets)`, so a hot
     * band hash spreads across `saltBuckets` shards — per-shard star

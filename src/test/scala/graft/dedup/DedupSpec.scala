@@ -285,6 +285,34 @@ class MinHashSpec extends SparkSpec {
     assert(dropped == Set("b", "c"))
   }
 
+  test("markAgainst flags near-dups of the reference corpus only") {
+    val refBase = doc(20)
+    val ref = Seq(("r1", refBase), ("r2", doc(21))).toDF("id", "text")
+    val refSigs = MinHash.signatures(ref, "id", "text")
+    val batch = Seq(
+      ("n1", refBase), // exact copy of a reference doc
+      ("n2", refBase + "\nExtra note appended to the incoming record."),
+      ("n3", doc(22)), // fresh content
+      ("n4", doc(23))
+    ).toDF("id", "text")
+    implicit val s = spark
+    val marked = MinHash.markAgainst(batch, "id", "text", refSigs)
+    val dup = marked.filter($"is_minhash_dup").select("id")
+      .as[String].collect().toSet
+    assert(dup == Set("n1", "n2"), s"got $dup")
+    // survivors keep their full row; new-vs-new dups are out of scope
+    val kept = MinHash.dedupAgainst(batch, "id", "text", refSigs)
+      .select("id").as[String].collect().toSet
+    assert(kept == Set("n3", "n4"))
+    // incremental property: appending the batch's survivors to the
+    // reference and re-probing marks a re-sent survivor as dup
+    val grown = refSigs.unionByName(
+      MinHash.signatures(batch.filter($"id" === "n3"), "id", "text"))
+    val resent = MinHash.markAgainst(
+      batch.filter($"id" === "n3"), "id", "text", grown)
+    assert(resent.filter($"is_minhash_dup").count() == 1L)
+  }
+
   test("connected components merge chained clusters to one representative") {
     // star edges as candidateEdges would emit: chain a<-b<-c via two bands
     val edges = Seq(("b", "a"), ("c", "b"), ("e", "d"), ("f", "d"))
