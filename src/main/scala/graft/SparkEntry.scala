@@ -500,6 +500,20 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // Learned-BPE token counts (Sennrich 2016): fit 200 merges on the
+    // corpus (one capped word-count aggregation + driver merge loop),
+    // count subword tokens per doc. Rows-only — the iterative merge
+    // learning is not SQL-expressible (SURVEY §2.12 ledger); the merge
+    // sequence itself is pinned against the hand-computed paper example
+    // in BpeSpec.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.Bpe.fit(docs, "text", numMerges = 200,
+        maxVocab = 5000)
+      graft.text.Bpe.tokenCounts(docs, "text", model)
+        .select(col("doc_id"), col("bpe_tokens"))
+    }),
+
     // Exact-substring dedup at sliding-window granularity (Lee et al.
     // 2022 rule): every duplicated 8-word sliding window keeps only its
     // first (doc_id, start) occurrence; later occurrences' words are

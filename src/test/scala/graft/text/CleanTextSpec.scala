@@ -275,3 +275,36 @@ class UrlNormSpec extends AnyFunSuite {
     assert(canonical("not a url at all") == "not a url at all")
   }
 }
+
+class BpeSpec extends AnyFunSuite {
+
+  test("learn merges the classic Sennrich example deterministically") {
+    // vocab: low×5, lower×2, newest×6, widest×3 — the BPE paper example.
+    // Most frequent first pairs: (e,s)=9, then (es,t)=9, then (est,</w>)=9…
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.learn(vocab, 5)
+    assert(merges.take(3) == Vector(("e", "s"), ("es", "t"), ("est", "</w>")))
+    // deterministic: same input, same sequence
+    assert(Bpe.learn(vocab, 5) == merges)
+  }
+
+  test("encode applies merges greedily by learned rank") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = Bpe.Model(Bpe.learn(vocab, 10))
+    // "newest" was in-vocab: should encode to few symbols
+    assert(model.encode("newest").length <= 3)
+    // an unseen word still encodes (character fallback at worst)
+    val enc = model.encode("lowest")
+    assert(enc.nonEmpty && enc.mkString == "lowest" + Bpe.EndOfWord)
+    assert(model.encode("").isEmpty)
+  }
+
+  test("token counts decrease as merges increase") {
+    val vocab = Seq(("aaaa", 10L), ("aaab", 5L), ("bbbb", 8L))
+    val none = Bpe.Model(Vector.empty)
+    val some = Bpe.Model(Bpe.learn(vocab, 8))
+    val text = "aaaa bbbb aaab aaaa"
+    assert(some.tokenCount(text) < none.tokenCount(text))
+    assert(none.tokenCount(text) == text.split(' ').map(_.length + 1).sum)
+  }
+}
