@@ -69,6 +69,33 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("content_key")
       .drop("content_key")
 
+  /** Stream-static near-dup gate: drop arriving pages that near-
+    * duplicate a STORED reference corpus ([[graft.dedup.MinHash
+    * .signatures]] snapshot, e.g. yesterday's corpus, read as a static
+    * frame) and append survivors to `outputDir`. The anti-join's probe
+    * side derives from the stream itself, which Structured Streaming
+    * cannot plan as a stream-stream join — so each micro-batch runs the
+    * BATCH operator ([[graft.dedup.MinHash.dedupAgainst]]) via
+    * `foreachBatch`, the sanctioned shape for per-batch static joins.
+    * No state store involved: the reference is immutable within a run
+    * (restart the query on a new snapshot to refresh — checkpointed
+    * progress carries over). Complements [[dedupFirstSeenStream]],
+    * which dedups the stream against ITSELF.
+    */
+  def runDedupAgainst(spark: SparkSession, inputDir: String,
+                      outputDir: String, checkpointDir: String,
+                      refSigs: DataFrame, idCol: String = "url",
+                      textCol: String = "text"): StreamingQuery =
+    readPages(spark, inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.dedup.MinHash.dedupAgainst(batch, idCol, textCol, refSigs)
+          .write.mode("append").parquet(outputDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming keep-first dedup with EXPLICIT custom state —
     * `KeyValueGroupedDataset.flatMapGroupsWithState` over the content
     * key, the form to reach for when per-key state is richer than

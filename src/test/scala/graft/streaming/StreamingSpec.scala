@@ -33,6 +33,39 @@ class StreamingSpec extends SparkSpec {
     assert(Set("url", "drop_stage", "scrubbed_text", "perplexity").subsetOf(cols))
   }
 
+  test("stream-static near-dup gate equals batch dedupAgainst") {
+    val in = Files.createTempDirectory("stream_sa_in").toString
+    // reference snapshot = docs 0..39; incoming stream = docs 20..79 —
+    // 20..39 are verbatim copies of reference docs and must be gated out
+    val all = Synth.pages(spark, 80L)
+    val refUrls = (0 until 40).map(i => Synth.urlOf(i.toLong))
+    val ref = all.filter(col("url").isInCollection(refUrls))
+    val refSigs = graft.dedup.MinHash.signatures(ref, "url", "text")
+      .persist()
+    refSigs.count()
+    val incomingUrls = (20 until 80).map(i => Synth.urlOf(i.toLong))
+    val incoming = all.filter(col("url").isInCollection(incomingUrls))
+    incoming.write.mode("append").parquet(in)
+    val out = Files.createTempDirectory("stream_sa_out").toString
+    val ckpt = Files.createTempDirectory("stream_sa_ckpt").toString
+    val q = StreamingPipeline.runDedupAgainst(spark, in, out, ckpt, refSigs)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).select("url")
+      .as[String].collect().toSet
+    // none of the verbatim-overlap docs survive
+    (20 until 40).foreach(i =>
+      assert(!streamed.contains(Synth.urlOf(i.toLong)), s"doc $i leaked"))
+    // micro-batch gating ≡ the batch operator (also covers the corpus's
+    // planted near-dups crossing the reference boundary)
+    val batchResult = graft.dedup.MinHash.dedupAgainst(
+      incoming, "url", "text", refSigs)
+      .select("url").as[String].collect().toSet
+    assert(streamed == batchResult,
+      s"stream/batch diverge: ${streamed.diff(batchResult)} / " +
+      s"${batchResult.diff(streamed)}")
+    refSigs.unpersist()
+  }
+
   test("custom-state first-seen dedup emits one row per key with dup counts") {
     val in = Files.createTempDirectory("stream_fs_in").toString
     val pages = Synth.pages(spark, 60L)
