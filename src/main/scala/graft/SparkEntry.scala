@@ -500,6 +500,19 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // Per-benchmark-doc contamination overlap report (eval hygiene):
+    // for each src4 (benchmark) doc, the fraction of its distinct
+    // 4-grams appearing anywhere in the rest of the corpus — the
+    // paraphrase-leakage signal next to the binary q_ngram_decontaminate
+    // call. Corpus scan emits only matched hashes (bounded by the
+    // benchmark), no corpus-sized shuffle.
+    "q_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Decontaminate.overlapReport(
+        docs.filter(col("source") =!= "src4"), "text",
+        docs.filter(col("source") === "src4"), "doc_id", "text", n = 4)
+    }),
+
     // Learned-BPE token counts (Sennrich 2016): fit 200 merges on the
     // corpus (one capped word-count aggregation + driver merge loop),
     // count subword tokens per doc. Rows-only — the iterative merge
@@ -881,6 +894,21 @@ object SparkEntry {
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_contamination_report" ->
+      """WITH w AS (SELECT doc_id, source,
+        |            regexp_split_to_array(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(ws[i:i+3], ' ') AS gram
+        |      FROM (SELECT doc_id, source, ws,
+        |                   unnest(range(1, len(ws) - 2)) AS i FROM w)),
+        |bg AS (SELECT DISTINCT doc_id, gram FROM g WHERE source = 'src4'),
+        |cg AS (SELECT DISTINCT gram FROM g WHERE source <> 'src4')
+        |SELECT bg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS grams_total,
+        |  CAST(count(cg.gram) AS BIGINT) AS grams_matched,
+        |  round(count(cg.gram) * 1.0 / count(*), 4) AS overlap_frac
+        |FROM bg LEFT JOIN cg ON bg.gram = cg.gram
+        |GROUP BY bg.doc_id""".stripMargin,
 
     "q_substring_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

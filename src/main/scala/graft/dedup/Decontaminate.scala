@@ -121,4 +121,53 @@ object Decontaminate {
              n: Int = 13, broadcast: Boolean = true): DataFrame =
     mark(df, textCol, bench, benchTextCol, n, broadcast)
       .filter(!col("is_contaminated")).drop("is_contaminated")
+
+  /** Per-benchmark-document overlap report — the eval-hygiene summary
+    * a release audit wants NEXT TO the binary contaminated/clean call:
+    * for each benchmark doc, how many of its DISTINCT word n-grams
+    * appear anywhere in the training corpus (`grams_total`,
+    * `grams_matched`, `overlap_frac`). High-but-below-threshold
+    * fractions flag paraphrase-level leakage the binary filter misses.
+    *
+    * Scale shape: the benchmark's gram-hash set broadcasts (same
+    * `MaxBroadcastGrams` guard as [[mark]]); the CORPUS scan emits only
+    * the hashes it matched — output bounded by the benchmark size, not
+    * the corpus — which then semi-join the per-bench-doc gram table.
+    * One corpus scan, no corpus-sized shuffle.
+    */
+  def overlapReport(df: DataFrame, textCol: String,
+                    bench: DataFrame, benchIdCol: String,
+                    benchTextCol: String, n: Int = 13): DataFrame = {
+    val spark = df.sparkSession
+    val gramUdf = udf((t: String) => gramHashes(t, n).distinct)
+    val benchGrams = bench.select(col(benchIdCol),
+      explode(gramUdf(col(benchTextCol))).as("_g"))
+    val gramArr: Array[Long] = benchGrams.select("_g").distinct()
+      .rdd.map(_.getLong(0)).collect()
+    require(gramArr.length <= MaxBroadcastGrams,
+      s"benchmark has ${gramArr.length} distinct $n-grams " +
+        s"(> $MaxBroadcastGrams) — too large for the broadcast report")
+    java.util.Arrays.sort(gramArr)
+    val bc = spark.sparkContext.broadcast(gramArr)
+    val matchedUdf = udf(new (String => Array[Long]) with Serializable {
+      @transient private lazy val sorted = bc.value
+      def apply(t: String): Array[Long] = {
+        val hs = gramHashes(t, n)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < hs.length) {
+          if (java.util.Arrays.binarySearch(sorted, hs(i)) >= 0) out += hs(i)
+          i += 1
+        }
+        out.distinct.toArray
+      }
+    })
+    val seen = df.select(explode(matchedUdf(col(textCol))).as("_g")).distinct()
+    benchGrams.join(seen.withColumn("_hit", lit(true)), Seq("_g"), "left")
+      .groupBy(benchIdCol)
+      .agg(count(lit(1)).as("grams_total"),
+        count(col("_hit")).as("grams_matched"))
+      .withColumn("overlap_frac",
+        round(col("grams_matched") / col("grams_total"), 4))
+  }
 }

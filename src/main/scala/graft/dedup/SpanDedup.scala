@@ -138,6 +138,20 @@ object SpanDedup {
       " ")
   }
 
+  /** Line-level form: each LINE is a span — the cross-document version
+    * of boilerplate-line removal (nav/footer/cookie lines repeat
+    * verbatim across pages). Lines rejoin with "\n" (split with -1
+    * limit, so trailing newlines round-trip byte-faithfully). Only
+    * lines of ≥ `minWords` words dedup-eligible: short strings like
+    * "home" legitimately repeat and must not vanish corpus-wide.
+    */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+                           minWords: Int = 3): DataFrame =
+    removeDuplicate(df, idCol, textCol,
+      t => t.split("\n", -1),
+      s => graft.text.TextStats.countWords(s) >= minWords,
+      "\n")
+
   /** Per-word FNV-1a then polynomial rolling combine over every SLIDING
     * n-word window — O(words) total, vs O(words × n) for re-hashing
     * each window's characters. Index i = hash of words [i, i+n).

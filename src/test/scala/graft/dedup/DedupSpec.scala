@@ -173,6 +173,20 @@ class SpanDedupSpec extends SparkSpec {
     assert(repart == onceMap, "result depends on partitioning")
   }
 
+  test("line dedup removes repeated boilerplate lines, keeps short ones") {
+    val footer = "subscribe to our weekly newsletter today"
+    val df = Seq(
+      (1L, s"unique article one\nhome\n$footer"),
+      (2L, s"unique article two\nhome\n$footer"),
+      (3L, s"unique article three\n$footer\ntrailing line here\n")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateLines(df, "doc_id", "text", minWords = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == s"unique article one\nhome\n$footer") // first keeps it
+    assert(out(2L) == "unique article two\nhome") // short "home" survives
+    assert(out(3L) == "unique article three\ntrailing line here\n") // trailing \n faithful
+  }
+
   test("substring dedup: rolling hash equals direct window hashing") {
     val words = "the quick brown fox jumps over the lazy dog again and again"
       .split(' ')
