@@ -108,6 +108,12 @@ object Dsir {
           buckets: Int = 1 << 16, alpha: Double = 1.0,
           portableHash: Boolean = false): Model = {
     require(buckets > 0 && alpha > 0)
+    // the fit collects one count row per bucket and the model is an
+    // 8 B × buckets broadcast; 2^24 (128 MB) is already generous —
+    // beyond it the "O(buckets) driver memory" contract quietly breaks
+    require(buckets <= (1 << 24),
+      s"buckets=$buckets exceeds 2^24 — the per-bucket collect and the " +
+        "broadcast log-ratio vector stop being small")
     val p = logDist(target, textCol, buckets, portableHash, alpha)
     val q = logDist(raw, textCol, buckets, portableHash, alpha)
     Model(buckets, portableHash, Array.tabulate(buckets)(i => p(i) - q(i)))

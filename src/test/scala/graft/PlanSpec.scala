@@ -161,6 +161,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir scoring is a narrow zero-shuffle pass") {
+    val df = spark.range(100).selectExpr("id",
+      "concat('alpha beta word', cast(id % 9 as string)) AS text")
+    val model = analytics.Dsir.fit(df.limit(20), df, "text", buckets = 64)
+    val scored = analytics.Dsir.score(df, "text", model)
+    assert(!planOf(scored).contains("Exchange"),
+      s"dsir score shuffled:\n${planOf(scored)}")
+  }
+
   test("exact dedup window partitions by the dedup key (no global sort)") {
     val pages = SparkEntry.pagesFromDocs(spark, sfDir)
     val marked = dedup.ExactDedup.mark(pages, Seq("text"), Seq("warc_ts", "url"))

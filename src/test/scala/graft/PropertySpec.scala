@@ -173,3 +173,37 @@ object HtmlProperties extends Properties("html") {
       out == text.split("\\s+").filter(_.nonEmpty).mkString(" ")
     }
 }
+
+object UrlNormProperties extends Properties("urlnorm") {
+  import graft.text.UrlNorm.canonical
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("https://", "HTTP://", "http://", "")
+    www <- Gen.oneOf("www.", "WWW.", "")
+    host <- Gen.oneOf("example.com", "Sub.Example.COM", "xn--bcher-kva.ch")
+    port <- Gen.oneOf(":443", ":80", ":8080", "")
+    path <- Gen.listOf(Gen.oneOf("a", "B", "p%20q", "1")).map(s =>
+      s.map("/" + _).mkString)
+    slash <- Gen.oneOf("/", "//", "")
+    query <- Gen.oneOf("", "?utm_source=x", "?id=3&utm_medium=y",
+      "?b=2&a=1", "?fbclid")
+    frag <- Gen.oneOf("", "#top", "#a/b?c")
+  } yield scheme + www + host + port + path + slash + query + frag
+
+  property("canonical is idempotent") = forAll(urlGen) { u =>
+    canonical(canonical(u)) == canonical(u)
+  }
+
+  property("canonical is variant-invariant") = forAll(urlGen) { u =>
+    // the same logical URL under scheme/www-case/default-port/fragment
+    // variation maps to one canonical form
+    val base = canonical(u)
+    canonical("https://" + u.stripPrefix("https://").stripPrefix("HTTP://")
+      .stripPrefix("http://")) == base
+  }
+
+  property("never returns null; trims to empty") =
+    forAll(Gen.oneOf(null: String, "", "   ", "\t")) { u =>
+      canonical(u) == ""
+    }
+}
