@@ -149,15 +149,36 @@ object Run {
     val spanDeduped = (a.get("span-dedup"), a.get("substring-dedup")) match {
       case (None, None) => result
       case (spanW, subW) =>
-        val kept0 = result.filter(col("keep"))
-        val dropped = result.filter(!col("keep"))
+        // persist before the fan-out: the kept/dropped split plus each
+        // rewrite's own multi-scan would otherwise recompute the whole
+        // scoring+dedup stage up to ~5×
+        val base = result.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // SpanDedup requires a UNIQUE row id; url recurs across crawl
+        // snapshots (the exact-dedup module documents this), so key the
+        // rewrite on a synthesized full-row hash — deterministic, and a
+        // repeated url can no longer cross-contaminate removal arrays
+        val rowKey = xxhash64(col("url"), col("warc_ts"),
+          col("scrubbed_text"))
+        val kept0 = base.filter(col("keep")).withColumn("_span_id", rowKey)
+        val dropped = base.filter(!col("keep"))
         val kept1 = spanW.map(w => graft.dedup.SpanDedup
-          .removeDuplicateWordSpans(kept0, "url", "scrubbed_text", w.toInt))
+          .removeDuplicateWordSpans(kept0, "_span_id", "scrubbed_text",
+            w.toInt))
           .getOrElse(kept0)
         val kept2 = subW.map(w => graft.dedup.SpanDedup
-          .removeDuplicateSubstrings(kept1, "url", "scrubbed_text", w.toInt))
+          .removeDuplicateSubstrings(kept1, "_span_id", "scrubbed_text",
+            w.toInt))
           .getOrElse(kept1)
-        kept2.unionByName(dropped)
+        // the rewrite changed the bytes → recount tokens so downstream
+        // token-budget accounting sees the post-rewrite corpus (the
+        // perplexity column deliberately keeps the score that made the
+        // keep decision — it describes the decision, not the final text)
+        val recount = udf((t: String) =>
+          graft.text.TextStats.countWords(if (t == null) "" else t))
+        kept2.drop("_span_id")
+          .withColumn("n_tokens", recount(col("scrubbed_text")))
+          .unionByName(dropped)
     }
 
     val outFormat = a.getOrElse("out-format", "parquet") match {

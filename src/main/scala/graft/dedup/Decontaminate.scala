@@ -60,27 +60,34 @@ object Decontaminate {
     */
   val MaxBroadcastGrams: Long = 64L * 1024 * 1024
 
+  /** Collect `bench`'s distinct gram hashes as a SORTED PRIMITIVE array
+    * and broadcast it — 8 B per gram on the driver and every executor
+    * (a boxed Set[Long] costs 40-80 B/entry, defeating the
+    * [[MaxBroadcastGrams]] ≈ 512 MB guard math). Shared by the [[mark]]
+    * probe and [[overlapReport]].
+    */
+  private def broadcastBenchGrams(bench: DataFrame, benchTextCol: String,
+      n: Int): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    val gramRdd = bench.select(col(benchTextCol))
+      .na.drop()
+      .rdd.flatMap(r => gramHashes(r.getString(0), n))
+      .distinct()
+    val nGrams = gramRdd.count()
+    require(nGrams <= MaxBroadcastGrams,
+      s"benchmark has $nGrams distinct $n-grams (> $MaxBroadcastGrams); " +
+        "too large to broadcast — use the semi-join path " +
+        "(mark(broadcast = false))")
+    val grams: Array[Long] = gramRdd.collect()
+    java.util.Arrays.sort(grams)
+    bench.sparkSession.sparkContext.broadcast(grams)
+  }
+
   /** Adds `is_contaminated` (doc shares ≥1 word n-gram with `bench`). */
   def mark(df: DataFrame, textCol: String,
            bench: DataFrame, benchTextCol: String,
            n: Int = 13, broadcast: Boolean = true): DataFrame = {
     if (broadcast) {
-      val gramRdd = bench.select(col(benchTextCol))
-        .na.drop()
-        .rdd.flatMap(r => gramHashes(r.getString(0), n))
-        .distinct()
-      val nGrams = gramRdd.count()
-      require(nGrams <= MaxBroadcastGrams,
-        s"benchmark has $nGrams distinct $n-grams (> $MaxBroadcastGrams); " +
-          "too large to broadcast — call with broadcast = false for the " +
-          "semi-join path")
-      // sorted primitive array + binary search, NOT a Set[Long]: boxed
-      // hash-set entries cost 40-80 B each (3-5 GB at the cap, defeating
-      // the guard's 512 MB math); the array is exactly 8 B per gram on
-      // the driver and on every executor
-      val grams: Array[Long] = gramRdd.collect()
-      java.util.Arrays.sort(grams)
-      val bc = df.sparkSession.sparkContext.broadcast(grams)
+      val bc = broadcastBenchGrams(bench, benchTextCol, n)
       // read the broadcast once per task, not per row (SoftReference +
       // global-lock re-deserialization trap; see bloomDecontaminate)
       val probe = udf(new (String => Boolean) with Serializable {
@@ -138,17 +145,10 @@ object Decontaminate {
   def overlapReport(df: DataFrame, textCol: String,
                     bench: DataFrame, benchIdCol: String,
                     benchTextCol: String, n: Int = 13): DataFrame = {
-    val spark = df.sparkSession
     val gramUdf = udf((t: String) => gramHashes(t, n).distinct)
     val benchGrams = bench.select(col(benchIdCol),
       explode(gramUdf(col(benchTextCol))).as("_g"))
-    val gramArr: Array[Long] = benchGrams.select("_g").distinct()
-      .rdd.map(_.getLong(0)).collect()
-    require(gramArr.length <= MaxBroadcastGrams,
-      s"benchmark has ${gramArr.length} distinct $n-grams " +
-        s"(> $MaxBroadcastGrams) — too large for the broadcast report")
-    java.util.Arrays.sort(gramArr)
-    val bc = spark.sparkContext.broadcast(gramArr)
+    val bc = broadcastBenchGrams(bench, benchTextCol, n)
     val matchedUdf = udf(new (String => Array[Long]) with Serializable {
       @transient private lazy val sorted = bc.value
       def apply(t: String): Array[Long] = {

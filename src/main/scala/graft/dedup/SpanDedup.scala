@@ -72,10 +72,42 @@ object SpanDedup {
     out
   }
 
+  /** Shared keep-first core: given the dedup-eligible occurrence table
+    * (`_sd_id`, `_sd_pos`, `_sd_h`), keep each hash's lexicographically
+    * least (id, pos) occurrence, fold the other positions to one array
+    * per AFFECTED doc (usually broadcast under AQE — docs without
+    * removals never join and never move), and rewrite affected docs'
+    * text with `strip(text, removedPositions)`.
+    *
+    * PRECONDITION (all public entry points): `idCol` must be UNIQUE per
+    * row — with a repeated id, removal positions of different rows merge
+    * into one array and the join-back rewrites BOTH rows with the union,
+    * silently deleting non-duplicate content. Key on a synthesized
+    * unique id (e.g. xxhash64 of the full row) when the natural key can
+    * recur, as `graft.Run` does.
+    */
+  private def stripNonFirst(df: DataFrame, idCol: String, textCol: String,
+                            occ: DataFrame,
+                            strip: (String, Seq[Int]) => String): DataFrame = {
+    val first = occ.groupBy("_sd_h")
+      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_first"))
+    val removals = occ.join(first, "_sd_h")
+      .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
+      .select(col("_sd_id"), col("_sd_pos"))
+    val remPerDoc = removals.groupBy("_sd_id")
+      .agg(sort_array(collect_list(col("_sd_pos"))).as("_sd_rm"))
+    val stripUdf = udf(strip)
+    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
+      .withColumn(textCol,
+        when(col("_sd_rm").isNull, col(textCol))
+          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
+      .drop("_sd_id", "_sd_rm")
+  }
+
   /** Core: chunk with `chunker`, drop every dedup-eligible chunk that is
     * not its hash's first (id, pos) occurrence, reassemble affected docs
-    * with `sep`. `eligible(chunkIndex, chunkCount)` limits dedup to full
-    * spans (the trailing partial span never dedups — C4 semantics).
+    * with `sep`. `fullSpan` limits dedup to full spans (the trailing
+    * partial span never dedups — C4 semantics).
     */
   private def removeDuplicate(df: DataFrame, idCol: String, textCol: String,
                               chunker: String => Array[String],
@@ -91,26 +123,12 @@ object SpanDedup {
     val narrow = spans.filter(fullUdf(col("_sd_span")))
       .select(col("_sd_id"), col("_sd_pos"),
         xxhash64(col("_sd_span")).as("_sd_h"))
-    val first = narrow.groupBy("_sd_h")
-      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_first"))
-    val removals = narrow.join(first, "_sd_h")
-      .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
-      .select(col("_sd_id"), col("_sd_pos"))
-    // one small array per AFFECTED doc; join back on id (usually
-    // broadcast under AQE — docs without removals never join)
-    val remPerDoc = removals.groupBy("_sd_id")
-      .agg(sort_array(collect_list(col("_sd_pos"))).as("_sd_rm"))
-    val stripUdf = udf((t: String, rm: Seq[Int]) => {
+    stripNonFirst(df, idCol, textCol, narrow, (t: String, rm: Seq[Int]) => {
       val chunks = chunker(t)
       val drop = rm.toSet
       val keep = chunks.indices.filterNot(drop)
       keep.map(chunks(_)).mkString(sep)
     })
-    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
-      .withColumn(textCol,
-        when(col("_sd_rm").isNull, col(textCol))
-          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
-      .drop("_sd_id", "_sd_rm")
   }
 
   /** Corpus-wide keep-first dedup of tumbling `spanWords`-word spans. */
@@ -209,14 +227,7 @@ object SpanDedup {
       slidingWindowHashes((if (t == null) "" else t).split(' '), n))
     val wins = df.select(col(idCol).as("_sd_id"),
       posexplode(winUdf(col(textCol))).as(Seq("_sd_pos", "_sd_h")))
-    val first = wins.groupBy("_sd_h")
-      .agg(min(struct(col("_sd_id"), col("_sd_pos"))).as("_sd_first"))
-    val removals = wins.join(first, "_sd_h")
-      .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
-      .select(col("_sd_id"), col("_sd_pos"))
-    val remPerDoc = removals.groupBy("_sd_id")
-      .agg(collect_list(col("_sd_pos")).as("_sd_rm"))
-    val stripUdf = udf((t: String, starts: Seq[Int]) => {
+    stripNonFirst(df, idCol, textCol, wins, (t: String, starts: Seq[Int]) => {
       val ws = t.split(' ')
       val gone = new java.util.BitSet(ws.length)
       starts.foreach { p =>
@@ -234,10 +245,5 @@ object SpanDedup {
       }
       sb.toString
     })
-    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
-      .withColumn(textCol,
-        when(col("_sd_rm").isNull, col(textCol))
-          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
-      .drop("_sd_id", "_sd_rm")
   }
 }

@@ -85,12 +85,19 @@ object StreamingPipeline {
   def runDedupAgainst(spark: SparkSession, inputDir: String,
                       outputDir: String, checkpointDir: String,
                       refSigs: DataFrame, idCol: String = "url",
-                      textCol: String = "text"): StreamingQuery =
+                      textCol: String = "text",
+                      cfg: graft.dedup.MinHash.Config =
+                        graft.dedup.MinHash.Config()): StreamingQuery =
     readPages(spark, inputDir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.dedup.MinHash.dedupAgainst(batch, idCol, textCol, refSigs)
-          .write.mode("append").parquet(outputDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch is at-least-once: a retried micro-batch must not
+        // double its survivors, so each batch OVERWRITES its own
+        // batchId-keyed subdirectory (idempotent replay; readers load
+        // the whole tree). cfg MUST match the one refSigs was built
+        // with or band hashes never collide and everything leaks.
+        graft.dedup.MinHash.dedupAgainst(batch, idCol, textCol, refSigs, cfg)
+          .write.mode("overwrite").parquet(s"$outputDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -72,7 +72,10 @@ object UrlNorm {
     val query =
       if (q < 0) ""
       else {
-        val kept = rest.substring(q + 1).split('&').filterNot(isTracking)
+        // drop empties too: a bare trailing '?' (or '?&utm_…') must
+        // canonicalize identically to no query at all
+        val kept = rest.substring(q + 1).split('&')
+          .filter(p => p.nonEmpty && !isTracking(p))
         if (kept.isEmpty) "" else "?" + kept.mkString("&")
       }
     auth + path + query

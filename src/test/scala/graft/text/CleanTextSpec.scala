@@ -258,6 +258,12 @@ class UrlNormSpec extends AnyFunSuite {
     assert(canonical("https://e.com/p?fbclid") == "e.com/p") // bare flag
   }
 
+  test("bare '?' and empty params canonicalize like no query") {
+    assert(canonical("http://a.com/p?") == "a.com/p")
+    assert(canonical("http://a.com/p?&utm_source=x") == "a.com/p")
+    assert(canonical("http://a.com/p?&id=1&") == "a.com/p?id=1")
+  }
+
   test("trailing slashes strip; root collapses to bare host") {
     assert(canonical("https://e.com/") == "e.com")
     assert(canonical("https://e.com/a/b///") == "e.com/a/b")
