@@ -94,14 +94,24 @@ object SpanDedup {
     val removals = occ.join(first, "_sd_h")
       .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
       .select(col("_sd_id"), col("_sd_pos"))
+    // join-back columns get names not present on the caller frame:
+    // drop(name) removes EVERY column of that name, so a caller column
+    // that happened to be called _sd_id/_sd_rm would silently vanish
+    def freshName(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n = n + "_"
+      n
+    }
+    val (idN, rmN) = (freshName("_sd_id"), freshName("_sd_rm"))
     val remPerDoc = removals.groupBy("_sd_id")
-      .agg(sort_array(collect_list(col("_sd_pos"))).as("_sd_rm"))
+      .agg(sort_array(collect_list(col("_sd_pos"))).as(rmN))
+      .withColumnRenamed("_sd_id", idN)
     val stripUdf = udf(strip)
-    df.join(remPerDoc, df(idCol) === remPerDoc("_sd_id"), "left")
+    df.join(remPerDoc, df(idCol) === col(idN), "left")
       .withColumn(textCol,
-        when(col("_sd_rm").isNull, col(textCol))
-          .otherwise(stripUdf(col(textCol), col("_sd_rm"))))
-      .drop("_sd_id", "_sd_rm")
+        when(col(rmN).isNull, col(textCol))
+          .otherwise(stripUdf(col(textCol), col(rmN))))
+      .drop(idN, rmN)
   }
 
   /** Core: chunk with `chunker`, drop every dedup-eligible chunk that is

@@ -173,6 +173,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(repart == onceMap, "result depends on partitioning")
   }
 
+  test("span dedup preserves caller columns named like its internals") {
+    val df = Seq(
+      (1L, "a b c d e f", "keepme1"),
+      (2L, "a b c d e f", "keepme2")
+    ).toDF("doc_id", "text", "_sd_id")
+    val out = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 3)
+    assert(out.columns.toSet == df.columns.toSet)
+    assert(out.select("_sd_id").as[String].collect().toSet ==
+      Set("keepme1", "keepme2"))
+  }
+
   test("line dedup removes repeated boilerplate lines, keeps short ones") {
     val footer = "subscribe to our weekly newsletter today"
     val df = Seq(
