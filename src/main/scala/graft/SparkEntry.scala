@@ -632,6 +632,22 @@ object SparkEntry {
         graft.filters.JudgeScorer.stubScorer())
         .select("doc_id", "judge_score")),
 
+    // FineWeb-Edu-style distillation: the deterministic stub judge's
+    // scores train a fastText-style quality classifier (hi >= 4, lo <=
+    // 1, middle band dropped), which then rates every doc. Rows-only —
+    // quality_prob comes from learned float weights (SURVEY §2.12
+    // ledger); the recipe's correctness (signal recovery, determinism,
+    // middle-band exclusion) is pinned in QualityDistillSpec.
+    "q_quality_distill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val judged = graft.filters.JudgeScorer.score(docs,
+        graft.filters.JudgeScorer.stubScorer())
+      val model = graft.filters.QualityDistill.train(
+        judged, "text", "judge_score", dim = 16, epochs = 3)
+      graft.filters.QualityDistill.score(docs, "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+    }),
+
     // L4 resume-with-repair: planted invalid scores (-1 error marker,
     // null, above-scale, FRACTIONAL-in-a-double-column) get re-scored;
     // valid scores kept byte-for-byte (llm_judge.py:216-226)

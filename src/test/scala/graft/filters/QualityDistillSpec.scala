@@ -1,0 +1,69 @@
+package graft.filters
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QualityDistillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eduWords = Array("theorem", "lecture", "analysis", "proof",
+    "study", "research", "chapter", "equation")
+  private val spamWords = Array("cheap", "winner", "click", "deal",
+    "free", "casino", "prize", "offer")
+
+  private def doc(seed: Long, edu: Boolean): String = {
+    val r = new java.util.SplittableRandom(seed)
+    val vocab = if (edu) eduWords else spamWords
+    (0 until 30).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("distilled classifier recovers the judge's quality signal") {
+    // deterministic "judge": 5 for edu docs, 0 for spam — the distilled
+    // classifier must generalize that to held-out docs
+    val train = ((0 until 120).map(i => (i.toLong, doc(100L + i, edu = i % 2 == 0),
+      if (i % 2 == 0) 5 else 0))).toDF("doc_id", "text", "judge_score")
+    val model = QualityDistill.train(train, "text", "judge_score",
+      dim = 16, epochs = 5)
+    val held = (0 until 60).map(i =>
+      (i.toLong, doc(9000L + i, edu = i % 3 == 0), i % 3 == 0))
+      .toDF("doc_id", "text", "is_edu")
+    val scored = QualityDistill.score(held, "text", model)
+      .select("is_edu", "quality_prob").as[(Boolean, Double)].collect()
+    val eduProbs = scored.filter(_._1).map(_._2)
+    val spamProbs = scored.filterNot(_._1).map(_._2)
+    assert(eduProbs.min > 0.5 && spamProbs.max < 0.5,
+      s"no separation: edu min ${eduProbs.min}, spam max ${spamProbs.max}")
+    // filter keeps exactly the edu docs at the default threshold
+    val kept = QualityDistill.filter(held, "text", model)
+      .select("is_edu").as[Boolean].collect()
+    assert(kept.nonEmpty && kept.forall(identity))
+  }
+
+  test("training is partitioning-independent (deterministic sample + SGD)") {
+    val base = (0 until 80).map(i => (i.toLong, doc(500L + i, edu = i % 2 == 0),
+      if (i % 2 == 0) 5 else 0)).toDF("doc_id", "text", "judge_score")
+    val m1 = QualityDistill.train(base, "text", "judge_score", dim = 8, epochs = 2)
+    val m2 = QualityDistill.train(base.repartition(7), "text", "judge_score",
+      dim = 8, epochs = 2)
+    assert(m1.emb.sameElements(m2.emb) && m1.out.sameElements(m2.out))
+  }
+
+  test("ambiguous middle band is excluded; one-class input fails loudly") {
+    val oneClass = (0 until 20).map(i => (i.toLong, doc(i, edu = true), 5))
+      .toDF("doc_id", "text", "judge_score")
+    val ex = intercept[IllegalArgumentException] {
+      QualityDistill.train(oneClass, "text", "judge_score")
+    }
+    assert(ex.getMessage.contains("both classes"))
+    // middle-band docs (scores 2-3) contribute nothing to training:
+    // adding them must not change the model
+    val polar = (0 until 40).map(i => (i.toLong, doc(700L + i, edu = i % 2 == 0),
+      if (i % 2 == 0) 5 else 0)).toDF("doc_id", "text", "judge_score")
+    val withMid = polar.unionByName((1000 until 1020).map(i =>
+      (i.toLong, doc(i, edu = i % 2 == 0), 2 + (i % 2)))
+      .toDF("doc_id", "text", "judge_score"))
+    val mA = QualityDistill.train(polar, "text", "judge_score", dim = 8, epochs = 2)
+    val mB = QualityDistill.train(withMid, "text", "judge_score", dim = 8, epochs = 2)
+    assert(mA.emb.sameElements(mB.emb) && mA.out.sameElements(mB.out))
+  }
+}
