@@ -144,25 +144,35 @@ object Decontaminate {
     */
   def overlapReport(df: DataFrame, textCol: String,
                     bench: DataFrame, benchIdCol: String,
-                    benchTextCol: String, n: Int = 13): DataFrame = {
+                    benchTextCol: String, n: Int = 13,
+                    broadcast: Boolean = true): DataFrame = {
     val gramUdf = udf((t: String) => gramHashes(t, n).distinct)
     val benchGrams = bench.select(col(benchIdCol),
       explode(gramUdf(col(benchTextCol))).as("_g"))
-    val bc = broadcastBenchGrams(bench, benchTextCol, n)
-    val matchedUdf = udf(new (String => Array[Long]) with Serializable {
-      @transient private lazy val sorted = bc.value
-      def apply(t: String): Array[Long] = {
-        val hs = gramHashes(t, n)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var i = 0
-        while (i < hs.length) {
-          if (java.util.Arrays.binarySearch(sorted, hs(i)) >= 0) out += hs(i)
-          i += 1
-        }
-        out.distinct.toArray
+    val seen =
+      if (broadcast) {
+        val bc = broadcastBenchGrams(bench, benchTextCol, n)
+        val matchedUdf = udf(new (String => Array[Long]) with Serializable {
+          @transient private lazy val sorted = bc.value
+          def apply(t: String): Array[Long] = {
+            val hs = gramHashes(t, n)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var i = 0
+            while (i < hs.length) {
+              if (java.util.Arrays.binarySearch(sorted, hs(i)) >= 0) out += hs(i)
+              i += 1
+            }
+            out.distinct.toArray
+          }
+        })
+        df.select(explode(matchedUdf(col(textCol))).as("_g")).distinct()
+      } else {
+        // benchmark too big for one heap: semi-join the corpus's gram
+        // hashes against the benchmark's — shuffles O(corpus grams)
+        // narrow ids+hashes, always correct (mirror of mark's join path)
+        df.select(explode(gramUdf(col(textCol))).as("_g")).distinct()
+          .join(benchGrams.select("_g").distinct(), Seq("_g"), "left_semi")
       }
-    })
-    val seen = df.select(explode(matchedUdf(col(textCol))).as("_g")).distinct()
     benchGrams.join(seen.withColumn("_hit", lit(true)), Seq("_g"), "left")
       .groupBy(benchIdCol)
       .agg(count(lit(1)).as("grams_total"),

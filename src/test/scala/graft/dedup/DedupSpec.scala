@@ -107,6 +107,25 @@ class ExactDedupSpec extends SparkSpec {
     assert(b.contains("planted-clean"))
   }
 
+  test("overlap report fractions are exact; broadcast and join paths agree") {
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"),   // 2 distinct 3-grams
+      (2L, "zeta eta theta iota kappa") // 3 distinct 3-grams
+    ).toDF("bid", "text")
+    val corpus = Seq(
+      "intro alpha beta gamma outro",   // covers bench 1's first 3-gram
+      "totally unrelated words here now"
+    ).toDF("text")
+    def report(b: Boolean) = Decontaminate
+      .overlapReport(corpus, "text", bench, "bid", "text", n = 3,
+        broadcast = b)
+      .select("bid", "grams_total", "grams_matched", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bc = report(true)
+    assert(bc == report(false), "overlapReport paths disagree")
+    assert(bc == Set((1L, 2L, 1L, 0.5), (2L, 3L, 0L, 0.0)), s"got $bc")
+  }
+
   test("strong key is sha256 of '|'-joined columns (reference parity)") {
     val df = Seq(("a", "b")).toDF("c1", "c2")
     val h = df.select(ExactDedup.strongKey(Seq($"c1", $"c2")).as("h"))
