@@ -30,6 +30,12 @@ import graft.sources.CorpusIO
   * scrubbed text after document-level dedup: corpus-wide keep-first
   * removal of duplicated w-word tumbling spans / sliding windows
   * ([[graft.dedup.SpanDedup]]).
+  * `--dsir-target <dir> --dsir-keep <k>` (must be used together) run
+  * DSIR data selection as the FINAL stage: fit hashed-n-gram importance
+  * weights of kept docs against the target corpus ([[graft.analytics
+  * .Dsir]]), Gumbel-resample the k most target-like docs, and demote
+  * the rest to `drop_stage = 8_dsir` — they land in the exclusion audit
+  * like every other dropped doc.
   *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
@@ -181,11 +187,42 @@ object Run {
           .unionByName(dropped)
     }
 
+    // --dsir-target + --dsir-keep: final data-selection stage — keep the
+    // k most target-corpus-like docs, demote the rest to 8_dsir so the
+    // exclusion audit accounts for them like any other drop
+    val dsirApplied = (a.get("dsir-target"), a.get("dsir-keep")) match {
+      case (None, None) => spanDeduped
+      case (Some(dirT), Some(kStr)) =>
+        val target = CorpusIO.read(spark, dirT,
+          a.get("dsir-format").map(f => CorpusIO.sniffFormat(f)))
+        val base = spanDeduped.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keyed = base.filter(col("keep")).withColumn("_dsir_id",
+          xxhash64(col("url"), col("warc_ts"), col("scrubbed_text")))
+        val asText = keyed.select(col("_dsir_id"),
+          col("scrubbed_text").as("text"))
+        val model = graft.analytics.Dsir.fit(
+          target.select("text"), asText.select("text"), "text")
+        val chosen = graft.analytics.Dsir.resample(
+            asText, "text", model, kStr.toInt, Seq("_dsir_id"))
+          .select(col("_dsir_id"), lit(true).as("_dsir_pick"))
+        val marked = keyed
+          .join(chosen, Seq("_dsir_id"), "left")
+          .withColumn("keep", col("_dsir_pick").isNotNull)
+          .withColumn("drop_stage",
+            when(col("_dsir_pick").isNotNull, col("drop_stage"))
+              .otherwise(lit("8_dsir")))
+          .drop("_dsir_id", "_dsir_pick")
+        marked.unionByName(base.filter(!col("keep")))
+      case _ =>
+        sys.error("--dsir-target and --dsir-keep must be used together")
+    }
+
     val outFormat = a.getOrElse("out-format", "parquet") match {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
-    val persisted = spanDeduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = dsirApplied.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     CorpusIO.writeWithExclusions(
       persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
         "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
