@@ -37,6 +37,16 @@ import graft.sources.CorpusIO
   * the rest to `drop_stage = 8_dsir` — they land in the exclusion audit
   * like every other dropped doc.
   *
+  * Incremental crawl updates: `--write-sigs <dir>` stores the kept
+  * docs' MinHash signature table (computed on the scrubbed text);
+  * `--ref-sigs <dir>` gates the NEXT run's incoming pages against such
+  * a stored snapshot BEFORE scoring ([[graft.dedup.MinHash
+  * .dedupAgainst]] — the prior corpus is never re-scanned). Gating
+  * probes raw incoming text against scrubbed-text signatures: MinHash
+  * banding tolerates the scrub's small edits by construction, which is
+  * the operator's whole purpose. Like `--url-dedup`, gated docs are
+  * dropped pre-score and absent from the stage accounting.
+  *
   * `--repartition` is the explicit pre-stage repartitioning the north rule
   * names (size it to ~2-4 tasks per executor core on a real cluster).
   * `--lineage` runs the scoring stage through [[Lineage.runStage]]. By
@@ -97,9 +107,16 @@ object Run {
         graft.dedup.ExactDedup.urlDedup(extracted, "url",
           Seq("warc_ts", "url"))
       else extracted
-    val pages = a.get("repartition") match {
-      case Some(n) => urlDeduped.repartition(n.toInt)
+    // --ref-sigs: gate incoming pages against a prior run's stored
+    // signature snapshot before any scoring work is spent on them
+    val refGated = a.get("ref-sigs") match {
+      case Some(dir) => graft.dedup.MinHash.dedupAgainst(
+        urlDeduped, "url", "text", spark.read.parquet(dir))
       case None => urlDeduped
+    }
+    val pages = a.get("repartition") match {
+      case Some(n) => refGated.repartition(n.toInt)
+      case None => refGated
     }
 
     val cfg = graft.model.PipelineConfig(
@@ -227,6 +244,13 @@ object Run {
       persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
         "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
       out, outFormat)
+    // --write-sigs: store kept docs' signature table for the next run's
+    // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
+    a.get("write-sigs").foreach { dir =>
+      graft.dedup.MinHash.signatures(
+          persisted.filter(col("keep")), "url", "scrubbed_text")
+        .write.mode("overwrite").parquet(dir)
+    }
 
     val byStage = persisted.groupBy("drop_stage").count()
       .collect().map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1))
