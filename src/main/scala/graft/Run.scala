@@ -76,15 +76,31 @@ object Run {
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
-    val out = a.getOrElse("output",
-      sys.error("--output <dir> is required"))
-
     val spark = SparkSession.builder()
       .appName("graft-corpus-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(execute(spark, a))
+    spark.stop()
+  }
+
+  /** The whole CLI composition against a CALLER-OWNED session (main's
+    * body, minus session lifecycle) — returns the metrics JSON line it
+    * would print. Split out so the composition runs under CI on the
+    * shared test session instead of only via spark-submit.
+    */
+  def execute(spark: SparkSession, a: Map[String, String]): String = {
+    val out = a.getOrElse("output",
+      sys.error("--output <dir> is required"))
+    // every stage persist is released on return: execute() may run
+    // repeatedly on one long-lived session (CI, notebooks)
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      pins += df
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     val t0 = System.nanoTime()
 
@@ -160,8 +176,7 @@ object Run {
         val prev = conf.get(key, "true")
         conf.set(key, "false")
         val scored =
-          try CorpusPipeline.score(pages, cfg, metrics = Some(metrics))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try pin(CorpusPipeline.score(pages, cfg, metrics = Some(metrics)))
           finally conf.set(key, prev)
         CorpusPipeline.dedup(scored, cfg)
       }
@@ -175,8 +190,7 @@ object Run {
         // persist before the fan-out: the kept/dropped split plus each
         // rewrite's own multi-scan would otherwise recompute the whole
         // scoring+dedup stage up to ~5×
-        val base = result.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = pin(result)
         // SpanDedup requires a UNIQUE row id; url recurs across crawl
         // snapshots (the exact-dedup module documents this), so key the
         // rewrite on a synthesized full-row hash — deterministic, and a
@@ -212,8 +226,7 @@ object Run {
       case (Some(dirT), Some(kStr)) =>
         val target = CorpusIO.read(spark, dirT,
           a.get("dsir-format").map(f => CorpusIO.sniffFormat(f)))
-        val base = spanDeduped.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val base = pin(spanDeduped)
         val keyed = base.filter(col("keep")).withColumn("_dsir_id",
           xxhash64(col("url"), col("warc_ts"), col("scrubbed_text")))
         val asText = keyed.select(col("_dsir_id"),
@@ -239,7 +252,7 @@ object Run {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
-    val persisted = dsirApplied.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = pin(dsirApplied)
     CorpusIO.writeWithExclusions(
       persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
         "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
@@ -259,8 +272,7 @@ object Run {
     val kept = byStage.collectFirst { case ("kept", n) => n }.getOrElse(0L)
     val total = byStage.map(_._2).sum
     val stagesJson = byStage.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(
-      f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}}""")
-    spark.stop()
+    pins.foreach(_.unpersist(false))
+    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}}"""
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.pipeline.Synth
+
+/** CI drive of the spark-submit composition (`Run.execute` — main minus
+  * session lifecycle): flags compose, stage accounting holds, and the
+  * incremental signature round-trip gates a second run's input.
+  */
+class RunSpec extends SparkSpec {
+
+  private def dir(): String = Files.createTempDirectory("run_spec").toString
+
+  private def stages(json: String): Map[String, Long] =
+    """"([0-9a-z_]+)":(\d+)""".r.findAllMatchIn(
+      json.substring(json.indexOf("\"stages\"")))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  test("full composition: url-dedup, span rewrites, dsir selection") {
+    val out = dir()
+    val json = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> out, "repartition" -> "8",
+      "url-dedup" -> "true", "span-dedup" -> "20", "substring-dedup" -> "12",
+      "dsir-target" -> "/root/testdata/sf0.001/documents.parquet",
+      "dsir-keep" -> "500"))
+    val st = stages(json)
+    assert(st("kept") == 500L, s"dsir cap not applied: $json")
+    assert(st.contains("8_dsir") && st("8_dsir") > 0)
+    assert(st.contains("7_minhash_dup"))
+    // kept output exists and is non-empty; demoted docs in the audit dir
+    assert(spark.read.parquet(s"$out/kept").count() == 500L)
+    val removed = spark.read.parquet(s"$out/removed")
+    assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
+  }
+
+  test("signature snapshot round-trip gates an overlapping second run") {
+    val out1 = dir(); val out2 = dir(); val sigs = dir() + "/sigs"
+    val j1 = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> out1, "repartition" -> "8",
+      "write-sigs" -> sigs))
+    val kept1 = stages(j1)("kept")
+    assert(kept1 > 0)
+    assert(spark.read.parquet(sigs).count() > 0)
+    // run 2 over a superset input (synth is deterministic: the first
+    // 2000 docs are identical) — gated docs_in must shrink well below
+    // the raw 3000
+    val j2 = Run.execute(spark, Map(
+      "synth" -> "3000", "output" -> out2, "repartition" -> "8",
+      "ref-sigs" -> sigs))
+    val docsIn2 = """"docs_in":(\d+)""".r.findFirstMatchIn(j2).get.group(1).toLong
+    assert(docsIn2 < 2000L,
+      s"gate did not engage: docs_in $docsIn2 of 3000 (run2: $j2)")
+    assert(docsIn2 > 0L)
+  }
+}
