@@ -76,14 +76,19 @@ object Run {
 
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
+    // validate argv BEFORE building a session: a misconfigured CLI must
+    // fail instantly, not after allocating a cluster application
+    if (!a.contains("output")) sys.error("--output <dir> is required")
+    if (a.contains("dsir-target") != a.contains("dsir-keep"))
+      sys.error("--dsir-target and --dsir-keep must be used together")
     val spark = SparkSession.builder()
       .appName("graft-corpus-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(execute(spark, a))
-    spark.stop()
+    try println(execute(spark, a))
+    finally spark.stop()
   }
 
   /** The whole CLI composition against a CALLER-OWNED session (main's
@@ -103,6 +108,11 @@ object Run {
     }
 
     val t0 = System.nanoTime()
+
+    // try/finally: a failed run (bad flag combination, unreadable input,
+    // write error) must still release its persists on the caller's
+    // long-lived session
+    try {
 
     val raw: DataFrame = (a.get("input"), a.get("synth")) match {
       case (Some(dir), _) =>
@@ -124,10 +134,17 @@ object Run {
           Seq("warc_ts", "url"))
       else extracted
     // --ref-sigs: gate incoming pages against a prior run's stored
-    // signature snapshot before any scoring work is spent on them
+    // signature snapshot before any scoring work is spent on them.
+    // markAgainst's join-back needs a UNIQUE id and urls recur across
+    // crawl snapshots, so gate on a synthesized full-row hash (the same
+    // precaution the span rewrites take below).
     val refGated = a.get("ref-sigs") match {
-      case Some(dir) => graft.dedup.MinHash.dedupAgainst(
-        urlDeduped, "url", "text", spark.read.parquet(dir))
+      case Some(dir) =>
+        val rid = xxhash64(col("url"), col("warc_ts"), col("text"))
+        graft.dedup.MinHash.dedupAgainst(
+          urlDeduped.withColumn("_ref_id", rid), "_ref_id", "text",
+          spark.read.parquet(dir))
+          .drop("_ref_id")
       case None => urlDeduped
     }
     val pages = a.get("repartition") match {
@@ -233,9 +250,14 @@ object Run {
           col("scrubbed_text").as("text"))
         val model = graft.analytics.Dsir.fit(
           target.select("text"), asText.select("text"), "text")
+        // dropDuplicates: byte-identical (url, warc_ts, scrubbed_text)
+        // rows share one _dsir_id (possible only with --no-exact
+        // --no-minhash); without it the join-back would multiply rows.
+        // Such literal duplicates count as ONE selection unit.
         val chosen = graft.analytics.Dsir.resample(
             asText, "text", model, kStr.toInt, Seq("_dsir_id"))
           .select(col("_dsir_id"), lit(true).as("_dsir_pick"))
+          .dropDuplicates("_dsir_id")
         val marked = keyed
           .join(chosen, Seq("_dsir_id"), "left")
           .withColumn("keep", col("_dsir_pick").isNotNull)
@@ -272,7 +294,8 @@ object Run {
     val kept = byStage.collectFirst { case ("kept", n) => n }.getOrElse(0L)
     val total = byStage.map(_._2).sum
     val stagesJson = byStage.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    pins.foreach(_.unpersist(false))
     f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}}"""
+
+    } finally pins.foreach(_.unpersist(false))
   }
 }

@@ -147,8 +147,15 @@ object Decontaminate {
                     benchTextCol: String, n: Int = 13,
                     broadcast: Boolean = true): DataFrame = {
     val gramUdf = udf((t: String) => gramHashes(t, n).distinct)
-    val benchGrams = bench.select(col(benchIdCol),
+    val benchGramsRaw = bench.select(col(benchIdCol),
       explode(gramUdf(col(benchTextCol))).as("_g"))
+    // the join path consumes the benchmark explode TWICE (semi-join
+    // right side + the final per-doc join) — on the path chosen because
+    // the benchmark is huge, materialize it once; the broadcast path
+    // reads it once and skips the cost
+    val benchGrams =
+      if (broadcast) benchGramsRaw
+      else graft.SparkUtil.materialize(benchGramsRaw)
     val seen =
       if (broadcast) {
         val bc = broadcastBenchGrams(bench, benchTextCol, n)

@@ -64,9 +64,14 @@ object QualityDistill {
     df.withColumn("quality_prob", probUdf(col(textCol)))
   }
 
-  /** Survivors: docs the distilled classifier rates ≥ `minProb`. */
+  /** Survivors: docs the distilled classifier rates STRICTLY above
+    * `minProb`. Strict, not ≥: zero-signal docs (empty/whitespace text,
+    * no extractable features) score exactly 0.5, and a quality filter's
+    * default configuration must not keep precisely the documents with
+    * no quality evidence at all.
+    */
   def filter(df: DataFrame, textCol: String, model: FastTextModel,
              minProb: Double = 0.5): DataFrame =
     score(df, textCol, model)
-      .filter(col("quality_prob") >= minProb).drop("quality_prob")
+      .filter(col("quality_prob") > minProb).drop("quality_prob")
 }

@@ -39,6 +39,21 @@ class QualityDistillSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.forall(identity))
   }
 
+  test("zero-signal docs score 0.5 and the default filter drops them") {
+    val train = (0 until 40).map(i => (i.toLong, doc(300L + i, edu = i % 2 == 0),
+      if (i % 2 == 0) 5 else 0)).toDF("doc_id", "text", "judge_score")
+    val model = QualityDistill.train(train, "text", "judge_score", dim = 8, epochs = 2)
+    val mixed = Seq((1L, ""), (2L, "   "), (3L, doc(777L, edu = true)))
+      .toDF("doc_id", "text")
+    val scored = QualityDistill.score(mixed, "text", model)
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(scored(1L) == 0.5 && scored(2L) == 0.5)
+    val kept = QualityDistill.filter(mixed, "text", model)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(2L),
+      s"no-evidence docs passed the default quality gate: $kept")
+  }
+
   test("training is partitioning-independent (deterministic sample + SGD)") {
     val base = (0 until 80).map(i => (i.toLong, doc(500L + i, edu = i % 2 == 0),
       if (i % 2 == 0) 5 else 0)).toDF("doc_id", "text", "judge_score")
