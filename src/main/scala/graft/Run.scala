@@ -21,7 +21,8 @@ import graft.sources.CorpusIO
   *     [--no-minhash] [--no-exact] [--minhash-salt <s>] \
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
-  *     [--substring-dedup <w>]
+  *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
+  *     [--write-sigs <dir>] [--ref-sigs <dir>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -85,6 +86,7 @@ object Run {
       .appName("graft-corpus-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try println(execute(spark, a))

@@ -66,4 +66,50 @@ class FunctionsSpec extends SparkSpec {
     assert(built.dataType == org.apache.spark.sql.types.LongType)
     assert(ext != null)
   }
+
+  test("count_space_tokens equals size(split(c, ' ')) on every edge") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq("a b c", "", " ", "a ", " a", "a  b", "solo",
+      "\u00e9t\u00e9 caf\u00e9 \u4e2d\u6587 x", "a\tb") // tab is NOT a separator
+    val df = rows.toDF("t")
+    val both = df.selectExpr("size(split(t, ' ')) AS ref",
+      "count_space_tokens(t) AS fast").as[(Int, Int)].collect()
+    both.foreach { case (ref, fast) => assert(ref == fast, s"$ref != $fast") }
+    // null in, null out
+    val n = Seq[String](null).toDF("t")
+      .selectExpr("count_space_tokens(t)").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("optimizer rule rewrites size(split(c, ' ')) and nothing else") {
+    import spark.implicits._
+    GraftFunctions.register(spark) // installs CountTokensRewrite
+    // range-derived, not literal rows: a literal frame constant-folds to
+    // a LocalRelation before the rewrite is observable
+    val df = spark.range(2)
+      .selectExpr("concat('w', cast(id as string), ' x y') AS t")
+    val hit = df.selectExpr("size(split(t, ' ')) AS n")
+    val opt = hit.queryExecution.optimizedPlan.toString
+    assert(opt.contains("count_space_tokens"),
+      s"rewrite did not fire:\n$opt")
+    // values preserved under the rewrite
+    assert(hit.as[Int].collect().toSeq == Seq(3, 3))
+    // regex separators and explicit limits are untouched
+    for (expr <- Seq("size(split(t, '\\\\s+'))", "size(split(t, ' ', 2))")) {
+      val miss = df.selectExpr(s"$expr AS n")
+      assert(!miss.queryExecution.optimizedPlan.toString
+        .contains("count_space_tokens"), s"over-eager rewrite on $expr")
+    }
+  }
+
+  test("count_space_tokens stays inside whole-stage codegen") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.range(100).selectExpr("cast(id as string) AS t")
+      .selectExpr("count_space_tokens(t) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() == 100L)
+  }
 }
