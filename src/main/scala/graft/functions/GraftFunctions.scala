@@ -127,16 +127,28 @@ object GraftFunctions {
     ("count_space_tokens", exprs => CountSpaceTokens(exprs.head),
       "single-space token count, identical to size(split(c, ' '))"))
 
-  def register(spark: SparkSession): Unit = {
+  /** Function registration ONLY — no optimizer mutation. Operators call
+    * this freely (it is idempotent and session-local); installing the
+    * rewrite rule is a deliberate deployment decision, not a side
+    * effect of using an analytics operator.
+    */
+  def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder, _) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    // runtime path for ALREADY-BUILT sessions (extensions only apply at
-    // session construction): experimental.extraOptimizations accepts
-    // rules post-hoc; idempotent
+
+  /** Install [[CountTokensRewrite]] on an ALREADY-BUILT session
+    * (extensions only apply at construction). Explicit opt-in: skipped
+    * when the session was built with [[GraftExtensions]] (the rule is
+    * already injected there — appending again would traverse every plan
+    * twice), and idempotent across repeat calls.
+    */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val viaExtensions = spark.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.functions.GraftExtensions"))
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(CountTokensRewrite))
+    if (!viaExtensions && !cur.contains(CountTokensRewrite))
       spark.experimental.extraOptimizations = cur :+ CountTokensRewrite
   }
 

@@ -84,7 +84,12 @@ class FunctionsSpec extends SparkSpec {
 
   test("optimizer rule rewrites size(split(c, ' ')) and nothing else") {
     import spark.implicits._
-    GraftFunctions.register(spark) // installs CountTokensRewrite
+    // the shared test session is built with GraftExtensions, so the
+    // rule is already injected; installOptimizations must detect that
+    // and NOT append a second copy (double plan traversal otherwise)
+    GraftFunctions.installOptimizations(spark)
+    assert(spark.experimental.extraOptimizations.isEmpty,
+      "rule double-installed on an extension-built session")
     // range-derived, not literal rows: a literal frame constant-folds to
     // a LocalRelation before the rewrite is observable
     val df = spark.range(2)
@@ -106,10 +111,19 @@ class FunctionsSpec extends SparkSpec {
   test("count_space_tokens stays inside whole-stage codegen") {
     import spark.implicits._
     GraftFunctions.register(spark)
-    val df = spark.range(100).selectExpr("cast(id as string) AS t")
-      .selectExpr("count_space_tokens(t) AS n")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("ScalaUDF"), plan)
-    assert(df.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() == 100L)
+    // fallback=false: a broken doGenCode must FAIL here, not silently
+    // drop to interpreted execution with the assertions still green
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.range(100).selectExpr("cast(id as string) AS t")
+        .selectExpr("count_space_tokens(t) AS n")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan)
+      // "*(n)" is the wholestage-codegen span marker in simple plan strings
+      assert(plan.contains("*(1)"), plan)
+      assert(df.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() == 100L)
+    } finally spark.conf.set(key, prev)
   }
 }
