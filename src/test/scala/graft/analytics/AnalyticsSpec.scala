@@ -374,6 +374,10 @@ class SamplingSpec extends SparkSpec {
       // importance bias: most picks come from the target-like half
       assert(picked.count(_ < 100L) >= 7,
         s"portable=$portable: expected target-biased picks, got $picked")
+      // k beyond the population degrades to "keep everything"
+      val all = Dsir.resample(raw, "text", model, k = 10000,
+        keyCols = Seq("doc_id")).count()
+      assert(all == raw.count())
     }
   }
 

@@ -314,3 +314,22 @@ class BpeSpec extends AnyFunSuite {
     assert(none.tokenCount(text) == text.split(' ').map(_.length + 1).sum)
   }
 }
+
+class BpeSparkSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("fit is partitioning-independent; tokenCounts adds exact counts") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "lower newest lowest" else "newest widest low"))
+      .toDF("doc_id", "text")
+    val m1 = Bpe.fit(docs, "text", numMerges = 20, maxVocab = 100)
+    val m2 = Bpe.fit(docs.repartition(7), "text", numMerges = 20, maxVocab = 100)
+    assert(m1.merges == m2.merges, "vocab collect order leaked into merges")
+    val counted = Bpe.tokenCounts(docs, "text", m1)
+      .select("doc_id", "bpe_tokens").as[(Long, Int)].collect().toMap
+    // counts match driver-side encode exactly
+    val expectEven = "lower newest lowest".split(' ').map(m1.encode(_).length).sum
+    val expectOdd = "newest widest low".split(' ').map(m1.encode(_).length).sum
+    assert(counted(0L) == expectEven && counted(1L) == expectOdd)
+  }
+}
