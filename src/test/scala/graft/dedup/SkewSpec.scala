@@ -65,3 +65,26 @@ class SkewSpec extends SparkSpec {
     } finally sigs.unpersist()
   }
 }
+
+class SpanDedupSkewSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("viral span shared by every doc: exact surgical result, no hot task blowup") {
+    // the worst-case hash key: ONE footer span present in all 2,000 docs.
+    // The first-occurrence groupBy must combine map-side (2,000 rows into
+    // one (hash → min) row per partition before the exchange) and every
+    // doc but the first must lose exactly that span.
+    val footer = "subscribe to our newsletter today folks"
+    // prefix is exactly 6 words so the footer lands on a span boundary
+    val df = (0 until 2000).map(i =>
+      (i.toLong, s"unique lead $i opening words now $footer"))
+      .toDF("doc_id", "text").repartition(16)
+    val out = SpanDedup.removeDuplicateWordSpans(df, "doc_id", "text", 6)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L).endsWith(footer), "first occurrence must keep the span")
+    (1 until 2000).foreach { i =>
+      assert(out(i.toLong) == s"unique lead $i opening words now",
+        s"doc $i: ${out(i.toLong)}")
+    }
+  }
+}
