@@ -198,6 +198,18 @@ object SparkEntry {
           col("minhash_cluster").cast("string").as("minhash_cluster"))
     }),
 
+    // Quality-aware near-dup representative selection: each cluster
+    // keeps its longest member (n_chars as the quality signal) instead
+    // of the min-id one. Rows-only for the same reason as
+    // q_minhash_mark (xxhash64 bands + iterative CC — SURVEY §2.12);
+    // representative choice pinned in DedupSpec markKeepBest test.
+    "q_minhash_keep_best" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      MinHash.markKeepBest(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars")
+        .select(col("doc_id"), col("is_near_dup"))
+    }),
+
     // Incremental cross-corpus near-dup marking: src0 docs play the
     // stored reference snapshot (signatures computed once), the rest the
     // incoming batch; a batch doc sharing any MinHash band with the

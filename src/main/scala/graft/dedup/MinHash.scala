@@ -443,4 +443,27 @@ object MinHash {
       .withColumn("is_near_dup",
         col("minhash_cluster").isNotNull && col(idCol) =!= col("minhash_cluster"))
   }
+
+  /** Quality-aware representative selection: like [[mark]], but each
+    * near-dup cluster keeps its HIGHEST-`scoreCol` member (ties broken
+    * by the greater id — deterministic) instead of the min-id one. The
+    * variant real pipelines use when docs carry a quality signal (judge
+    * score, length, perplexity): dropping the best-written copy of a
+    * template because its id sorted later is a silent quality loss.
+    * Cost over [[mark]]: one map-side-combined `max_by` over the
+    * CLUSTERED rows only (O(duplicates), not corpus).
+    */
+  def markKeepBest(df: DataFrame, idCol: String, textCol: String,
+                   scoreCol: String, cfg: Config = Config())
+                  (implicit spark: SparkSession): DataFrame = {
+    val marked = mark(df, idCol, textCol, cfg)
+    val best = marked.filter(col("minhash_cluster").isNotNull)
+      .groupBy("minhash_cluster")
+      .agg(max_by(col(idCol), struct(col(scoreCol), col(idCol)))
+        .as("__best_id"))
+    marked.join(best, Seq("minhash_cluster"), "left")
+      .withColumn("is_near_dup",
+        col("minhash_cluster").isNotNull && col(idCol) =!= col("__best_id"))
+      .drop("__best_id")
+  }
 }

@@ -329,6 +329,27 @@ class MinHashSpec extends SparkSpec {
     assert(dropped == Set("b", "c"))
   }
 
+  test("markKeepBest keeps the highest-scoring cluster member") {
+    val base = doc(30)
+    val rows = Seq(
+      ("a", base, 1.0), // min-id member — mark() would keep THIS one
+      ("b", base + "\nExtra note one appended to the record here.", 5.0),
+      ("c", base + "\nExtra note two appended to the record here.", 3.0),
+      ("d", doc(31), 0.1) // not a duplicate: never dropped
+    )
+    implicit val s = spark
+    val marked = MinHash.markKeepBest(
+      rows.toDF("id", "text", "quality"), "id", "text", "quality")
+    val dropped = marked.filter($"is_near_dup").select("id")
+      .as[String].collect().toSet
+    assert(dropped == Set("a", "c"), s"got $dropped") // best member b kept
+    // same clusters as mark(); only the representative choice differs
+    val firstKept = MinHash.mark(rows.toDF("id", "text", "quality"),
+      "id", "text").filter($"is_near_dup").select("id")
+      .as[String].collect().toSet
+    assert(firstKept == Set("b", "c"))
+  }
+
   test("markAgainst flags near-dups of the reference corpus only") {
     val refBase = doc(20)
     val ref = Seq(("r1", refBase), ("r2", doc(21))).toDF("id", "text")
