@@ -58,6 +58,23 @@ import graft.sources.CorpusIO
   */
 object Run {
 
+  /** Collision-proof synthesized row key for the join-back stages
+    * (span/substring dedup, `--ref-sigs` gating, DSIR selection): urls
+    * recur across crawl snapshots so these stages key on a hash of the
+    * full row identity — and that hash must be wide enough that corpus-
+    * scale birthday collisions cannot merge two docs' removal/selection
+    * state (SpanDedup.scala documents exactly that cross-contamination
+    * failure). A 64-bit key expects ~15-20 collisions at 25B rows; this
+    * 128-bit md5 makes the expectation ~2^-61 at the same scale. Fields
+    * are coalesced to "" and joined with a U+0001 separator so null vs
+    * missing cannot shift field boundaries (concat_ws alone SKIPS
+    * nulls, which would alias (null,"a") with ("a",null)).
+    */
+  private[graft] def rowKey128(cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -138,11 +155,11 @@ object Run {
     // --ref-sigs: gate incoming pages against a prior run's stored
     // signature snapshot before any scoring work is spent on them.
     // markAgainst's join-back needs a UNIQUE id and urls recur across
-    // crawl snapshots, so gate on a synthesized full-row hash (the same
-    // precaution the span rewrites take below).
+    // crawl snapshots, so gate on a synthesized 128-bit full-row hash
+    // (the same precaution the span rewrites take below).
     val refGated = a.get("ref-sigs") match {
       case Some(dir) =>
-        val rid = xxhash64(col("url"), col("warc_ts"), col("text"))
+        val rid = rowKey128(col("url"), col("warc_ts"), col("text"))
         graft.dedup.MinHash.dedupAgainst(
           urlDeduped.withColumn("_ref_id", rid), "_ref_id", "text",
           spark.read.parquet(dir))
@@ -212,9 +229,11 @@ object Run {
         val base = pin(result)
         // SpanDedup requires a UNIQUE row id; url recurs across crawl
         // snapshots (the exact-dedup module documents this), so key the
-        // rewrite on a synthesized full-row hash — deterministic, and a
+        // rewrite on a synthesized 128-bit full-row hash ([[rowKey128]]
+        // — wide enough that birthday collisions cannot merge two docs'
+        // removal arrays even at 10^10+ rows) — deterministic, and a
         // repeated url can no longer cross-contaminate removal arrays
-        val rowKey = xxhash64(col("url"), col("warc_ts"),
+        val rowKey = rowKey128(col("url"), col("warc_ts"),
           col("scrubbed_text"))
         val kept0 = base.filter(col("keep")).withColumn("_span_id", rowKey)
         val dropped = base.filter(!col("keep"))
@@ -247,7 +266,7 @@ object Run {
           a.get("dsir-format").map(f => CorpusIO.sniffFormat(f)))
         val base = pin(spanDeduped)
         val keyed = base.filter(col("keep")).withColumn("_dsir_id",
-          xxhash64(col("url"), col("warc_ts"), col("scrubbed_text")))
+          rowKey128(col("url"), col("warc_ts"), col("scrubbed_text")))
         val asText = keyed.select(col("_dsir_id"),
           col("scrubbed_text").as("text"))
         val model = graft.analytics.Dsir.fit(

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Cross-cutting Spark helpers. */
 object SparkUtil {
@@ -17,8 +18,20 @@ object SparkUtil {
     * so dropping the returned frame releases the blocks — unlike
     * `persist`, which leaks a CacheManager entry per call in a
     * long-lived session unless the caller remembers to unpersist.
+    *
+    * The reliable path persists the frame around `checkpoint()`:
+    * Spark's eager checkpoint runs TWO jobs over the RDD — the
+    * materializing count, then ReliableRDDCheckpointData's separate
+    * write job — so an unpersisted frame is computed twice on exactly
+    * the cluster deployments this helper targets (the CC loop calls
+    * this 3× per round). The scoped persist makes the write job a
+    * cache read; it is released before returning, so no CacheManager
+    * entry outlives the call.
     */
   def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
 }

@@ -130,14 +130,32 @@ object Sampling {
     // OOMing the driver (shorten prefixLen or hash the order key).
     val maxBuckets = 1 << 20
     val rows = withKeys.groupBy(bc)
-      .agg(sum(col(tokenCol).cast("long")).as("_t"))
+      .agg(sum(col(tokenCol).cast("long")).as("_t"),
+        min(col(tokenCol).cast("long")).as("_min"))
       .orderBy(bc)
       .limit(maxBuckets + 1)
       .collect()
     require(rows.length <= maxBuckets,
       s"tokenBudget: > $maxBuckets distinct order-key prefixes at " +
         s"prefixLen=$prefixLen — use a hash-valued orderCol or a shorter prefix")
-    val totals = rows.map(r => (r.getString(0), r.getLong(1)))
+    // precondition checks ride the same collected pass (no extra job):
+    // a null order key would satisfy neither the `< boundary` nor the
+    // `= boundary` filter and silently vanish from BOTH the wholesale
+    // and boundary slices, and a negative token count breaks the
+    // prefix-sum monotonicity the bucket cut relies on — either way the
+    // result would diverge from the naive cumulative window this
+    // claims bit-identity with, so fail loudly instead. (Null TOKEN
+    // values are fine: sum skips them here and in the window alike —
+    // a null-token row is 0-cost on both paths.)
+    require(rows.forall(_.get(0) != null),
+      "tokenBudget: orderCol evaluated to null for some rows — supply a " +
+        "total, non-null order key (e.g. coalesce to a sentinel first)")
+    require(rows.forall(r => r.isNullAt(2) || r.getLong(2) >= 0L),
+      s"tokenBudget: negative values in $tokenCol — token counts must be " +
+        "non-negative for the running-total cut to be well-defined")
+    // an all-null-token bucket sums to null = 0 cost
+    val totals = rows.map(r =>
+      (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
     var acc = 0L
     var boundary: Option[String] = None
     totals.foreach { case (b, t) =>
@@ -202,8 +220,16 @@ object Sampling {
         // partition iterator's getLong
         coalesce(col(tokenCol).cast("long"), lit(0L)).as("_toks"),
         hashOrder(keyCols.map(col), seed).as("_h")): _*)
+    // keyCols + _toks after _h as the tiebreak: duplicate-key rows (and
+    // hash collisions) tie on _h alone — and duplicate-key rows with
+    // DIFFERENT token counts still tie on keyCols — making pack order,
+    // and hence every downstream row's seq_id, dependent on arrival
+    // order out of the shuffle, which would break the documented
+    // determinism at fixed parallelism. With _toks last, any remaining
+    // ties are between fully identical projected rows (interchangeable).
     val arranged = proj.repartitionByRange(parts, col("_h"))
-      .sortWithinPartitions("_h")
+      .sortWithinPartitions(
+        col("_h") +: keyCols.map(col) :+ col("_toks"): _*)
     val outSchema = StructType(arranged.schema.fields.filterNot(_.name == "_h")
       ++ Seq(StructField("seq_id", StringType, nullable = false),
         StructField("seq_tokens", LongType, nullable = false)))

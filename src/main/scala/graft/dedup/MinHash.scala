@@ -434,9 +434,15 @@ object MinHash {
     val edges =
       if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
       else candidateEdges(sigs)
+    // materialize, NOT persist: the returned frame references cl, so a
+    // persist here could never be unpersisted inline and leaked one
+    // CacheManager entry per mark() call on a long-lived session — the
+    // exact trap NearDup.simhashPairs documents. The cluster map is
+    // O(duplicates)-sized and is counted below anyway, so the eager
+    // checkpoint costs nothing extra.
     val cl = clusters(edges, cfg.driverCcMaxEdges)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.unpersist(false) // cl is materialized (clusters counts edges)
+      .transform(graft.SparkUtil.materialize)
+    sigs.unpersist(false) // cl is materialized; sigs are no longer needed
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
     df.join(clJoin, Seq(idCol), "left")

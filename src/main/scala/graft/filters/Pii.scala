@@ -91,12 +91,17 @@ object Pii {
 
   def scrubToxic(text: String, words: Seq[String] = DefaultToxicWords): String = {
     // ASCII-case-insensitive regex hits imply the ROOT-lowercased text
-    // contains the (lowercase) word — intrinsified contains scans are a
+    // contains the LOWERCASED word — intrinsified contains scans are a
     // superset probe. Locale.ROOT: under tr/az default locales "SHIT"
     // lowercases to "shıt" and the probe would miss what the regex
-    // matches.
+    // matches. The probe words themselves must be lowercased too: a
+    // caller list entry like "Fuck" can never appear verbatim in the
+    // lowercased text even though the (?i) regex matches it.
     val lower = text.toLowerCase(java.util.Locale.ROOT)
-    if (!words.exists(lower.contains)) return text
+    val probes =
+      if (words eq DefaultToxicWords) DefaultToxicWords // already lowercase
+      else words.map(_.toLowerCase(java.util.Locale.ROOT))
+    if (!probes.exists(lower.contains)) return text
     val re = if (words eq DefaultToxicWords) defaultToxicRe else toxicRe(words)
     re.replaceAllIn(text, java.util.regex.Matcher.quoteReplacement(ToxicReplacement))
   }

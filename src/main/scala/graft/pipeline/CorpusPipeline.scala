@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.{ExactDedup, MinHash}
 import graft.filters.{FastTextModel, FastTextTrainer, Heuristics, KneserNeyLM}
@@ -137,7 +136,15 @@ object CorpusPipeline {
             metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
     val spark = pages.sparkSession
     val heurCfg = cfg.heur
+    // asNondeterministic: same rationale as the langid UDF below — the
+    // `_h` struct feeds four downstream columns, and a deterministic UDF
+    // is fair game for CollapseProject to inline into each extraction
+    // (4× the most expensive per-doc function on the flagship path).
+    // Today the cost guard + codegen subexpression elimination happen to
+    // keep it single-evaluation; this makes that guaranteed rather than
+    // incidental. analyze() IS deterministic, so results are unchanged.
     val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
+      .asNondeterministic()
     val bcLm = spark.sparkContext.broadcast(models.lm)
     val pplUdf = udf(KneserNeyLM.perplexityFn(bcLm))
     val keepLangs = cfg.keepLanguages.toSeq
@@ -264,8 +271,14 @@ object CorpusPipeline {
     val key = "spark.sql.inMemoryColumnarStorage.compressed"
     val prev = conf.get(key, "true")
     conf.set(key, "false")
+    // materialize, NOT persist: the returned frame references the scored
+    // intermediate, so a persist here leaked one CacheManager entry per
+    // run() call on a long-lived session (CI, notebooks). localCheckpoint
+    // stores serialized UnsafeRows (no columnar compression at all); the
+    // reliable-checkpoint path persists internally, where the scoped
+    // compression flag still applies.
     val scored =
-      try score(pages, cfg, models).persist(StorageLevel.MEMORY_AND_DISK)
+      try score(pages, cfg, models).transform(graft.SparkUtil.materialize)
       finally conf.set(key, prev)
     dedup(scored, cfg)
   }

@@ -84,7 +84,18 @@ object HtmlExtract {
             while (j < close && (Character.isLetterOrDigit(html.charAt(j))))
               j += 1
             val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-            val selfClosing = close > i && html.charAt(close - 1) == '/'
+            // a trailing '/' only marks self-closing when it is XML
+            // syntax, not the tail of an unquoted attribute value
+            // (<a href=/about/> is an OPEN anchor): accept it right
+            // after the tag name (<br/>) or after whitespace/a closing
+            // quote (<br />, <img src="x"/>), never mid-token
+            val slashPos = close - 1
+            val selfClosing = slashPos > i && html.charAt(slashPos) == '/' && {
+              slashPos == j || {
+                val p = html.charAt(slashPos - 1)
+                p == '"' || p == '\'' || Character.isWhitespace(p)
+              }
+            }
             if (skipTag != null) {
               if (isEnd && name == skipTag) skipTag = null
             } else if (name.nonEmpty) {

@@ -34,6 +34,29 @@ class RunSpec extends SparkSpec {
     assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
   }
 
+  test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("https://ex.com/a"), Option("2024-01-01"), Option("body text")),
+      // same url, different snapshot — the recurring-url case the
+      // synthesized key exists for
+      (Option("https://ex.com/a"), Option("2024-02-01"), Option("body text")),
+      // concat_ws alone SKIPS nulls, aliasing these three rows; the
+      // coalesce-to-sentinel encoding must keep them distinct
+      (Option.empty[String], Option("x"), Option("y")),
+      (Option("x"), Option.empty[String], Option("y")),
+      (Option("x"), Option("y"), Option.empty[String])
+    ).toDF("url", "warc_ts", "text")
+    val keys = df.select(Run.rowKey128(
+        col("url"), col("warc_ts"), col("text")).as("k"))
+      .as[String].collect()
+    // md5 hex = 128 bits: at 25B rows the birthday expectation is ~2^-61
+    // collisions (vs ~15-20 for the 64-bit xxhash key this replaced)
+    assert(keys.forall(k => k != null && k.matches("[0-9a-f]{32}")))
+    assert(keys.distinct.length === keys.length,
+      s"synthesized row keys collided: ${keys.mkString(", ")}")
+  }
+
   test("signature snapshot round-trip gates an overlapping second run") {
     val out1 = dir(); val out2 = dir(); val sigs = dir() + "/sigs"
     val j1 = Run.execute(spark, Map(

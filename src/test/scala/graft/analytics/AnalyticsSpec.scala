@@ -403,6 +403,58 @@ class SamplingSpec extends SparkSpec {
     assert(scaled(total / 3).nonEmpty && scaled(total / 3).size < 300)
   }
 
+  test("token budget fails loudly on null order keys and negative tokens") {
+    val docs = Synth.pages(spark, 50L).select(col("url"), col("text"))
+      .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
+    // a null order key satisfies neither the wholesale nor the boundary
+    // filter — the row would silently vanish where the naive window
+    // keeps it (nulls first), so the cut must refuse instead
+    val nullKey = when(col("url").endsWith("3"), lit(null).cast("string"))
+      .otherwise(md5(col("text")))
+    val eNull = intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(docs, "toks", 1000L, nullKey, Seq("url")).count()
+    }
+    assert(eNull.getMessage.contains("null"))
+    // negative token counts break prefix-sum monotonicity
+    val negToks = docs.withColumn("toks",
+      when(col("url").endsWith("7"), lit(-5L)).otherwise(col("toks")))
+    val eNeg = intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(negToks, "toks", 1000L, md5(col("text")),
+        Seq("url")).count()
+    }
+    assert(eNeg.getMessage.contains("negative"))
+    // null TOKEN values stay legal: 0-cost on both the scaled and naive
+    // paths (sum skips nulls identically)
+    val nullToks = docs.withColumn("toks",
+      when(col("url").endsWith("7"), lit(null).cast("long"))
+        .otherwise(col("toks")))
+    assert(Sampling.tokenBudget(nullToks, "toks", 100000L, md5(col("text")),
+      Seq("url")).count() == 50L)
+  }
+
+  test("sequence packing is deterministic under duplicate-key hash ties") {
+    // duplicate-key rows share the seeded hash, so they tie in the
+    // partition sort; with DIFFERENT token counts per copy the pack
+    // boundaries then depended on arrival order out of the shuffle —
+    // observable as seq assignments changing with the INPUT partitioning
+    // even at fixed numPartitions. The keyCols+_toks tiebreak pins it.
+    val dup = (0 until 75).map { i =>
+      (s"u${i % 25}", Seq(40L, 90L, 10L)(i / 25))
+    }.toDF("url", "toks")
+    def run(input: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(input, "toks", maxTokens = 100L,
+          keyCols = Seq("url"), numPartitions = 5)
+        .groupBy("url").agg(sort_array(collect_list(
+          concat_ws(":", col("seq_id"), col("doc_tokens")))).as("a"))
+        .as[(String, Seq[String])].collect().toMap
+    val a = run(dup.repartition(3))
+    val b = run(dup.repartition(11))
+    val c = run(dup.orderBy(col("toks").desc))
+    assert(a == b && a == c,
+      "packing depends on input partitioning/order under tied hash keys")
+    assert(a.values.map(_.size).sum == 75)
+  }
+
   test("sequence packing preserves rows, respects budget, deterministic") {
     val docs = Synth.pages(spark, 250L)
       .select(col("url"), size(split(col("text"), "\\s+")).cast("long").as("toks"))

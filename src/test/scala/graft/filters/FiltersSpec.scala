@@ -30,6 +30,17 @@ class PiiSpec extends AnyFunSuite {
     try assert(Pii.scrub("this FUCKING thing") == "this [removed] thing")
     finally java.util.Locale.setDefault(prior)
   }
+  test("caller wordlist entries with uppercase letters still scrub") {
+    // the fast-path gate probes the ROOT-lowercased text; an uppercase
+    // probe word could never appear in it verbatim even though the (?i)
+    // regex matches — the probe must lowercase caller entries too
+    assert(Pii.scrubToxic("please Darn this", Seq("Darn")) ==
+      "please [removed] this")
+    assert(Pii.scrubToxic("please DARN this", Seq("Darn")) ==
+      "please [removed] this")
+    assert(Pii.scrubToxic("darning is fine", Seq("Darn")) ==
+      "darning is fine") // still word-bounded
+  }
   test("is_global boundaries") {
     assert(Pii.isGlobalIpv4("8.8.8.8"))
     assert(!Pii.isGlobalIpv4("10.1.2.3"))

@@ -70,6 +70,25 @@ class HtmlExtractSpec extends AnyFunSuite {
       "kept words before truncation")
   }
 
+  test("unquoted attribute ending in '/' does not read as self-closing") {
+    // <a href=/about/> is an OPEN anchor: its text must count as link
+    // chars so a nav of such links is pruned exactly like quoted ones
+    val html =
+      """<ul><li><a href=/about/>About this whole site</a></li>
+        |<li><a href=/contact/>Contact page over here</a></li></ul>
+        |<p>Genuine article content paragraph with plenty of ordinary
+        |prose around it to keep the density low.</p>""".stripMargin
+    val out = HtmlExtract.extract(html)
+    assert(!out.contains("About this whole site"),
+      s"unquoted-slash anchor escaped link accounting: $out")
+    assert(out.contains("Genuine article content"))
+    // genuinely self-closing forms still close: <br/> and <br /> do not
+    // unbalance anything, and a quoted attr before '/>' stays self-closing
+    val sc = "<p>alpha beta gamma<br/>delta epsilon zeta<br />eta theta" +
+      " iota</p><p>after an image <img src=\"x\"/> prose continues fine</p>"
+    assert(HtmlExtract.extract(sc).contains("after an image"))
+  }
+
   test("whitespace collapses within blocks") {
     val html = "<p>  spaced    out\n\n words   across lines  </p>"
     assert(HtmlExtract.extract(html) == "spaced out words across lines")
