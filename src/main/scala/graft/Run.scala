@@ -186,7 +186,13 @@ object Run {
       urlBlocklist = a.get("url-blocklist")
         .map(p => graft.analytics.DomainStats.loadBlocklist(
           p, spark.sparkContext.hadoopConfiguration))
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      // --lineage also makes the DEDUP phase resumable: the MinHash
+      // signature table and cluster map commit under the output dir, so
+      // a kill during CC on a long run no longer redoes the corpus-wide
+      // signature pass (the score stage already resumed via runStage)
+      dedupStageDir =
+        if (a.contains("lineage")) Some(s"$out/_dedup_stage") else None)
 
     val metrics = Metrics.pipelineMetrics(spark)
 

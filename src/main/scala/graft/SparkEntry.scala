@@ -257,11 +257,15 @@ object SparkEntry {
       analytics.Similarity.nearPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", minSim = 0.3, bands = 8, bitsPerBand = 6)),
 
-    // IVF cell assignment (rows-only)
+    // IVF cell assignment (rows-only) — centroids are TRAINED (spherical
+    // k-means over a bounded deterministic sample), not PRNG vectors:
+    // random centroids leave cells merged/empty on clustered real
+    // embeddings, which defeats IVF as a partition key
     "q_ivf_assign" -> ((s, dir) => {
-      val cents = analytics.Similarity.hyperplanes(8, 64, seed = 7L)
-      analytics.Similarity.ivfAssign(t(s, dir, "embeddings"),
-        "vec_id", "embedding", cents)
+      val emb = t(s, dir, "embeddings")
+      val cents = analytics.Similarity.trainCentroids(emb,
+        "vec_id", "embedding", k = 8)
+      analytics.Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
         .select("vec_id", "ivf_cell")
     }),
 
@@ -270,7 +274,8 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = queryVector(emb)
-      val cents = analytics.Similarity.hyperplanes(8, 64, seed = 7L)
+      val cents = analytics.Similarity.trainCentroids(emb,
+        "vec_id", "embedding", k = 8)
       analytics.Similarity.ivfTopK(emb.filter(col("vec_id") =!= 0),
         "vec_id", "embedding", q, k = 10, cents, nProbe = 3)
     }),

@@ -159,6 +159,128 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Train IVF centroids: spherical k-means (Lloyd's iterations with
+    * cosine assignment) over a bounded DETERMINISTIC sample of the
+    * corpus — the same collect-a-capped-sample + driver-loop pattern
+    * the BPE and fastText trainers use. Random centroids give
+    * unbalanced cells and poor recall on clustered real embeddings;
+    * a few Lloyd's rounds put centroids on the actual data modes, which
+    * is the difference between a demo ANN and one worth partitioning
+    * 100 TB by.
+    *
+    * Determinism: the sample is hash-ranked ([[Sampling.uniformN]]
+    * ordering), k-means++ seeding uses a seeded PRNG over it, and
+    * Lloyd's is deterministic given the seeding — so the centroid set
+    * is reproducible at any parallelism (executors never see the
+    * training loop; they only get the finished `Array`s as plan
+    * literals). Cost: one narrow top-`sampleN` job, then O(sampleN · k
+    * · dim · iters) driver FLOPs — centroid training is driver-side by
+    * design, exactly like the reference's model-then-broadcast flow.
+    *
+    * Zero vectors in the sample are skipped (no direction to learn); an
+    * emptied cell keeps its previous centroid. Returns unit-norm
+    * centroids consumable by [[ivfAssign]]/[[ivfTopK]] unchanged.
+    */
+  def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 8, sampleN: Int = 4096,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0 && sampleN >= k,
+      s"need sampleN >= k > 0 (got k=$k, sampleN=$sampleN)")
+    val sampleRows = Sampling.uniformN(
+        embeddings.select(col(idCol),
+          col(vecCol).cast("array<double>").as("_v")),
+        sampleN, Seq(idCol), seed)
+      .select("_v").collect()
+    val sample: Array[Array[Double]] = sampleRows.iterator
+      .map(_.getSeq[Double](0).toArray)
+      .map(normalize).filter(_ != null).toArray
+    require(sample.nonEmpty, "trainCentroids: no non-zero vectors sampled")
+    val dim = sample(0).length
+    val rnd = new java.util.SplittableRandom(seed)
+
+    // Farthest-point (maximin) seeding, cosine distance d = 1 - dot on
+    // unit vectors: each next seed is the sample point farthest from
+    // every chosen seed. For well-separated clusters this places exactly
+    // one seed per cluster (the farthest point always lies in an
+    // unseeded cluster while any remain), where D²-SAMPLED k-means++
+    // regularly double-seeds a cluster and Lloyd's then converges to a
+    // merged+split local optimum — observed directly on the clustered
+    // test fixture. Deterministic given the seeded first pick.
+    val centroids = new Array[Array[Double]](k)
+    centroids(0) = sample(rnd.nextInt(sample.length)).clone()
+    val minDist = Array.fill(sample.length)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var far = -1
+      var farDist = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = math.max(0.0, 1.0 - dot(sample(i), centroids(c - 1)))
+        if (d < minDist(i)) minDist(i) = d
+        if (minDist(i) > farDist) { farDist = minDist(i); far = i }
+        i += 1
+      }
+      // all-zero distances (k > distinct directions): duplicate a seed
+      centroids(c) = sample(if (farDist > 0.0) far
+                            else rnd.nextInt(sample.length)).clone()
+      c += 1
+    }
+
+    // Lloyd's: assign to max-cosine centroid, recompute as normalized mean
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          val s = dot(sample(i), centroids(j))
+          if (s > bestSim) { bestSim = s; best = j }
+          j += 1
+        }
+        val v = sample(i)
+        val su = sums(best)
+        var d0 = 0
+        while (d0 < dim) { su(d0) += v(d0); d0 += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val n = normalize(sums(j))
+          if (n != null) centroids(j) = n
+        } // emptied or degenerate cell keeps its previous centroid
+        j += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Unit-normalized copy, or null for a zero vector. */
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n <= 0.0) null
+    else {
+      val inv = 1.0 / math.sqrt(n)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+  }
+
   /** IVF-style variant: assign each vector to its nearest of `centroids`
     * (deterministic seed vectors), search only within the probe cell.
     * At cluster scale the cell assignment is the partition key, so a

@@ -424,25 +424,69 @@ object MinHash {
     */
   val BroadcastClustersMaxRows: Long = 5000000L
 
+  /** Commit-or-reuse of an expensive intermediate as parquet under a
+    * resume directory: Spark's `_SUCCESS` marker is the commit record —
+    * a killed write leaves no marker and recomputes on the next run,
+    * while a committed table is read back instead of recomputed. The
+    * read-back also materializes the frame (parquet-backed), so callers
+    * need neither persist nor checkpoint around it.
+    */
+  private def committed(spark: SparkSession, path: String)
+                       (compute: => DataFrame): DataFrame = {
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val df = compute
+      // a zero-partition frame (e.g. an empty cluster map) writes no
+      // part files, only _SUCCESS — the read-back would then fail to
+      // infer a schema; force one (empty) schema-bearing file
+      val writable =
+        if (df.rdd.getNumPartitions == 0) df.repartition(1) else df
+      writable.write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** `stageDir`: optional dedup-phase resume directory. When set, the
+    * signature table and the cluster map — the two expensive
+    * intermediates of the near-dup flow — are committed as parquet
+    * under it ([[committed]]); a re-run over the SAME input picks them
+    * up instead of re-hashing the corpus (the signature pass is one
+    * full corpus scan — exactly what a killed 100-TB run must not
+    * redo). Input identity is the CALLER's contract, same as every
+    * lineage manifest: stale dirs return stale marks.
+    */
   def mark(df: DataFrame, idCol: String, textCol: String,
-           cfg: Config = Config())(implicit spark: SparkSession): DataFrame = {
+           cfg: Config = Config(), stageDir: Option[String] = None)
+          (implicit spark: SparkSession): DataFrame = {
     // persist the narrow signature table (id + 2 longs, ~30 MB per 1M
     // docs): candidateEdges consumes it twice and the min-hash UDF pass
-    // over the corpus text is the expensive part
-    val sigs = signatures(df, idCol, textCol, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges =
-      if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
-      else candidateEdges(sigs)
+    // over the corpus text is the expensive part. With a stageDir the
+    // table is parquet-backed instead (committed = durable resume point
+    // AND materialization in one), so no persist is needed.
+    val sigs = stageDir match {
+      case Some(d) => committed(spark, s"$d/signatures")(
+        signatures(df, idCol, textCol, cfg))
+      case None => signatures(df, idCol, textCol, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    def computeClusters(): DataFrame = {
+      val edges =
+        if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
+        else candidateEdges(sigs)
+      clusters(edges, cfg.driverCcMaxEdges)
+    }
     // materialize, NOT persist: the returned frame references cl, so a
     // persist here could never be unpersisted inline and leaked one
     // CacheManager entry per mark() call on a long-lived session — the
     // exact trap NearDup.simhashPairs documents. The cluster map is
     // O(duplicates)-sized and is counted below anyway, so the eager
     // checkpoint costs nothing extra.
-    val cl = clusters(edges, cfg.driverCcMaxEdges)
-      .transform(graft.SparkUtil.materialize)
-    sigs.unpersist(false) // cl is materialized; sigs are no longer needed
+    val cl = stageDir match {
+      case Some(d) => committed(spark, s"$d/clusters")(computeClusters())
+      case None => computeClusters().transform(graft.SparkUtil.materialize)
+    }
+    if (stageDir.isEmpty) sigs.unpersist(false) // cl is materialized
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
     df.join(clJoin, Seq(idCol), "left")

@@ -117,6 +117,93 @@ object JudgeScorer {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Minimal thread-safe token bucket for transport rate limiting.
+    * `ratePerSec` permits refill continuously up to a burst of
+    * `ratePerSec` (one second of headroom). Clock and sleep are
+    * injectable so tests run on a fake timeline. Threads sleep inside
+    * the monitor by design: every waiter is rate-bound anyway, and a
+    * single queue keeps wakeups fair-enough for a per-process API cap.
+    */
+  final class TokenBucket(ratePerSec: Double,
+                          nanoTime: () => Long = () => System.nanoTime(),
+                          sleep: Long => Unit = Thread.sleep) {
+    require(ratePerSec > 0.0, "ratePerSec must be positive")
+    private[this] var tokens = ratePerSec // start with one second's burst
+    private[this] var last = nanoTime()
+    def acquire(): Unit = synchronized {
+      while (true) {
+        val now = nanoTime()
+        tokens = math.min(ratePerSec,
+          tokens + (now - last) * 1e-9 * ratePerSec)
+        last = now
+        if (tokens >= 1.0) { tokens -= 1.0; return }
+        val waitMs =
+          math.ceil((1.0 - tokens) / ratePerSec * 1000.0).toLong.max(1L)
+        sleep(waitMs)
+      }
+    }
+  }
+
+  /** Per-JVM limiter registry: transport instances deserialize fresh per
+    * task, so instance-held state would rate-limit per TASK; executors
+    * need one bucket per (executor JVM, limiter id) for the cap to mean
+    * "this worker's share of the API budget".
+    */
+  private val limiters =
+    new java.util.concurrent.ConcurrentHashMap[String, TokenBucket]
+
+  /** Wrap a raw batch transport with the operational behavior of the
+    * reference's threaded HTTP judge loop (llm_judge.py:102-173): a
+    * token-bucket rate limit (requests/sec per executor JVM) and
+    * bounded exponential-backoff retries of FAILED BATCHES (exception
+    * or malformed/size-mismatched answer). A batch that stays failed
+    * after `maxRetries` retries returns all-None — [[scoreBatched]]
+    * turns that into the reference's `-1` error markers, and [[repair]]
+    * (the resume queue) re-scores exactly those rows on the next pass.
+    * Per-item Nones inside an otherwise well-formed answer are NOT
+    * retried here: they are item-level judge failures, which the
+    * reference also defers to its repair pass rather than re-posting
+    * the batch.
+    *
+    * The HTTP client itself stays out of engine scope — `inner` is any
+    * `Seq[String] => Seq[Option[Int]]`. `sleep`/`nanoTime` are
+    * injectable so the backoff/limit logic is testable on a fake
+    * timeline without real waiting.
+    */
+  def retryingTransport(inner: Seq[String] => Seq[Option[Int]],
+                        maxRetries: Int = 3,
+                        backoffMs: Long = 200L,
+                        ratePerSec: Double = 0.0,
+                        limiterId: String = "judge",
+                        sleep: Long => Unit = Thread.sleep,
+                        nanoTime: () => Long = () => System.nanoTime())
+      : Seq[String] => Seq[Option[Int]] = {
+    require(maxRetries >= 0 && backoffMs >= 0, "invalid retry config")
+    new (Seq[String] => Seq[Option[Int]]) with Serializable {
+      def apply(batch: Seq[String]): Seq[Option[Int]] = {
+        var attempt = 0
+        while (attempt <= maxRetries) {
+          if (ratePerSec > 0.0)
+            limiters.computeIfAbsent(limiterId,
+              _ => new TokenBucket(ratePerSec, nanoTime, sleep)).acquire()
+          val answer =
+            try {
+              val a = inner(batch)
+              if (a != null && a.length == batch.length) Some(a) else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          answer match {
+            case Some(a) => return a
+            case None =>
+              if (attempt < maxRetries && backoffMs > 0)
+                sleep(backoffMs << attempt) // exponential backoff
+          }
+          attempt += 1
+        }
+        Seq.fill(batch.length)(None) // exhausted → repair queue
+      }
+    }
+  }
+
   /** Score distribution — count and within-group share per score value,
     * globally (`groupCols` empty) or per group (the reference's per-file
     * stats; llm_judge.py:345-416 prints count + pct per score). One

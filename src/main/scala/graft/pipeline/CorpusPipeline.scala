@@ -239,7 +239,8 @@ object CorpusPipeline {
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
           cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
           driverCcMaxEdges = cfg.ccDriverMaxEdges)
-        val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg)
+        val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg,
+            stageDir = cfg.dedupStageDir)
           .withColumn("drop_stage",
             when(col("is_near_dup"), lit(DropStage.MinhashDup)))
           .drop("is_near_dup")

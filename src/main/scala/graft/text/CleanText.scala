@@ -32,8 +32,11 @@ object CleanText {
   * accented Cyrillic/Greek (й ё ά ύ …) decompose to their base letters
   * first and then romanize (й → и-breve → i — the unidecode behavior).
   * Transliteration is unidecode-STYLE (standard romanization tables),
-  * not a byte-for-byte unidecode clone; CJK remains out of scope
-  * (dropped) — a documented divergence from unidecode's full table.
+  * not a byte-for-byte unidecode clone. Japanese kana (a closed set)
+  * romanizes per character like unidecode (since r4, [[AsciiFold.Kana]]);
+  * hanzi/CJK ideographs — the open-ended part of unidecode's table —
+  * still DROP, the one remaining documented divergence (golden pairs in
+  * CleanTextSpec pin the behavior either way).
   */
 object AsciiFold {
   private val Extra: Map[Char, String] = Map(
@@ -95,7 +98,55 @@ object AsciiFold {
     '€' -> "EUR", '£' -> "GBP", '«' -> "\"", '»' -> "\"",
     '‘' -> "'", '’' -> "'", '“' -> "\"", '”' -> "\"",
     '–' -> "-", '—' -> "-", ' ' -> " "
-  )
+  ) ++ Kana
+
+  /** Japanese kana — a CLOSED public set, romanized per character the
+    * way unidecode does it (small kana fold to their large form's
+    * romaji; no digraph contraction, so きゃ → "kiya" like unidecode,
+    * not Hepburn "kya"). Katakana is generated from the hiragana table
+    * at the fixed +0x60 block offset. Voiced forms (が, ぱ …) are
+    * NFD-decomposable into base + U+3099/309A; [[AsciiFold.apply]]
+    * recomposes those pairs before lookup so they reach this table.
+    * Hanzi/CJK ideographs remain out of scope (dropped) — the
+    * open-ended part of unidecode's table; divergence documented and
+    * pinned in CleanTextSpec.
+    */
+  // lazy: Extra's initializer above runs first and references this —
+  // a plain val would still be null at that point (object init order)
+  private lazy val Kana: Map[Char, String] = {
+    val hira = Map(
+      'ぁ' -> "a", 'あ' -> "a", 'ぃ' -> "i", 'い' -> "i", 'ぅ' -> "u",
+      'う' -> "u", 'ぇ' -> "e", 'え' -> "e", 'ぉ' -> "o", 'お' -> "o",
+      'か' -> "ka", 'が' -> "ga", 'き' -> "ki", 'ぎ' -> "gi",
+      'く' -> "ku", 'ぐ' -> "gu", 'け' -> "ke", 'げ' -> "ge",
+      'こ' -> "ko", 'ご' -> "go",
+      'さ' -> "sa", 'ざ' -> "za", 'し' -> "shi", 'じ' -> "ji",
+      'す' -> "su", 'ず' -> "zu", 'せ' -> "se", 'ぜ' -> "ze",
+      'そ' -> "so", 'ぞ' -> "zo",
+      'た' -> "ta", 'だ' -> "da", 'ち' -> "chi", 'ぢ' -> "ji",
+      'っ' -> "tsu", 'つ' -> "tsu", 'づ' -> "zu", 'て' -> "te",
+      'で' -> "de", 'と' -> "to", 'ど' -> "do",
+      'な' -> "na", 'に' -> "ni", 'ぬ' -> "nu", 'ね' -> "ne",
+      'の' -> "no",
+      'は' -> "ha", 'ば' -> "ba", 'ぱ' -> "pa", 'ひ' -> "hi",
+      'び' -> "bi", 'ぴ' -> "pi", 'ふ' -> "fu", 'ぶ' -> "bu",
+      'ぷ' -> "pu", 'へ' -> "he", 'べ' -> "be", 'ぺ' -> "pe",
+      'ほ' -> "ho", 'ぼ' -> "bo", 'ぽ' -> "po",
+      'ま' -> "ma", 'み' -> "mi", 'む' -> "mu", 'め' -> "me",
+      'も' -> "mo",
+      'ゃ' -> "ya", 'や' -> "ya", 'ゅ' -> "yu", 'ゆ' -> "yu",
+      'ょ' -> "yo", 'よ' -> "yo",
+      'ら' -> "ra", 'り' -> "ri", 'る' -> "ru", 'れ' -> "re",
+      'ろ' -> "ro",
+      'ゎ' -> "wa", 'わ' -> "wa", 'ゐ' -> "wi", 'ゑ' -> "we",
+      'を' -> "wo", 'ん' -> "n", 'ゔ' -> "vu")
+    // katakana mirrors hiragana at a fixed block offset (ア = あ + 0x60)
+    val kata = hira.map { case (c, r) => ((c + 0x60).toChar, r) }
+    hira ++ kata ++ Map(
+      'ー' -> "-", // long-vowel mark
+      '、' -> ",", '。' -> ".", '「' -> "\"", '」' -> "\"",
+      '『' -> "\"", '』' -> "\"", '・' -> " ")
+  }
 
   def apply(s: String): String = {
     // NFD FIRST: decomposable letters (é, й, ё, ά …) split into base +
@@ -106,14 +157,29 @@ object AsciiFold {
     // before NFD, so accented Cyrillic/Greek never reached it.)
     val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new StringBuilder(nfd.length)
-    nfd.foreach { c =>
+    var i = 0
+    while (i < nfd.length) {
+      var c = nfd.charAt(i)
+      var step = 1
+      // kana voiced/semi-voiced marks (U+3099/309A) DECOMPOSE under NFD
+      // (が → か + ◌゙); stripping them like accents would fold が to "ka".
+      // Recompose the pair so the voiced form reaches the Kana table.
+      if (i + 1 < nfd.length) {
+        val m = nfd.charAt(i + 1)
+        if (m == '゙' || m == '゚') {
+          val comp = java.text.Normalizer.normalize(
+            new String(Array(c, m)), java.text.Normalizer.Form.NFC)
+          if (comp.length == 1) { c = comp.charAt(0); step = 2 }
+        }
+      }
       if (Character.getType(c) != Character.NON_SPACING_MARK) {
         if (c < 128) sb.append(c)
         else Extra.get(c) match {
           case Some(t) => sb.append(t)
-          case None    => () // drop untransliterated non-ASCII (CJK etc.)
+          case None    => () // drop untransliterated non-ASCII (hanzi etc.)
         }
       }
+      i += step
     }
     sb.toString
   }

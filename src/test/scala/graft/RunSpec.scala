@@ -57,6 +57,23 @@ class RunSpec extends SparkSpec {
       s"synthesized row keys collided: ${keys.mkString(", ")}")
   }
 
+  test("--lineage commits the dedup phase; a rerun resumes both stages") {
+    import java.nio.file.Paths
+    val out = dir()
+    val j1 = Run.execute(spark, Map(
+      "synth" -> "1500", "output" -> out, "lineage" -> "true"))
+    // the dedup intermediates are durably committed under the output
+    assert(Files.exists(
+      Paths.get(out, "_dedup_stage", "signatures", "_SUCCESS")))
+    assert(Files.exists(
+      Paths.get(out, "_dedup_stage", "clusters", "_SUCCESS")))
+    // a rerun resumes: score stage recomputes 0 buckets (manifest) and
+    // the dedup phase reads the committed tables — identical accounting
+    val j2 = Run.execute(spark, Map(
+      "synth" -> "1500", "output" -> out, "lineage" -> "true"))
+    assert(stages(j2) == stages(j1), s"rerun diverged: $j1 vs $j2")
+  }
+
   test("signature snapshot round-trip gates an overlapping second run") {
     val out1 = dir(); val out2 = dir(); val sigs = dir() + "/sigs"
     val j1 = Run.execute(spark, Map(

@@ -110,6 +110,70 @@ class SimilaritySpec extends SparkSpec {
     assert(top2 == Seq(("the", 6L), ("and", 3L)))
   }
 
+  test("trained centroids beat PRNG centroids on clustered embeddings") {
+    // 6 well-separated direction prototypes + small noise — the shape
+    // real embedding corpora have and random centroids handle badly
+    // (unbalanced cells → low recall at small nProbe)
+    val protos = (0 until 6).map { p =>
+      val r = new java.util.SplittableRandom(1000L + p)
+      val v = Array.fill(32)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 240).map { i =>
+      val r = new java.util.SplittableRandom(i.toLong)
+      val base = protos(i % 6)
+      (i.toLong, base.map(x => (x + 0.15 * r.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+
+    def meanRecallAt1Probe(cents: Array[Array[Double]]): Double =
+      (0 until 6).map { p =>
+        val q = protos(p).map(_ + 0.05)
+        val brute = Similarity.topK(df, "vec_id", "embedding", q, 10)
+          .as[(Long, Double)].collect().map(_._1).toSet
+        val got = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+          cents, nProbe = 1).as[(Long, Double)].collect().map(_._1).toSet
+        (got intersect brute).size.toDouble / brute.size
+      }.sum / 6.0
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 6, iters = 8, sampleN = 240)
+    val prng = Similarity.hyperplanes(6, 32, seed = 7L)
+    val rTrained = meanRecallAt1Probe(trained)
+    val rPrng = meanRecallAt1Probe(prng)
+    // trained centroids land on the data modes: each query's cluster
+    // maps to one cell and nProbe=1 finds (nearly) everything — only
+    // high-noise stragglers on cell boundaries are lost, which is
+    // inherent ANN behavior, not a centroid defect; random centroids
+    // split/merge clusters across near-equidistant directions
+    assert(rTrained >= 0.95, s"trained recall@1probe=$rTrained")
+    assert(rTrained > rPrng,
+      s"training did not beat PRNG centroids ($rTrained vs $rPrng)")
+    // cell balance — the property that makes IVF a usable PARTITION key
+    // at scale: trained cells hold one cluster each (40±tolerance),
+    // while random centroids leave cells merged/empty
+    val sizes = Similarity.ivfAssign(df, "vec_id", "embedding", trained)
+      .groupBy("ivf_cell").count().as[(Int, Long)].collect().toMap
+    assert(sizes.size == 6 && sizes.values.forall(n => n >= 30 && n <= 50),
+      s"trained cells unbalanced: $sizes")
+    val prngSizes = Similarity.ivfAssign(df, "vec_id", "embedding", prng)
+      .groupBy("ivf_cell").count().as[(Int, Long)].collect().toMap
+    assert(prngSizes.values.max > sizes.values.max,
+      s"expected PRNG cells more skewed: $prngSizes vs $sizes")
+    // deterministic: same seed + data → identical centroid set, at any
+    // input partitioning
+    val again = Similarity.trainCentroids(df.repartition(7), "vec_id",
+      "embedding", k = 6, iters = 8, sampleN = 240)
+    assert(trained.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // nProbe = nCells still degrades to exact brute force
+    val q0 = protos(0).map(_ + 0.05)
+    val brute0 = Similarity.topK(df, "vec_id", "embedding", q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val all = Similarity.ivfTopK(df, "vec_id", "embedding", q0, 10,
+      trained, nProbe = 6).as[(Long, Double)].collect().map(_._1).toSet
+    assert(all == brute0)
+  }
+
   test("ivf assignment is deterministic and total") {
     val df = (1L to 20L).map { i =>
       val r = new java.util.SplittableRandom(i)

@@ -329,6 +329,41 @@ class MinHashSpec extends SparkSpec {
     assert(dropped == Set("b", "c"))
   }
 
+  test("stageDir commits signatures + clusters; a resumed run reuses them") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("mh_stage").toString
+    val base = doc(50)
+    val df1 = Seq(("a", base), ("b", base), ("c", doc(51)))
+      .toDF("id", "text")
+    val fresh = MinHash.mark(df1, "id", "text")
+      .select("id", "is_near_dup").as[(String, Boolean)].collect().toMap
+    val viaStage = MinHash.mark(df1, "id", "text", stageDir = Some(dir))
+      .select("id", "is_near_dup").as[(String, Boolean)].collect().toMap
+    // identical results, and both intermediates committed durably
+    assert(viaStage == fresh)
+    assert(spark.read.parquet(s"$dir/signatures").count() > 0)
+    assert(spark.read.parquet(s"$dir/clusters").count() == 2) // a, b
+    // resume proof: run mark over DIFFERENT text (no duplicates at all)
+    // against the same stageDir — the committed signatures/clusters are
+    // reused, so 'b' is still marked, which can only happen if the
+    // signature pass was NOT recomputed from the new text
+    val df2 = Seq(("a", doc(60)), ("b", doc(61)), ("c", doc(62)))
+      .toDF("id", "text")
+    val resumed = MinHash.mark(df2, "id", "text", stageDir = Some(dir))
+      .select("id", "is_near_dup").as[(String, Boolean)].collect().toMap
+    assert(resumed == fresh,
+      "stageDir resume recomputed instead of reusing committed tables")
+    // a killed write (no _SUCCESS) is NOT treated as committed
+    val clDir = java.nio.file.Paths.get(dir, "clusters")
+    java.nio.file.Files.delete(clDir.resolve("_SUCCESS"))
+    val recomputed = MinHash.mark(df2, "id", "text", stageDir = Some(dir))
+      .select("id", "is_near_dup").as[(String, Boolean)].collect().toMap
+    // clusters recompute from the COMMITTED signatures (still df1's),
+    // so the result is unchanged — but the _SUCCESS marker is restored
+    assert(recomputed == fresh)
+    assert(java.nio.file.Files.exists(clDir.resolve("_SUCCESS")))
+  }
+
   test("markKeepBest keeps the highest-scoring cluster member") {
     val base = doc(30)
     val rows = Seq(

@@ -107,6 +107,74 @@ class JudgeScorerSpec extends SparkSpec {
     assert(scored.forall(_._2 == -1))
   }
 
+  test("retrying transport: backoff schedule, recovery, exhaustion") {
+    // fake timeline: sleeps are recorded, never waited
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val flaky: Seq[String] => Seq[Option[Int]] = { texts =>
+      calls += 1
+      if (calls <= 2) throw new RuntimeException("503")
+      texts.map(t => Some(t.length % 6))
+    }
+    val t = JudgeScorer.retryingTransport(flaky, maxRetries = 3,
+      backoffMs = 100L, sleep = sleeps.append(_))
+    val out = t(Seq("abc", "defgh"))
+    assert(out == Seq(Some(3), Some(5)), "recovered answer returned")
+    assert(calls == 3, "two failures + one success")
+    assert(sleeps.toSeq == Seq(100L, 200L), "exponential backoff schedule")
+    // exhaustion: always failing → all-None after maxRetries+1 attempts,
+    // feeding scoreBatched's -1 markers / the repair queue
+    var failCalls = 0
+    val dead: Seq[String] => Seq[Option[Int]] =
+      _ => { failCalls += 1; Seq.empty /* malformed size */ }
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t2 = JudgeScorer.retryingTransport(dead, maxRetries = 2,
+      backoffMs = 50L, sleep = sleeps2.append(_))
+    assert(t2(Seq("a", "b", "c")) == Seq(None, None, None))
+    assert(failCalls == 3 && sleeps2.toSeq == Seq(50L, 100L))
+  }
+
+  test("retrying transport rate limit enforces the per-second budget") {
+    // fake clock: time only advances when the limiter sleeps
+    var now = 0L
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sleep: Long => Unit = { ms => slept += ms; now += ms * 1000000L }
+    var calls = 0
+    val inner: Seq[String] => Seq[Option[Int]] =
+      texts => { calls += 1; texts.map(_ => Some(1)) }
+    val t = JudgeScorer.retryingTransport(inner, maxRetries = 0,
+      ratePerSec = 2.0, limiterId = s"test-${System.nanoTime()}",
+      sleep = sleep, nanoTime = () => now)
+    // burst of 2 tokens → first two calls pass without waiting, the
+    // third must wait ~500ms (one token at 2/sec)
+    t(Seq("a")); t(Seq("b"))
+    assert(slept.isEmpty, s"burst calls must not wait: $slept")
+    t(Seq("c"))
+    assert(slept.sum >= 500L, s"third call under-waited: $slept")
+    assert(calls == 3)
+  }
+
+  test("retrying transport composes with scoreBatched end to end") {
+    // batches containing 'z' fail twice then succeed — with retries the
+    // whole frame scores cleanly, no -1 markers
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    val flaky: Seq[String] => Seq[Option[Int]] = { texts =>
+      val key = texts.mkString("|")
+      val n = attempts.merge(key, 1, (a, b) => a + b)
+      if (texts.exists(_.contains("z")) && n <= 2)
+        throw new RuntimeException("503")
+      texts.map(t => Some(t.length % 6))
+    }
+    val t = JudgeScorer.retryingTransport(flaky, maxRetries = 3,
+      backoffMs = 0L)
+    val scored = JudgeScorer.scoreBatched(docs.repartition(1), t,
+      batchSize = 2)
+      .select("doc_id", "judge_score").as[(Long, Int)].collect().toMap
+    assert(scored.values.forall(_ >= 0),
+      s"retries should have cleared every failure: $scored")
+    assert(scored(3L) == "short".length % 6)
+  }
+
   test("distribution shares sum to 1 per group; counts sum to N") {
     val df = Seq(
       ("en", 5), ("en", 5), ("en", 3), ("en", 1),

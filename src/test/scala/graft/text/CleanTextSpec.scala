@@ -91,6 +91,34 @@ class CleanTextSpec extends AnyFunSuite {
     assert(CleanText("Привет мир это тест пример текста") ==
       "privet mir eto test primer teksta")
   }
+
+  test("ascii fold romanizes kana; hanzi drop is the pinned divergence") {
+    // hiragana, per-character unidecode style
+    assert(AsciiFold("こんにちは") == "konnichiha")
+    assert(AsciiFold("ありがとう") == "arigatou")
+    // katakana via the block-offset mirror
+    assert(AsciiFold("カタカナ") == "katakana")
+    assert(AsciiFold("コーヒー") == "ko-hi-")
+    // voiced/semi-voiced forms decompose under NFD (が → か + ◌゙); the
+    // recomposition path must restore them before table lookup
+    assert(AsciiFold("がぎぐげご") == "gagigugego")
+    assert(AsciiFold("ぱぴぷぺぽ") == "papipupepo")
+    assert(AsciiFold("バグ") == "bagu")
+    // small kana fold per character (unidecode behavior, not Hepburn):
+    // きゃ → kiya, っと → tsuto
+    assert(AsciiFold("きゃ") == "kiya")
+    assert(AsciiFold("もっと") == "motsuto")
+    // CJK punctuation maps to ASCII equivalents
+    assert(AsciiFold("はい、そう。") == "hai,sou.")
+    // hanzi/ideographs DROP — the documented permanent divergence from
+    // unidecode (which would emit pinyin-ish ASCII); pinned so a future
+    // behavior change is deliberate
+    assert(AsciiFold("中文") == "")
+    assert(AsciiFold("日本語テスト") == "tesuto") // kanji drop, kana stay
+    // kana text survives clean_text end to end (romaji > 4 words)
+    assert(CleanText("こんにちは せかい です よ ね みんな") ==
+      "konnichiha sekai desu yo ne minna")
+  }
 }
 
 class DomainOfSpec extends AnyFunSuite {
