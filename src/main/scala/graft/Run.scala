@@ -22,7 +22,7 @@ import graft.sources.CorpusIO
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
-  *     [--write-sigs <dir>] [--ref-sigs <dir>]
+  *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -75,13 +75,51 @@ object Run {
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
 
+  /** Cluster-level resource accounting for long runs (`--task-metrics`):
+    * one listener aggregating every task's shuffle/spill/GC/CPU totals
+    * into O(1) driver state — the numbers an operator actually checks
+    * after a 10M+ doc run ("did anything spill? how much shuffled? was
+    * one task pathological?"). Listener-bus events are delivered on a
+    * single thread, but `synchronized` anyway: the read happens on the
+    * caller thread at JSON-assembly time.
+    */
+  private final class TaskMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    var tasks, failed = 0L
+    var inputBytes, shuffleRead, shuffleWrite, memSpill, diskSpill = 0L
+    var cpuNs, runMs, gcMs, maxTaskMs, peakExecMem = 0L
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized {
+        tasks += 1
+        if (!t.taskInfo.successful) failed += 1
+        val m = t.taskMetrics
+        if (m != null) {
+          inputBytes += m.inputMetrics.bytesRead
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          memSpill += m.memoryBytesSpilled
+          diskSpill += m.diskBytesSpilled
+          cpuNs += m.executorCpuTime
+          runMs += m.executorRunTime
+          gcMs += m.jvmGCTime
+          maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+          peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
+        }
+      }
+    def json: String = synchronized {
+      def mb(b: Long) = b / (1024.0 * 1024.0)
+      f"""{"tasks":$tasks,"failed_tasks":$failed,"input_mb":${mb(inputBytes)}%.1f,"shuffle_read_mb":${mb(shuffleRead)}%.1f,"shuffle_write_mb":${mb(shuffleWrite)}%.1f,"mem_spill_mb":${mb(memSpill)}%.1f,"disk_spill_mb":${mb(diskSpill)}%.1f,"cpu_sec":${cpuNs / 1e9}%.1f,"run_sec":${runMs / 1e3}%.1f,"gc_sec":${gcMs / 1e3}%.1f,"max_task_sec":${maxTaskMs / 1e3}%.1f,"peak_exec_mem_mb":${mb(peakExecMem)}%.1f}"""
+    }
+  }
+
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
-            | "--extract-html" | "--url-dedup") =>
+            | "--extract-html" | "--url-dedup" | "--task-metrics") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -125,6 +163,12 @@ object Run {
       pins += df
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val taskMetrics =
+      if (a.contains("task-metrics")) {
+        val l = new TaskMetricsListener
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
 
     val t0 = System.nanoTime()
 
@@ -321,8 +365,25 @@ object Run {
     val kept = byStage.collectFirst { case ("kept", n) => n }.getOrElse(0L)
     val total = byStage.map(_._2).sum
     val stagesJson = byStage.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}}"""
+    // listener-bus delivery is async and the drain API is private[spark]:
+    // poll until the task counter stops moving (all actions above have
+    // completed, so the bus only has a bounded tail to deliver)
+    val tmJson = taskMetrics.map { l =>
+      var prev = -1L
+      var stable = 0
+      while (stable < 2 && prev < Long.MaxValue) {
+        val cur = l.synchronized(l.tasks)
+        if (cur == prev) stable += 1 else stable = 0
+        prev = cur
+        if (stable < 2) Thread.sleep(200)
+      }
+      s""","task_metrics":${l.json}"""
+    }.getOrElse("")
+    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}$tmJson}"""
 
-    } finally pins.foreach(_.unpersist(false))
+    } finally {
+      pins.foreach(_.unpersist(false))
+      taskMetrics.foreach(spark.sparkContext.removeSparkListener)
+    }
   }
 }

@@ -901,13 +901,17 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
         |  FROM documents),
         |c1 AS (SELECT doc_id, url,
-        |  regexp_replace(split_part(url, '#', 1), '^(?i)https?://', '') AS a
+        |  regexp_replace(split_part(url, '#', 1), '^(?i)https?://', '') AS a,
+        |  regexp_matches(split_part(url, '#', 1), '^(?i)https://') AS is_https
         |  FROM u),
-        |c2 AS (SELECT doc_id, url, a,
+        |c2 AS (SELECT doc_id, url, is_https, a,
         |  regexp_extract(a, '^[^/?]*') AS auth_raw FROM c1),
         |c3 AS (SELECT doc_id, url,
-        |  regexp_replace(regexp_replace(lower(auth_raw), '^www\.', ''),
-        |    ':(80|443)$', '') AS auth,
+        |  CASE WHEN is_https
+        |       THEN regexp_replace(regexp_replace(lower(auth_raw),
+        |         '^www\.', ''), ':443$', '')
+        |       ELSE regexp_replace(regexp_replace(lower(auth_raw),
+        |         '^www\.', ''), ':80$', '') END AS auth,
         |  substr(a, length(auth_raw) + 1) AS rest FROM c2),
         |c4 AS (SELECT doc_id, url, auth,
         |  rtrim(split_part(rest, '?', 1), '/') AS pathn,

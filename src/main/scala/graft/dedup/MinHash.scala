@@ -373,6 +373,11 @@ object MinHash {
       iter += 1
     }
     e.unpersist(false)
+    // operational breadcrumb for large-run logs: the round count is the
+    // O(log diameter) evidence (a 2%-of-corpus giant cluster should still
+    // converge in single-digit rounds; see the DedupSpec 200-hop pin)
+    System.err.println(s"[minhash] distributed CC converged in $iter " +
+      s"round(s) over $nEdges edges")
     CcResult(labels.select(col("id"), col("lbl").as("cluster")), iter)
   }
 

@@ -33,9 +33,11 @@ object CleanText {
   * first and then romanize (й → и-breve → i — the unidecode behavior).
   * Transliteration is unidecode-STYLE (standard romanization tables),
   * not a byte-for-byte unidecode clone. Japanese kana (a closed set)
-  * romanizes per character like unidecode (since r4, [[AsciiFold.Kana]]);
-  * hanzi/CJK ideographs — the open-ended part of unidecode's table —
-  * still DROP, the one remaining documented divergence (golden pairs in
+  * romanizes per character like unidecode (since r4, [[AsciiFold.Kana]]),
+  * and the ~600 highest-frequency hanzi romanize to pinyin in
+  * unidecode's Title-case-plus-trailing-space convention
+  * ([[AsciiFold.Hanzi]], also r4); RARE hanzi outside that table still
+  * DROP — the remaining documented divergence (golden pairs in
   * CleanTextSpec pin the behavior either way).
   */
 object AsciiFold {
@@ -98,7 +100,7 @@ object AsciiFold {
     '€' -> "EUR", '£' -> "GBP", '«' -> "\"", '»' -> "\"",
     '‘' -> "'", '’' -> "'", '“' -> "\"", '”' -> "\"",
     '–' -> "-", '—' -> "-", ' ' -> " "
-  ) ++ Kana
+  ) ++ Kana ++ Hanzi
 
   /** Japanese kana — a CLOSED public set, romanized per character the
     * way unidecode does it (small kana fold to their large form's
@@ -107,9 +109,6 @@ object AsciiFold {
     * at the fixed +0x60 block offset. Voiced forms (が, ぱ …) are
     * NFD-decomposable into base + U+3099/309A; [[AsciiFold.apply]]
     * recomposes those pairs before lookup so they reach this table.
-    * Hanzi/CJK ideographs remain out of scope (dropped) — the
-    * open-ended part of unidecode's table; divergence documented and
-    * pinned in CleanTextSpec.
     */
   // lazy: Extra's initializer above runs first and references this —
   // a plain val would still be null at that point (object init order)
@@ -147,6 +146,218 @@ object AsciiFold {
       '、' -> ",", '。' -> ".", '「' -> "\"", '」' -> "\"",
       '『' -> "\"", '』' -> "\"", '・' -> " ")
   }
+
+  /** Frequent-hanzi pinyin romanization — the r4 narrowing of the one
+    * remaining unidecode divergence. unidecode's CJK table is open-ended
+    * (~20k ideographs); this covers the high-frequency core (~600
+    * characters from published frequency lists — public knowledge), in
+    * unidecode's output convention: Title-case pinyin + trailing space
+    * per character ("中文" → "Zhong Wen "). Note the convention survives
+    * the clean_text chain exactly like the reference's: lower() runs
+    * BEFORE unidecode there too, so the capital letter is stripped by
+    * the `[a-z0-9\s,.!?']` whitelist in both engines. Polyphonic
+    * characters take their dominant Mandarin reading. Characters outside
+    * this table still drop — the divergence shrinks from "all hanzi"
+    * to "rare hanzi", golden-pinned in CleanTextSpec.
+    */
+  private lazy val Hanzi: Map[Char, String] = Map(
+    // structural / grammatical core
+    '的' -> "De ", '一' -> "Yi ", '是' -> "Shi ", '了' -> "Le ",
+    '我' -> "Wo ", '不' -> "Bu ", '人' -> "Ren ", '在' -> "Zai ",
+    '他' -> "Ta ", '有' -> "You ", '这' -> "Zhe ", '个' -> "Ge ",
+    '上' -> "Shang ", '们' -> "Men ", '来' -> "Lai ", '到' -> "Dao ",
+    '时' -> "Shi ", '大' -> "Da ", '地' -> "Di ", '为' -> "Wei ",
+    '子' -> "Zi ", '中' -> "Zhong ", '你' -> "Ni ", '说' -> "Shuo ",
+    '生' -> "Sheng ", '国' -> "Guo ", '年' -> "Nian ", '着' -> "Zhe ",
+    '就' -> "Jiu ", '那' -> "Na ", '和' -> "He ", '要' -> "Yao ",
+    '她' -> "Ta ", '出' -> "Chu ", '也' -> "Ye ", '得' -> "De ",
+    '里' -> "Li ", '后' -> "Hou ", '自' -> "Zi ", '以' -> "Yi ",
+    '会' -> "Hui ", '家' -> "Jia ", '可' -> "Ke ", '下' -> "Xia ",
+    '而' -> "Er ", '过' -> "Guo ", '天' -> "Tian ", '去' -> "Qu ",
+    '能' -> "Neng ", '对' -> "Dui ", '小' -> "Xiao ", '多' -> "Duo ",
+    '然' -> "Ran ", '于' -> "Yu ", '心' -> "Xin ", '学' -> "Xue ",
+    '么' -> "Me ", '之' -> "Zhi ", '都' -> "Dou ", '好' -> "Hao ",
+    '看' -> "Kan ", '起' -> "Qi ", '发' -> "Fa ", '当' -> "Dang ",
+    '没' -> "Mei ", '成' -> "Cheng ", '只' -> "Zhi ", '如' -> "Ru ",
+    '事' -> "Shi ", '把' -> "Ba ", '还' -> "Hai ", '用' -> "Yong ",
+    '第' -> "Di ", '样' -> "Yang ", '道' -> "Dao ", '想' -> "Xiang ",
+    '作' -> "Zuo ", '种' -> "Zhong ", '开' -> "Kai ", '美' -> "Mei ",
+    '总' -> "Zong ", '从' -> "Cong ", '无' -> "Wu ", '情' -> "Qing ",
+    '己' -> "Ji ", '面' -> "Mian ", '最' -> "Zui ", '女' -> "Nu ",
+    '但' -> "Dan ", '现' -> "Xian ", '前' -> "Qian ", '些' -> "Xie ",
+    '所' -> "Suo ", '同' -> "Tong ", '日' -> "Ri ", '手' -> "Shou ",
+    '又' -> "You ", '行' -> "Xing ", '意' -> "Yi ", '动' -> "Dong ",
+    '方' -> "Fang ", '期' -> "Qi ", '它' -> "Ta ", '头' -> "Tou ",
+    '经' -> "Jing ", '长' -> "Chang ", '儿' -> "Er ", '回' -> "Hui ",
+    '位' -> "Wei ", '分' -> "Fen ", '爱' -> "Ai ", '老' -> "Lao ",
+    '因' -> "Yin ", '很' -> "Hen ", '给' -> "Gei ", '名' -> "Ming ",
+    '法' -> "Fa ", '间' -> "Jian ", '斯' -> "Si ", '知' -> "Zhi ",
+    '世' -> "Shi ", '什' -> "Shen ", '两' -> "Liang ", '次' -> "Ci ",
+    '使' -> "Shi ", '身' -> "Shen ", '者' -> "Zhe ", '被' -> "Bei ",
+    '高' -> "Gao ", '已' -> "Yi ", '亲' -> "Qin ", '其' -> "Qi ",
+    '进' -> "Jin ", '此' -> "Ci ", '话' -> "Hua ", '常' -> "Chang ",
+    '与' -> "Yu ", '活' -> "Huo ", '正' -> "Zheng ", '感' -> "Gan ",
+    '见' -> "Jian ", '明' -> "Ming ", '问' -> "Wen ", '力' -> "Li ",
+    '理' -> "Li ", '尔' -> "Er ", '点' -> "Dian ", '文' -> "Wen ",
+    '几' -> "Ji ", '定' -> "Ding ", '本' -> "Ben ", '公' -> "Gong ",
+    '特' -> "Te ", '做' -> "Zuo ", '外' -> "Wai ", '孩' -> "Hai ",
+    '相' -> "Xiang ", '西' -> "Xi ", '果' -> "Guo ", '走' -> "Zou ",
+    '将' -> "Jiang ", '月' -> "Yue ", '十' -> "Shi ", '实' -> "Shi ",
+    '向' -> "Xiang ", '声' -> "Sheng ", '车' -> "Che ", '全' -> "Quan ",
+    '信' -> "Xin ", '重' -> "Zhong ", '三' -> "San ", '机' -> "Ji ",
+    '工' -> "Gong ", '物' -> "Wu ", '气' -> "Qi ", '每' -> "Mei ",
+    '并' -> "Bing ", '别' -> "Bie ", '真' -> "Zhen ", '打' -> "Da ",
+    '太' -> "Tai ", '新' -> "Xin ", '比' -> "Bi ", '才' -> "Cai ",
+    '便' -> "Bian ", '夫' -> "Fu ", '再' -> "Zai ", '书' -> "Shu ",
+    '部' -> "Bu ", '水' -> "Shui ", '像' -> "Xiang ", '眼' -> "Yan ",
+    '等' -> "Deng ", '体' -> "Ti ", '却' -> "Que ", '加' -> "Jia ",
+    '电' -> "Dian ", '主' -> "Zhu ", '界' -> "Jie ", '门' -> "Men ",
+    '利' -> "Li ", '海' -> "Hai ", '受' -> "Shou ", '听' -> "Ting ",
+    '表' -> "Biao ", '德' -> "De ", '少' -> "Shao ", '克' -> "Ke ",
+    '代' -> "Dai ", '员' -> "Yuan ", '许' -> "Xu ", '先' -> "Xian ",
+    '口' -> "Kou ", '由' -> "You ", '死' -> "Si ", '安' -> "An ",
+    '写' -> "Xie ", '性' -> "Xing ", '马' -> "Ma ", '光' -> "Guang ",
+    '白' -> "Bai ", '或' -> "Huo ", '住' -> "Zhu ", '难' -> "Nan ",
+    '望' -> "Wang ", '教' -> "Jiao ", '命' -> "Ming ", '花' -> "Hua ",
+    '结' -> "Jie ", '乐' -> "Le ", '色' -> "Se ", '更' -> "Geng ",
+    '拉' -> "La ", '东' -> "Dong ", '神' -> "Shen ", '记' -> "Ji ",
+    '处' -> "Chu ", '让' -> "Rang ", '母' -> "Mu ", '父' -> "Fu ",
+    '应' -> "Ying ", '直' -> "Zhi ", '字' -> "Zi ", '场' -> "Chang ",
+    '平' -> "Ping ", '报' -> "Bao ", '友' -> "You ", '关' -> "Guan ",
+    '放' -> "Fang ", '至' -> "Zhi ", '张' -> "Zhang ", '认' -> "Ren ",
+    '接' -> "Jie ", '告' -> "Gao ", '入' -> "Ru ", '笑' -> "Xiao ",
+    '内' -> "Nei ", '英' -> "Ying ", '军' -> "Jun ", '候' -> "Hou ",
+    '民' -> "Min ", '岁' -> "Sui ", '往' -> "Wang ", '何' -> "He ",
+    '度' -> "Du ", '山' -> "Shan ", '觉' -> "Jue ", '路' -> "Lu ",
+    '带' -> "Dai ", '万' -> "Wan ", '男' -> "Nan ", '边' -> "Bian ",
+    '风' -> "Feng ", '解' -> "Jie ", '叫' -> "Jiao ", '任' -> "Ren ",
+    '金' -> "Jin ", '快' -> "Kuai ", '原' -> "Yuan ", '吃' -> "Chi ",
+    '妈' -> "Ma ", '变' -> "Bian ", '通' -> "Tong ", '师' -> "Shi ",
+    '立' -> "Li ", '象' -> "Xiang ", '数' -> "Shu ", '四' -> "Si ",
+    '失' -> "Shi ", '满' -> "Man ", '战' -> "Zhan ", '远' -> "Yuan ",
+    '格' -> "Ge ", '士' -> "Shi ", '音' -> "Yin ", '轻' -> "Qing ",
+    '目' -> "Mu ", '条' -> "Tiao ", '呢' -> "Ne ", '病' -> "Bing ",
+    '始' -> "Shi ", '达' -> "Da ", '深' -> "Shen ", '完' -> "Wan ",
+    '今' -> "Jin ", '提' -> "Ti ", '求' -> "Qiu ", '清' -> "Qing ",
+    '王' -> "Wang ", '化' -> "Hua ", '空' -> "Kong ", '业' -> "Ye ",
+    '思' -> "Si ", '切' -> "Qie ", '怎' -> "Zen ", '非' -> "Fei ",
+    '找' -> "Zhao ", '片' -> "Pian ", '罗' -> "Luo ", '钱' -> "Qian ",
+    '吗' -> "Ma ", '语' -> "Yu ", '元' -> "Yuan ", '喜' -> "Xi ",
+    '曾' -> "Zeng ", '离' -> "Li ", '飞' -> "Fei ", '科' -> "Ke ",
+    '言' -> "Yan ", '干' -> "Gan ", '流' -> "Liu ", '欢' -> "Huan ",
+    '约' -> "Yue ", '各' -> "Ge ", '即' -> "Ji ", '指' -> "Zhi ",
+    '合' -> "He ", '反' -> "Fan ", '题' -> "Ti ", '必' -> "Bi ",
+    '该' -> "Gai ", '论' -> "Lun ", '交' -> "Jiao ", '终' -> "Zhong ",
+    '林' -> "Lin ", '请' -> "Qing ", '医' -> "Yi ", '晚' -> "Wan ",
+    '制' -> "Zhi ", '球' -> "Qiu ", '决' -> "Jue ", '传' -> "Chuan ",
+    '画' -> "Hua ", '保' -> "Bao ", '读' -> "Du ", '运' -> "Yun ",
+    '及' -> "Ji ", '则' -> "Ze ", '房' -> "Fang ", '早' -> "Zao ",
+    '院' -> "Yuan ", '量' -> "Liang ", '苦' -> "Ku ", '火' -> "Huo ",
+    '布' -> "Bu ", '品' -> "Pin ", '近' -> "Jin ", '坐' -> "Zuo ",
+    '产' -> "Chan ", '答' -> "Da ", '星' -> "Xing ", '精' -> "Jing ",
+    '视' -> "Shi ", '五' -> "Wu ", '连' -> "Lian ", '司' -> "Si ",
+    '巴' -> "Ba ", '奇' -> "Qi ", '管' -> "Guan ", '类' -> "Lei ",
+    '未' -> "Wei ", '朋' -> "Peng ", '且' -> "Qie ", '婚' -> "Hun ",
+    '台' -> "Tai ", '夜' -> "Ye ", '青' -> "Qing ", '北' -> "Bei ",
+    '队' -> "Dui ", '久' -> "Jiu ", '乎' -> "Hu ", '越' -> "Yue ",
+    '观' -> "Guan ", '落' -> "Luo ", '尽' -> "Jin ", '形' -> "Xing ",
+    '影' -> "Ying ", '红' -> "Hong ", '爸' -> "Ba ", '百' -> "Bai ",
+    '令' -> "Ling ", '周' -> "Zhou ", '吧' -> "Ba ", '识' -> "Shi ",
+    '步' -> "Bu ", '希' -> "Xi ", '亚' -> "Ya ", '术' -> "Shu ",
+    '留' -> "Liu ", '市' -> "Shi ", '半' -> "Ban ", '热' -> "Re ",
+    '送' -> "Song ", '兴' -> "Xing ", '造' -> "Zao ", '谈' -> "Tan ",
+    '容' -> "Rong ", '极' -> "Ji ", '随' -> "Sui ", '演' -> "Yan ",
+    '收' -> "Shou ", '首' -> "Shou ", '根' -> "Gen ", '讲' -> "Jiang ",
+    '整' -> "Zheng ", '式' -> "Shi ", '取' -> "Qu ", '照' -> "Zhao ",
+    '办' -> "Ban ", '强' -> "Qiang ", '石' -> "Shi ", '古' -> "Gu ",
+    '华' -> "Hua ", '拿' -> "Na ", '计' -> "Ji ", '您' -> "Nin ",
+    '装' -> "Zhuang ", '似' -> "Si ", '足' -> "Zu ", '双' -> "Shuang ",
+    '妻' -> "Qi ", '尼' -> "Ni ", '转' -> "Zhuan ", '诉' -> "Su ",
+    '米' -> "Mi ", '称' -> "Cheng ", '丽' -> "Li ", '客' -> "Ke ",
+    '南' -> "Nan ", '领' -> "Ling ", '节' -> "Jie ", '衣' -> "Yi ",
+    '站' -> "Zhan ", '黑' -> "Hei ", '刻' -> "Ke ", '统' -> "Tong ",
+    '断' -> "Duan ", '福' -> "Fu ", '城' -> "Cheng ", '故' -> "Gu ",
+    '历' -> "Li ", '惊' -> "Jing ", '脸' -> "Lian ", '选' -> "Xuan ",
+    '包' -> "Bao ", '紧' -> "Jin ", '争' -> "Zheng ", '另' -> "Ling ",
+    '建' -> "Jian ", '维' -> "Wei ", '绝' -> "Jue ", '树' -> "Shu ",
+    '系' -> "Xi ", '伤' -> "Shang ", '示' -> "Shi ", '愿' -> "Yuan ",
+    '持' -> "Chi ", '千' -> "Qian ", '史' -> "Shi ", '谁' -> "Shui ",
+    '准' -> "Zhun ", '联' -> "Lian ", '妇' -> "Fu ", '纪' -> "Ji ",
+    '基' -> "Ji ", '买' -> "Mai ", '志' -> "Zhi ", '静' -> "Jing ",
+    '阿' -> "A ", '诗' -> "Shi ", '独' -> "Du ", '复' -> "Fu ",
+    '痛' -> "Tong ", '消' -> "Xiao ", '社' -> "She ", '算' -> "Suan ",
+    '义' -> "Yi ", '竟' -> "Jing ", '确' -> "Que ", '酒' -> "Jiu ",
+    '需' -> "Xu ", '单' -> "Dan ", '治' -> "Zhi ", '卡' -> "Ka ",
+    '幸' -> "Xing ", '兰' -> "Lan ", '念' -> "Nian ", '举' -> "Ju ",
+    '仅' -> "Jin ", '钟' -> "Zhong ", '怕' -> "Pa ", '共' -> "Gong ",
+    '毛' -> "Mao ", '句' -> "Ju ", '息' -> "Xi ", '功' -> "Gong ",
+    '官' -> "Guan ", '待' -> "Dai ", '究' -> "Jiu ", '跟' -> "Gen ",
+    '穿' -> "Chuan ", '室' -> "Shi ", '易' -> "Yi ", '游' -> "You ",
+    '程' -> "Cheng ", '号' -> "Hao ", '居' -> "Ju ", '考' -> "Kao ",
+    '突' -> "Tu ", '皮' -> "Pi ", '虽' -> "Sui ", '座' -> "Zuo ",
+    '油' -> "You ", '升' -> "Sheng ", '密' -> "Mi ", '土' -> "Tu ",
+    '血' -> "Xue ", '速' -> "Su ", '验' -> "Yan ", '级' -> "Ji ",
+    '技' -> "Ji ", '课' -> "Ke ", '委' -> "Wei ", '除' -> "Chu ",
+    '设' -> "She ", '备' -> "Bei ", '区' -> "Qu ", '排' -> "Pai ",
+    '简' -> "Jian ", '食' -> "Shi ", '香' -> "Xiang ", '据' -> "Ju ",
+    '河' -> "He ", '适' -> "Shi ", '试' -> "Shi ", '角' -> "Jiao ",
+    '线' -> "Xian ", '察' -> "Cha ", '图' -> "Tu ", '货' -> "Huo ",
+    // numbers / time / geography / society
+    '二' -> "Er ", '六' -> "Liu ", '七' -> "Qi ", '八' -> "Ba ",
+    '九' -> "Jiu ", '零' -> "Ling ", '资' -> "Zi ", '京' -> "Jing ",
+    '际' -> "Ji ", '政' -> "Zheng ", '府' -> "Fu ", '班' -> "Ban ",
+    '组' -> "Zu ", '织' -> "Zhi ", '价' -> "Jia ", '层' -> "Ceng ",
+    '型' -> "Xing ", '低' -> "Di ", '段' -> "Duan ", '般' -> "Ban ",
+    '责' -> "Ze ", '商' -> "Shang ", '团' -> "Tuan ", '农' -> "Nong ",
+    '村' -> "Cun ", '厂' -> "Chang ", '桥' -> "Qiao ", '街' -> "Jie ",
+    '港' -> "Gang ", '省' -> "Sheng ", '县' -> "Xian ", '江' -> "Jiang ",
+    '湖' -> "Hu ", '湾' -> "Wan ", '岛' -> "Dao ", '云' -> "Yun ",
+    '雨' -> "Yu ", '雪' -> "Xue ", '冬' -> "Dong ", '夏' -> "Xia ",
+    '秋' -> "Qiu ", '春' -> "Chun ", '季' -> "Ji ", '午' -> "Wu ",
+    '昨' -> "Zuo ", '晨' -> "Chen ", '夕' -> "Xi ", '阳' -> "Yang ",
+    '阴' -> "Yin ", '晴' -> "Qing ", '温' -> "Wen ", '冷' -> "Leng ",
+    '暖' -> "Nuan ", '凉' -> "Liang ",
+    // animals / nature / food
+    '狗' -> "Gou ", '猫' -> "Mao ", '鸟' -> "Niao ", '鱼' -> "Yu ",
+    '牛' -> "Niu ", '羊' -> "Yang ", '猪' -> "Zhu ", '鸡' -> "Ji ",
+    '虎' -> "Hu ", '龙' -> "Long ", '蛇' -> "She ", '兔' -> "Tu ",
+    '鼠' -> "Shu ", '猴' -> "Hou ", '森' -> "Sen ", '木' -> "Mu ",
+    '田' -> "Tian ", '草' -> "Cao ", '叶' -> "Ye ", '菜' -> "Cai ",
+    '饭' -> "Fan ", '茶' -> "Cha ", '肉' -> "Rou ", '蛋' -> "Dan ",
+    '奶' -> "Nai ", '糖' -> "Tang ", '盐' -> "Yan ", '味' -> "Wei ",
+    '甜' -> "Tian ", '辣' -> "La ", '酸' -> "Suan ",
+    // technology / commerce / daily objects
+    '网' -> "Wang ", '脑' -> "Nao ", '器' -> "Qi ", '件' -> "Jian ",
+    '软' -> "Ruan ", '硬' -> "Ying ", '码' -> "Ma ", '户' -> "Hu ",
+    '账' -> "Zhang ", '银' -> "Yin ", '股' -> "Gu ", '税' -> "Shui ",
+    '费' -> "Fei ", '购' -> "Gou ", '卖' -> "Mai ", '店' -> "Dian ",
+    '输' -> "Shu ", '铁' -> "Tie ", '航' -> "Hang ", '船' -> "Chuan ",
+    '票' -> "Piao ", '旅' -> "Lu ", '馆' -> "Guan ", '楼' -> "Lou ",
+    '梯' -> "Ti ", '窗' -> "Chuang ", '床' -> "Chuang ", '桌' -> "Zhuo ",
+    '椅' -> "Yi ", '灯' -> "Deng ", '杯' -> "Bei ", '瓶' -> "Ping ",
+    '盒' -> "He ", '箱' -> "Xiang ", '纸' -> "Zhi ", '笔' -> "Bi ",
+    '墨' -> "Mo ", '药' -> "Yao ", '疗' -> "Liao ", '症' -> "Zheng ",
+    '疼' -> "Teng ", '健' -> "Jian ", '康' -> "Kang ", '育' -> "Yu ",
+    '练' -> "Lian ", '习' -> "Xi ", '训' -> "Xun ", '赛' -> "Sai ",
+    '胜' -> "Sheng ", '败' -> "Bai ", '赢' -> "Ying ", '奖' -> "Jiang ",
+    '罚' -> "Fa ", '规' -> "Gui ", '律' -> "Lu ", '例' -> "Li ",
+    '案' -> "An ", '判' -> "Pan ", '罪' -> "Zui ", '警' -> "Jing ",
+    '狱' -> "Yu ", '兵' -> "Bing ", '武' -> "Wu ", '枪' -> "Qiang ",
+    '炮' -> "Pao ", '弹' -> "Dan ", '爆' -> "Bao ", '炸' -> "Zha ",
+    '灾' -> "Zai ", '震' -> "Zhen ", '险' -> "Xian ", '救' -> "Jiu ",
+    '援' -> "Yuan ", '防' -> "Fang ", '卫' -> "Wei ", '护' -> "Hu ",
+    '环' -> "Huan ", '境' -> "Jing ", '污' -> "Wu ", '染' -> "Ran ",
+    '绿' -> "Lu ", '蓝' -> "Lan ", '黄' -> "Huang ", '紫' -> "Zi ",
+    '灰' -> "Hui ", '棕' -> "Zong ", '粉' -> "Fen ", '铜' -> "Tong ",
+    '钢' -> "Gang ", '铝' -> "Lu ", '塑' -> "Su ", '料' -> "Liao ",
+    '玻' -> "Bo ", '璃' -> "Li ", '陶' -> "Tao ", '瓷' -> "Ci ",
+    // CJK fullwidth punctuation (beyond the kana block's); \u escapes —
+    // fullwidth source literals are too easy to mangle into their ASCII
+    // lookalikes invisibly
+    '，' -> ", ", '：' -> ": ", '；' -> "; ",
+    '！' -> "! ", '？' -> "? ", '（' -> " (",
+    '）' -> ") ", '《' -> "\"", '》' -> "\"",
+    '【' -> "[", '】' -> "]", '％' -> "%")
 
   def apply(s: String): String = {
     // NFD FIRST: decomposable letters (é, й, ё, ά …) split into base +

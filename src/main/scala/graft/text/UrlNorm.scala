@@ -12,7 +12,10 @@ package graft.text
   *  1. trim; cut at the first `#` (fragment)
   *  2. strip a leading `http://` / `https://` (ASCII case-insensitive)
   *  3. authority (up to the first `/` or `?`): lowercase, strip one
-  *     leading `www.`, strip a `:80` / `:443` default-port suffix
+  *     leading `www.`, strip the scheme's OWN default-port suffix
+  *     (`:80` for http/schemeless, `:443` for https — a cross-scheme
+  *     explicit port like `http://host:443` is a distinct origin and
+  *     survives)
   *  4. query: drop tracking params (`utm_*`, `fbclid`, `gclid`,
   *     `msclkid`), keep the rest in original order; empty query → no `?`
   *  5. path: strip ALL trailing `/`
@@ -37,14 +40,23 @@ object UrlNorm {
     false
   }
 
-  private def stripScheme(s: String): String = {
+  /** (rest-of-url, was-https, had-scheme). The scheme is RETURNED, not
+    * just dropped: default-port stripping below must be gated on it —
+    * `:443` is only the default port under https, so blindly stripping
+    * it would merge `http://host:443/x` (a real, distinct origin) with
+    * `https://host/x`. Schemeless input strips NO port: the scheme is
+    * unknown (conservative), and canonical outputs are themselves
+    * schemeless — any port they carry was deliberately kept, so
+    * re-canonicalizing must not strip it (idempotence, property-pinned).
+    */
+  private def stripScheme(s: String): (String, Boolean, Boolean) = {
     def eat(prefix: String): Int =
       if (s.regionMatches(true, 0, prefix, 0, prefix.length)) prefix.length
       else -1
     val https = eat("https://")
-    if (https > 0) return s.substring(https)
+    if (https > 0) return (s.substring(https), true, true)
     val http = eat("http://")
-    if (http > 0) s.substring(http) else s
+    if (http > 0) (s.substring(http), false, true) else (s, false, false)
   }
 
   def canonical(url: String): String = {
@@ -52,7 +64,8 @@ object UrlNorm {
     var s = url.trim
     val frag = s.indexOf('#')
     if (frag >= 0) s = s.substring(0, frag)
-    s = stripScheme(s)
+    val (stripped, wasHttps, hadScheme) = stripScheme(s)
+    s = stripped
     // authority ends at the first '/' or '?'
     var authEnd = s.length
     var i = 0
@@ -63,8 +76,15 @@ object UrlNorm {
     }
     var auth = s.substring(0, authEnd).toLowerCase(java.util.Locale.ROOT)
     if (auth.startsWith("www.")) auth = auth.substring(4)
-    if (auth.endsWith(":80")) auth = auth.dropRight(3)
-    else if (auth.endsWith(":443")) auth = auth.dropRight(4)
+    // default-port strip gated on the seen scheme: :80 is the default
+    // only under http, :443 only under https; `https://host:80/x` and
+    // `http://host:443/x` keep their explicit non-default ports, and a
+    // schemeless URL keeps any port (conservative preservation + the
+    // idempotence requirement documented on stripScheme)
+    if (hadScheme) {
+      if (auth.endsWith(":80") && !wasHttps) auth = auth.dropRight(3)
+      else if (auth.endsWith(":443") && wasHttps) auth = auth.dropRight(4)
+    }
     val rest = s.substring(authEnd)
     val q = rest.indexOf('?')
     var path = if (q >= 0) rest.substring(0, q) else rest

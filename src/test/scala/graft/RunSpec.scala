@@ -34,6 +34,29 @@ class RunSpec extends SparkSpec {
     assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
   }
 
+  test("--task-metrics reports aggregated task accounting in the JSON line") {
+    val out = dir()
+    val json = Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> out, "task-metrics" -> "true"))
+    assert(json.contains("\"task_metrics\":{"), json)
+    val tasks = "\"tasks\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+    assert(tasks.exists(_ > 0), s"no tasks counted: $json")
+    // a 1k-doc run shuffles (dedup groupBys) but must not spill
+    assert(json.contains("\"disk_spill_mb\":0.0"), json)
+    for (k <- Seq("shuffle_read_mb", "shuffle_write_mb", "cpu_sec",
+        "gc_sec", "peak_exec_mem_mb", "max_task_sec", "failed_tasks"))
+      assert(json.contains(s""""$k":"""), s"missing $k: $json")
+    // the listener is removed on return: a second run must not double
+    // the first one's counts into a fresh listener
+    val json2 = Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> dir(), "task-metrics" -> "true"))
+    val tasks2 = "\"tasks\":(\\d+)".r.findFirstMatchIn(json2)
+      .map(_.group(1).toLong)
+    assert(tasks2.exists(t => t > 0 && t < tasks.get * 3),
+      s"listener leak suspected: first=$tasks second=$tasks2")
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(

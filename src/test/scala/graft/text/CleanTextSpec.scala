@@ -62,8 +62,8 @@ class CleanTextSpec extends AnyFunSuite {
     assert(AsciiFold("Łódź Ważne Şehir Ţară") == "Lodz Wazne Sehir Tara")
     // Vietnamese horn vowels decompose via NFD
     assert(AsciiFold("Trường Sơn") == "Truong Son")
-    // unmapped non-Latin still drops (documented unidecode divergence)
-    assert(AsciiFold("abc 中文 xyz") == "abc  xyz")
+    // frequent hanzi romanize (r4); see the dedicated hanzi test below
+    assert(AsciiFold("abc 中文 xyz") == "abc Zhong Wen  xyz")
   }
 
   test("ascii fold transliterates Cyrillic and Greek (r3 unidecode breadth)") {
@@ -110,14 +110,35 @@ class CleanTextSpec extends AnyFunSuite {
     assert(AsciiFold("もっと") == "motsuto")
     // CJK punctuation maps to ASCII equivalents
     assert(AsciiFold("はい、そう。") == "hai,sou.")
-    // hanzi/ideographs DROP — the documented permanent divergence from
-    // unidecode (which would emit pinyin-ish ASCII); pinned so a future
-    // behavior change is deliberate
-    assert(AsciiFold("中文") == "")
-    assert(AsciiFold("日本語テスト") == "tesuto") // kanji drop, kana stay
     // kana text survives clean_text end to end (romaji > 4 words)
     assert(CleanText("こんにちは せかい です よ ね みんな") ==
       "konnichiha sekai desu yo ne minna")
+  }
+
+  test("frequent hanzi romanize to pinyin; rare hanzi drop (r4)") {
+    // unidecode convention: Title-case pinyin + trailing space per char
+    assert(AsciiFold("中文") == "Zhong Wen ")
+    assert(AsciiFold("中国人") == "Zhong Guo Ren ")
+    assert(AsciiFold("你好世界") == "Ni Hao Shi Jie ")
+    assert(AsciiFold("我爱学习") == "Wo Ai Xue Xi ")
+    // mixed hanzi + kana: kanji in the frequency table romanize, the
+    // kana romanize per their own table (traditional 語 is NOT in the
+    // simplified-form frequency table → drops)
+    assert(AsciiFold("日本語テスト") == "Ri Ben tesuto")
+    // rare/unmapped ideographs still drop — the remaining documented
+    // divergence, pinned so a future behavior change is deliberate
+    assert(AsciiFold("똠龘") == "")
+    // fullwidth punctuation (U+FF0C / U+FF01, via escapes — source
+    // literals mangle too easily) maps to ASCII + space
+    assert(AsciiFold("你好，世界！") == "Ni Hao , Shi Jie ! ")
+    // the clean_text chain mirrors the reference exactly: lower() runs
+    // BEFORE transliteration in both engines, so unidecode's capital
+    // letter is stripped by the [a-z0-9\s,.!?'] whitelist in both —
+    // "Zhong " survives as "hong " there and here alike
+    // (章 and 测 are outside the frequency table → they drop; 试 → "Shi"
+    // → "hi" after the capital strips)
+    assert(CleanText("中文 内容 很 好 的 文章 测试") ==
+      "hong en ei ong en ao e en hi")
   }
 }
 
@@ -269,6 +290,20 @@ class UrlNormSpec extends AnyFunSuite {
       "example.com/Path/To?a=1")
     assert(canonical("http://example.com:80/x") == "example.com/x")
     assert(canonical("example.com/x") == "example.com/x") // schemeless
+  }
+
+  test("default-port strip is gated on the seen scheme") {
+    // :443 is only the https default: http://host:443 is a real,
+    // distinct origin and must NOT merge with https://host
+    assert(canonical("http://example.com:443/x") == "example.com:443/x")
+    assert(canonical("https://example.com:80/x") == "example.com:80/x")
+    // schemeless = scheme unknown: NO default-port strip (and canonical
+    // outputs are schemeless, so a kept port must survive re-canonical —
+    // the idempotence property)
+    assert(canonical("example.com:80/x") == "example.com:80/x")
+    assert(canonical("example.com:443/x") == "example.com:443/x")
+    assert(canonical(canonical("https://example.com:80/x")) ==
+      "example.com:80/x")
   }
 
   test("path and non-tracking query are preserved byte-for-byte") {
