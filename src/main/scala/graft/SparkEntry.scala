@@ -469,6 +469,16 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // Deterministic corpus shuffle: salted-md5 training-order permutation,
+    // computed via order-preserving hex-prefix buckets (no global sort) —
+    // bit-identical to the naive global row_number window the oracle runs
+    "q_corpus_shuffle" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.analytics.Sampling.deterministicShuffle(
+          d.select("doc_id"), Seq("doc_id"), salt = "epoch0")
+        .select("doc_id", "shuffle_pos")
+    }),
+
     // Benchmark decontamination by word n-gram overlap (GPT-3/PaLM-style
     // 13-gram collision removal; n=4 here so the fixture's 31-word vocab
     // produces real cross-doc collisions — 36 contaminated docs, not
@@ -853,6 +863,13 @@ object SparkEntry {
         |      OVER (ORDER BY md5(text), doc_id ROWS UNBOUNDED PRECEDING) AS c
         |  FROM documents)
         |WHERE c <= 5000""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('epoch0' || chr(1) || CAST(doc_id AS VARCHAR)),
+        |             doc_id) AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     "q_ngram_decontaminate" ->
       """WITH w AS (SELECT doc_id, source,

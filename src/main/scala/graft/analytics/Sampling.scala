@@ -270,4 +270,58 @@ object Sampling {
     }(Encoders.row(outSchema))
       .withColumnRenamed("_toks", "doc_tokens")
   }
+
+  /** Deterministic corpus shuffle — assign every row its position in a
+    * salted content-hash permutation (the training-order randomization
+    * step before sharding a corpus for LLM training; changing `salt`
+    * reshuffles epochs reproducibly, independent of partitioning).
+    *
+    * Adds `shuffle_pos` (1-based, a permutation of 1..n): exactly
+    * `row_number() OVER (ORDER BY md5(salt || key), key)` — but the
+    * naive window serializes the corpus through one task after a global
+    * sort. Scale path reuses [[tokenBudget]]'s order-preserving-bucket
+    * trick: hex-prefix buckets of the md5 key sort exactly like the
+    * full keys across buckets, so one partial-agg pass counts rows per
+    * bucket (≤ 16^prefixLen, driver prefix-sums the offsets), and the
+    * per-bucket `row_number` window — each bucket ~corpus/16^prefixLen
+    * rows — plus its bucket's offset IS the global position.
+    * Bit-identical to the naive window (oracle-checked), one wide
+    * shuffle (inherent: a global permutation must move rows), no global
+    * sort. Size `prefixLen` so a bucket fits one task: 3 (4096 buckets)
+    * to the max 5 (~1M) for 10^10+-row corpora.
+    *
+    * The md5 key is encoded like [[graft.Run.rowKey128]] (null-safe
+    * coalesce + U+0001 separators), so `keyCols` may contain nulls;
+    * they must however form a UNIQUE key (duplicates tie on the hash
+    * and fall to the keyCols tiebreak — equal rows then get
+    * arrival-order positions, breaking determinism).
+    */
+  def deterministicShuffle(df: DataFrame, keyCols: Seq[String],
+                           salt: String = "", prefixLen: Int = 3)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "deterministicShuffle: need key columns")
+    require(prefixLen >= 1 && prefixLen <= 5,
+      s"prefixLen must be in [1,5] (got $prefixLen) — 16^5 bucket " +
+        "offsets is already the driver-side ceiling")
+    val (hc, bc, oc) = (fresh(df, "_sh"), fresh(df, "_sb"), fresh(df, "_so"))
+    val key = md5(concat_ws("\u0001",
+      lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"),
+        lit(""))): _*))
+    val withKeys = df.withColumn(hc, key)
+      .withColumn(bc, substring(col(hc), 1, prefixLen))
+    // bounded by construction: md5 hex prefixes → ≤ 16^prefixLen rows
+    val counts = withKeys.groupBy(bc).count().orderBy(bc).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getString(0), acc); acc += r.getLong(1); o
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF(bc, oc))
+    val w = Window.partitionBy(bc)
+      .orderBy(col(hc) +: keyCols.map(col): _*)
+    withKeys.join(offDf, bc)
+      .withColumn("shuffle_pos", col(oc) + row_number().over(w))
+      .drop(hc, bc, oc)
+  }
 }

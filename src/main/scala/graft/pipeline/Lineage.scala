@@ -57,6 +57,32 @@ object Lineage {
     } else df
   }
 
+  /** The stage's snapshot log: distinct commit ids in commit order —
+    * the offline analogue of Iceberg's snapshot list. Each `runStage`
+    * commit group appends one snapshot; a fresh single-commit run has
+    * exactly one.
+    */
+  def snapshots(outDir: String): Seq[Long] =
+    readManifest(outDir).map(_.snapshotId).distinct
+
+  /** Iceberg-style time travel: the stage output AS OF `asOfSnapshot` —
+    * exactly the buckets whose commit id is <= the requested snapshot.
+    * Sound because a bucket is committed at most once per stage dir
+    * (resume only ever processes MISSING buckets), so later commits
+    * strictly append buckets and never rewrite earlier ones. The bucket
+    * filter lands on the parquet partition column → partition pruning,
+    * not a full scan.
+    */
+  def readSnapshot(spark: SparkSession, outDir: String,
+                   asOfSnapshot: Long): DataFrame = {
+    val all = readManifest(outDir)
+    require(all.nonEmpty, s"readSnapshot: no committed manifest at $outDir")
+    val buckets = all.filter(_.snapshotId <= asOfSnapshot).map(_.bucket)
+    val df = spark.read.parquet(s"$outDir/data")
+    if (buckets.isEmpty) df.limit(0).drop("_bucket")
+    else df.filter(col("_bucket").isin(buckets: _*)).drop("_bucket")
+  }
+
   def readManifest(outDir: String): Seq[BucketCommit] = {
     val p = manifestPath(outDir)
     if (!Files.exists(p)) return Seq.empty
@@ -139,8 +165,16 @@ object Lineage {
     val bucketCol = if (inputBucketed) col("_bucket").cast("int") else hashBucketCol
     val groupSize = if (bucketsPerCommit > 0) bucketsPerCommit else nBuckets
 
+    // snapshot ids must be strictly increasing ACROSS JVMs for time
+    // travel's `<= asOfSnapshot` to mean "committed no later than":
+    // nanoTime has an arbitrary per-JVM origin (a resumed run could mint
+    // ids BELOW the crashed run's), so ids are wall-clock millis bumped
+    // past the manifest's previous maximum
+    var lastSnapshot =
+      readManifest(outDir).map(_.snapshotId).foldLeft(0L)(math.max)
     missing.grouped(groupSize).foreach { group =>
-      val snapshotId = System.nanoTime()
+      lastSnapshot = math.max(System.currentTimeMillis(), lastSnapshot + 1)
+      val snapshotId = lastSnapshot
       // bucketed input: filter directly on the partition column so the
       // scan prunes to the group's directories (no recomputed hash in
       // front of it — a recomputed filter is opaque to partition pruning)

@@ -467,6 +467,36 @@ class SamplingSpec extends SparkSpec {
     assert(scaled(total / 3).nonEmpty && scaled(total / 3).size < 300)
   }
 
+  test("deterministic shuffle is a permutation, matches the naive window, " +
+      "and is partitioning-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Synth.pages(spark, 400L).select("url")
+    val shuffled = Sampling.deterministicShuffle(docs, Seq("url"),
+      salt = "s1", prefixLen = 2)
+    val pos = shuffled.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 400L), "positions must be exactly 1..n")
+    // bit-identical to the naive single-task global window
+    val naive = docs
+      .withColumn("_k", md5(concat_ws("\u0001", lit("s1"), col("url"))))
+      .withColumn("shuffle_pos",
+        row_number().over(Window.orderBy(col("_k"), col("url"))).cast("long"))
+      .drop("_k")
+    assert(shuffled.select("url", "shuffle_pos").except(naive).isEmpty &&
+      naive.except(shuffled.select("url", "shuffle_pos")).isEmpty)
+    // partitioning-independent: same assignment from a different layout
+    val repart = Sampling.deterministicShuffle(docs.repartition(13),
+      Seq("url"), salt = "s1", prefixLen = 2)
+    assert(repart.select("url", "shuffle_pos")
+      .except(shuffled.select("url", "shuffle_pos")).isEmpty)
+    // a different salt produces a genuinely different permutation
+    val other = Sampling.deterministicShuffle(docs, Seq("url"), salt = "s2",
+      prefixLen = 2)
+    val moved = shuffled.as("a")
+      .join(other.as("b"), col("a.url") === col("b.url"))
+      .filter(col("a.shuffle_pos") =!= col("b.shuffle_pos")).count()
+    assert(moved > 300, s"salt change should reshuffle most rows ($moved)")
+  }
+
   test("token budget fails loudly on null order keys and negative tokens") {
     val docs = Synth.pages(spark, 50L).select(col("url"), col("text"))
       .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))

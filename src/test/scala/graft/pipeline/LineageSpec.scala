@@ -170,6 +170,43 @@ class LineageSpec extends SparkSpec {
     assert(ex.getMessage.contains("nBuckets=8"))
   }
 
+  test("snapshot log and time travel: as-of reads see exactly the " +
+      "buckets committed by then, across commit groups") {
+    val dir = freshDir()
+    val input = Synth.pages(spark, 400L)
+    Lineage.runStage(input, dir, "url", nBuckets = 8,
+      bucketsPerCommit = 2)(identity)
+    val snaps = Lineage.snapshots(dir)
+    assert(snaps.size == 4, s"4 commit groups expected: $snaps")
+    assert(snaps == snaps.sorted && snaps.distinct == snaps,
+      s"snapshot ids must be strictly increasing: $snaps")
+    // each snapshot's as-of read returns exactly the rows of buckets
+    // committed so far; the last equals the full output
+    val manifest = Lineage.readManifest(dir)
+    for (s <- snaps) {
+      val expected = manifest.filter(_.snapshotId <= s).map(_.rowsOut).sum
+      val got = Lineage.readSnapshot(spark, dir, s).count()
+      assert(got == expected, s"as-of $s: got $got, expected $expected")
+    }
+    assert(Lineage.readSnapshot(spark, dir, snaps.last).count() == 400L)
+    // before the first snapshot: empty, schema intact, no _bucket leak
+    val before = Lineage.readSnapshot(spark, dir, snaps.head - 1)
+    assert(before.count() == 0L && !before.columns.contains("_bucket"))
+    // a RESUMED run mints ids strictly above the crashed run's (the
+    // nanoTime origin trap): simulate by dropping two buckets' commits
+    val manifestFile = java.nio.file.Paths.get(dir, "_lineage.csv")
+    val lines = java.nio.file.Files.readAllLines(manifestFile)
+    val kept = new java.util.ArrayList[String]()
+    lines.forEach(l => if (!l.startsWith("6,") && !l.startsWith("7,")) kept.add(l))
+    java.nio.file.Files.write(manifestFile, kept)
+    Lineage.runStage(input, dir, "url", nBuckets = 8,
+      bucketsPerCommit = 2)(identity)
+    val resumed = Lineage.snapshots(dir)
+    assert(resumed.size == 4 && resumed.last > snaps.last,
+      s"resumed snapshot must sort after all prior ones: $resumed")
+    assert(Lineage.readSnapshot(spark, dir, resumed.last).count() == 400L)
+  }
+
   test("re-running a completed stage is a no-op") {
     val dir = freshDir()
     val input = Synth.pages(spark, 200L)
