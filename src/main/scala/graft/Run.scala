@@ -23,6 +23,7 @@ import graft.sources.CorpusIO
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
+  *     [--shuffle-salt <s>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -345,11 +346,27 @@ object Run {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
-    val persisted = pin(dsirApplied)
+    // --shuffle-salt <s>: stamp kept docs with their training-order
+    // position (salted-md5 permutation, [[graft.analytics.Sampling
+    // .deterministicShuffle]]) — the corpus ships ready to shard-and-read
+    // in shuffle_pos order; a different salt per epoch reshuffles
+    // reproducibly. Dropped docs carry a null position.
+    val shuffled = a.get("shuffle-salt") match {
+      case None => dsirApplied
+      case Some(saltStr) =>
+        val base = pin(dsirApplied)
+        val keptSh = graft.analytics.Sampling.deterministicShuffle(
+          base.filter(col("keep")),
+          Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)
+        keptSh.unionByName(base.filter(!col("keep"))
+          .withColumn("shuffle_pos", lit(null).cast("long")))
+    }
+    val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
+      "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
+      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil)
+    val persisted = pin(shuffled)
     CorpusIO.writeWithExclusions(
-      persisted.select("url", "warc_ts", "lang", "lang_pred", "lang_prob",
-        "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep"),
-      out, outFormat)
+      persisted.select(outCols.map(col): _*), out, outFormat)
     // --write-sigs: store kept docs' signature table for the next run's
     // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
     a.get("write-sigs").foreach { dir =>

@@ -136,15 +136,17 @@ object CorpusPipeline {
             metrics: Option[Metrics.PipelineMetrics] = None): DataFrame = {
     val spark = pages.sparkSession
     val heurCfg = cfg.heur
-    // asNondeterministic: same rationale as the langid UDF below — the
-    // `_h` struct feeds four downstream columns, and a deterministic UDF
-    // is fair game for CollapseProject to inline into each extraction
-    // (4× the most expensive per-doc function on the flagship path).
-    // Today the cost guard + codegen subexpression elimination happen to
-    // keep it single-evaluation; this makes that guaranteed rather than
-    // incidental. analyze() IS deterministic, so results are unchanged.
+    // DELIBERATELY DETERMINISTIC — round 4 reverts the r3-advisory
+    // asNondeterministic() "insurance" after measuring its cost (see the
+    // A/B below and BENCH.md r4): nondeterministic expressions block
+    // CollapseProject/pushdown and pin extra projection barriers into
+    // the scored plan, and the flagship path pays for it. Single
+    // evaluation per row of this struct UDF is instead GUARANTEED by a
+    // PlanSpec pin (exactly one analyze ScalaUDF in the optimized
+    // flagship plan); CollapseProject's cost guard + codegen
+    // subexpression elimination keep the property today, and the pin
+    // fails loudly if a future optimizer change breaks it.
     val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
-      .asNondeterministic()
     val bcLm = spark.sparkContext.broadcast(models.lm)
     val pplUdf = udf(KneserNeyLM.perplexityFn(bcLm))
     val keepLangs = cfg.keepLanguages.toSeq

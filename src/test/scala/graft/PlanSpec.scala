@@ -62,6 +62,30 @@ class PlanSpec extends SparkSpec {
       s"filter+scrub introduced a shuffle:\n$plan")
   }
 
+  test("analyze struct UDF is evaluated exactly once per row in the " +
+      "optimized flagship plan") {
+    // the `_h` struct feeds four downstream columns; the analyze UDF is
+    // DETERMINISTIC (r4 reverts the r3-advisory asNondeterministic
+    // "insurance" — nondeterminism blocks CollapseProject/pushdown and
+    // pins projection barriers into the plan), so single evaluation is
+    // an optimizer property, pinned here: CollapseProject's cost guard
+    // must keep exactly ONE analyze ScalaUDF in the optimized plan
+    // rather than inlining it into each field extraction.
+    val scored = pipeline.CorpusPipeline.score(
+      pipeline.Synth.pages(spark, 20L))
+    val analyzeUdfs = scored.queryExecution.optimizedPlan.flatMap { node =>
+      node.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF
+            if u.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+              u.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+                .fieldNames.contains("drop_stage") => u
+      })
+    }
+    assert(analyzeUdfs.size == 1,
+      s"expected exactly one analyze ScalaUDF in the optimized plan, " +
+        s"found ${analyzeUdfs.size}:\n${scored.queryExecution.optimizedPlan}")
+  }
+
   test("scoring stage keeps rows in Tungsten format and prunes html") {
     // the langid scorer must be a scalar UDF over `text`, not a Row-encoder
     // mapPartitions: no object round-trip operators may appear, and the

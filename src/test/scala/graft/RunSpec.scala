@@ -57,6 +57,20 @@ class RunSpec extends SparkSpec {
       s"listener leak suspected: first=$tasks second=$tasks2")
   }
 
+  test("--shuffle-salt stamps kept docs with a training-order permutation") {
+    val out = dir()
+    Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> out, "shuffle-salt" -> "epoch0"))
+    val kept = spark.read.parquet(s"$out/kept")
+    val n = kept.count()
+    val pos = kept.select("shuffle_pos")
+      .collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (1L to n), "kept positions must be exactly 1..kept")
+    val removed = spark.read.parquet(s"$out/removed")
+    assert(removed.filter(col("shuffle_pos").isNotNull).count() == 0,
+      "dropped docs must carry a null shuffle position")
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(
