@@ -382,6 +382,27 @@ object SparkEntry {
         pagesFromDocs(s, dir).limit(100), "html", nFrames = 4)
         .select("url", "frame_id", "frame_bytes")),
 
+    // Real header parse round-trip: spec-conformant PNG/JPEG/GIF/BMP/WebP
+    // header bytes synthesized from doc_id, parsed back by the byte-level
+    // parser; the oracle recomputes the planted dims arithmetically, so a
+    // parse that doesn't exactly invert the binary encoding hash-mismatches.
+    "q_media_header" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        analytics.MediaHeader.roundTrip(col("doc_id")).as("m"))
+      .select(col("doc_id"), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"))),
+
+    // WAV fmt/data chunk-walk round-trip; duration derives from the
+    // declared data size at the declared byte rate (integer ms).
+    "q_audio_header" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        analytics.MediaHeader.audioRoundTrip(col("doc_id")).as("a"))
+      .select(col("doc_id"), col("a.channels").as("channels"),
+        col("a.sample_rate").as("sample_rate"),
+        col("a.bits_per_sample").as("bits_per_sample"),
+        col("a.duration_ms").as("duration_ms"))),
+
     // ---- sampling -----------------------------------------------------
 
     // Exact-n uniform sample, md5-ranked for oracle parity
@@ -1067,6 +1088,29 @@ object SparkEntry {
         |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
         |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "q_media_header" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'webp' END AS format,
+        |  CAST(1 + doc_id % 1019 AS INT) AS width,
+        |  CAST(1 + doc_id % 761 AS INT) AS height,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 8
+        |    WHEN 3 THEN 24 ELSE NULL END AS INT) AS bit_depth
+        |FROM documents""".stripMargin,
+
+    "q_audio_header" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS INT)
+        |    AS sample_rate,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST((1000 + doc_id % 9000) * 1000 //
+        |    (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+        |    AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q_sample_uniform" ->

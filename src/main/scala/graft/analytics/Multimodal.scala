@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * partition-batched functions over the bytes.
   *
   * The Spark-side plumbing (schema, batching, partition sizing, output
-  * shape) is real and tested; the actual codec step is STUBBED with a
-  * deterministic byte-level featurizer because no image/audio libraries
+  * shape) is real and tested; the actual PIXEL-decode step is STUBBED with
+  * a deterministic byte-level featurizer because no image/audio libraries
   * ship in this environment — swap `decodeStub` for a real decoder
   * (e.g. javacv / TwelveMonkeys) without touching the plumbing.
+  * Header-level metadata needs no codec at all: [[MediaHeader]] parses
+  * format + dimensions + bit depth straight from the byte layout (the
+  * min-resolution gate a pipeline applies BEFORE paying for a decode).
   */
 object Multimodal {
 
