@@ -282,18 +282,43 @@ object Similarity {
   }
 
   /** IVF-style variant: assign each vector to its nearest of `centroids`
-    * (deterministic seed vectors), search only within the probe cell.
-    * At cluster scale the cell assignment is the partition key, so a
+    * (trained or deterministic seed vectors), search only within the probe
+    * cell. At cluster scale the cell assignment is the partition key, so a
     * query touches one partition instead of the full corpus.
+    *
+    * The assignment broadcasts the UNIT-NORMALIZED centroid matrix and
+    * argmaxes the dot product in one tight per-row loop (argmax dot over
+    * unit centroids == argmax cosine — the row's own norm is a constant
+    * factor). The earlier declarative form — `greatest` over nCells
+    * `struct(cosine, cell)` columns of higher-order-function aggregates —
+    * was measured 40× slower at 1M×64×128 (334 s vs 8 s index build,
+    * AnnBench): an nCells-wide expression tree re-derives the row norm
+    * per centroid and defeats codegen at this width. Exact cosine ties
+    * resolve to the LOWEST cell index, deterministically.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
                 centroids: Array[Array[Double]]): DataFrame = {
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(cosineToQuery(col(vecCol), c), 6).as("sim"),
-        lit(i).as("cell"))
+    // zero centroids (untrainable) keep their zero direction: dot 0
+    val unit = centroids.map(c => Option(normalize(c)).getOrElse(c))
+    val bc = embeddings.sparkSession.sparkContext.broadcast(unit)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, ctr.length)
+        while (i < n) { d += v(i) * ctr(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
     }
     embeddings.select(col(idCol), col(vecCol),
-      greatest(sims: _*).getField("cell").as("ivf_cell"))
+      cellUdf(col(vecCol).cast("array<double>")).as("ivf_cell"))
   }
 
   /** IVF-probed top-k search: rank cells by query-to-centroid cosine on
@@ -303,6 +328,16 @@ object Similarity {
     * — a query touches nProbe/nCells of the corpus instead of all of it;
     * `nProbe = centroids.length` degrades to exact brute force (asserted
     * in AnalyticsSpec).
+    *
+    * If `embeddings` ALREADY carries an `ivf_cell` column (a prebuilt
+    * index — [[ivfAssign]] output, typically written
+    * `partitionBy("ivf_cell")` and read back), the assignment is NOT
+    * recomputed: the probe is then a pruned read + exact cosine over
+    * nProbe cells only. Without the prebuilt column the per-row
+    * nCells-cosine assignment runs inline, which costs MORE than one
+    * brute-force scan — fine for one-off queries on small tables, wrong
+    * for repeated queries (AnnBench measured 155 s inline vs 0.5 s
+    * prebuilt at 1M×64 — the index build is the point of IVF).
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int,
@@ -316,8 +351,10 @@ object Similarity {
       .map { case (c, i) => (cos(query, c), i) }
       .sortBy { case (s, i) => (-s, i) }
       .take(math.max(nProbe, 1)).map(_._2).toSeq
-    topK(ivfAssign(embeddings, idCol, vecCol, centroids)
-      .filter(col("ivf_cell").isInCollection(probeCells)),
+    val assigned =
+      if (embeddings.columns.contains("ivf_cell")) embeddings
+      else ivfAssign(embeddings, idCol, vecCol, centroids)
+    topK(assigned.filter(col("ivf_cell").isInCollection(probeCells)),
       idCol, vecCol, query, k)
   }
 }

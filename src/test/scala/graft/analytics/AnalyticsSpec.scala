@@ -92,6 +92,34 @@ class SimilaritySpec extends SparkSpec {
       bruteSims.get(id).foreach(b => assert(b == sim)) }
   }
 
+  test("ivf probe over a prebuilt partitioned index matches inline and prunes") {
+    val df = (1L to 40L).map { i =>
+      val r = new java.util.SplittableRandom(i * 3)
+      (i, Array.fill(64)(r.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = {
+      val r = new java.util.SplittableRandom(99)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val cents = Similarity.hyperplanes(8, 64, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.ivfAssign(df, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val inline = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+      cents, nProbe = 2).as[(Long, Double)].collect().toSeq
+    val prebuilt = Similarity.ivfTopK(index, "vec_id", "embedding", q, 10,
+      cents, nProbe = 2)
+    assert(prebuilt.as[(Long, Double)].collect().toSeq == inline,
+      "prebuilt-index probe must return exactly the inline-assignment result")
+    // the probe's cell filter must reach the scan as a PARTITION filter
+    // (pruned read), not a post-scan predicate over the whole index
+    val plan = prebuilt.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("ivf_cell")),
+      s"expected ivf_cell in PartitionFilters, plan:\n$plan")
+  }
+
   test("vocabulary builder counts, floors and ranks deterministically") {
     val df = Seq(
       "the cat and the dog and the bird",
