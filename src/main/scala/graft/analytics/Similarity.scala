@@ -57,12 +57,30 @@ object Similarity {
     * same bucket with high probability.
     */
   def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val dv = vecCol.cast("array<double>")
-    planes.zipWithIndex.map { case (p, i) =>
-      val pc = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(dv, pc, (a, b) => a * b), lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // One loop over all planes per row (the plane matrix rides the task
+    // closure — a few KB). The earlier declarative form — one
+    // aggregate(zip_with(...)) HOF column PER PLANE summed up — traversed
+    // the vector nPlanes times through non-codegen lambda plumbing; same
+    // width pathology ivfAssign had (measured 40× there). Summation order
+    // per dot product is unchanged, so buckets are bit-identical.
+    val f = udf { (v: Seq[Double]) =>
+      if (v == null) 0L
+      else {
+        var bits = 0L
+        var p = 0
+        while (p < planes.length) {
+          val pl = planes(p)
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, pl.length)
+          while (i < n) { d += v(i) * pl(i); i += 1 }
+          if (d >= 0) bits |= 1L << p
+          p += 1
+        }
+        bits
+      }
+    }
+    f(vecCol.cast("array<double>"))
   }
 
   /** Scale path: all-pairs near-neighbor candidates via LSH buckets.
@@ -302,20 +320,23 @@ object Similarity {
     val unit = centroids.map(c => Option(normalize(c)).getOrElse(c))
     val bc = embeddings.sparkSession.sparkContext.broadcast(unit)
     val cellUdf = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      var best = 0
-      var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < cs.length) {
-        val ctr = cs(c)
-        var d = 0.0
-        var i = 0
-        val n = math.min(v.length, ctr.length)
-        while (i < n) { d += v(i) * ctr(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
-        c += 1
+      if (v == null) null
+      else {
+        val cs = bc.value
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          val ctr = cs(c)
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, ctr.length)
+          while (i < n) { d += v(i) * ctr(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        Int.box(best)
       }
-      best
     }
     embeddings.select(col(idCol), col(vecCol),
       cellUdf(col(vecCol).cast("array<double>")).as("ivf_cell"))
