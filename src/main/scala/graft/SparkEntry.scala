@@ -500,6 +500,31 @@ object SparkEntry {
         .select("doc_id", "shuffle_pos")
     }),
 
+    // CCNet-style per-language perplexity bucketing (head/middle/tail
+    // thirds by score within each language) — rank-based tiles with
+    // integer ntile arithmetic, no float quantile cutoffs, so the
+    // oracle's ntile(3) window hash-matches exactly. The score column
+    // here is n_chars (DuckDB-computable); the pipeline passes its KN
+    // perplexity column through the same operator (FiltersSpec).
+    "q_ccnet_bucket" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      graft.filters.CcNet.buckets(d, "n_chars", "lang", Seq("doc_id"))
+        .select("doc_id", "lang", "ppl_bucket")
+    }),
+
+    // Temperature-based mixture sampling (unigram-LM T=2 exponentiated
+    // group weights): each language contributes min(n, T_total *
+    // floor(sqrt(n)) / sum-of-weights) docs, selected by salted-md5 rank.
+    // All-integer target arithmetic → the oracle recomputes identical
+    // targets and the same window selection.
+    "q_temperature_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      graft.analytics.Sampling.temperatureSample(
+          d, "lang", totalTarget = 200L, keyCols = Seq("doc_id"),
+          temperature = 2.0, salt = "mix0")
+        .select("doc_id", "lang")
+    }),
+
     // Benchmark decontamination by word n-gram overlap (GPT-3/PaLM-style
     // 13-gram collision removal; n=4 here so the fixture's 31-word vocab
     // produces real cross-doc collisions — 36 contaminated docs, not
@@ -891,6 +916,28 @@ object SparkEntry {
         |    ORDER BY md5('epoch0' || chr(1) || CAST(doc_id AS VARCHAR)),
         |             doc_id) AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+
+    "q_ccnet_bucket" ->
+      """SELECT doc_id, lang,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+        |  END AS ppl_bucket
+        |FROM documents""".stripMargin,
+
+    "q_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS cnt FROM documents
+        |           GROUP BY lang),
+        |w AS (SELECT lang, cnt,
+        |        CAST(floor(sqrt(cnt)) AS BIGINT) AS wt FROM n),
+        |tg AS (SELECT lang,
+        |         least(cnt, 200 * wt // (SELECT sum(wt) FROM w)) AS target
+        |       FROM w),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5('mix0' || chr(1) || CAST(doc_id AS VARCHAR)),
+        |                 doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang)
+        |WHERE rn <= target""".stripMargin,
 
     "q_ngram_decontaminate" ->
       """WITH w AS (SELECT doc_id, source,

@@ -324,4 +324,82 @@ object Sampling {
       .withColumn("shuffle_pos", col(oc) + row_number().over(w))
       .drop(hc, bc, oc)
   }
+
+  /** Temperature-based mixture sampling — the multilingual/multi-domain
+    * training-mix recipe (unigram-LM / mBERT-style exponentiated
+    * sampling, public method): draw from group g in proportion to
+    * n_g^(1/T) instead of n_g, so a temperature T > 1 UPWEIGHTS small
+    * groups (low-resource languages, rare domains) relative to their raw
+    * frequency. Returns the selected rows; group g contributes
+    * `min(n_g, totalTarget * w_g / W)` rows where `w_g = floor(n_g^(1/T))`
+    * and `W = Σ w_g`.
+    *
+    * Determinism by integer quantization: weights are FLOORED to longs
+    * and targets use exact integer arithmetic (BigInt product, so a
+    * 10^12-row target cannot overflow), which makes the target table
+    * exactly reproducible by any engine — for the default T = 2 the
+    * weight is `floor(sqrt(n))`, and IEEE 754 requires sqrt to be
+    * correctly rounded, so even the oracle's independent recomputation
+    * lands on identical longs (q_temperature_sample hash-matches).
+    * Floor-quantization means Σ targets may fall slightly short of
+    * `totalTarget`; the shortfall is ≤ #groups rows — negligible at
+    * corpus scale, and redistribution would make targets
+    * definition-order-dependent.
+    *
+    * Within each group the selected rows are the `target_g` lowest by
+    * salted md5 of `keyCols` (same null-safe key encoding as
+    * [[deterministicShuffle]]; `keyCols` must be unique per row) —
+    * ranked via [[Ranking.rankInGroup]], so the dominant group never
+    * sorts through one task. Cost: one O(#groups) count collect (capped,
+    * loud), one range shuffle for the rank, one broadcast join of the
+    * target table.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, totalTarget: Long,
+                        keyCols: Seq[String], temperature: Double = 2.0,
+                        salt: String = "", numPartitions: Int = 0)
+      : DataFrame = {
+    require(totalTarget >= 0, "totalTarget must be non-negative")
+    require(temperature > 0.0, "temperature must be positive")
+    require(keyCols.nonEmpty, "temperatureSample: need key columns")
+    val maxGroups = 1 << 20
+    val countRows = df.groupBy(col(groupCol)).count()
+      .limit(maxGroups + 1).collect()
+    require(countRows.length <= maxGroups,
+      s"temperatureSample: > $maxGroups distinct $groupCol values — " +
+        "group by a coarser key")
+    // (group value as string-or-null, n, w); sqrt for the default T = 2
+    // (exactly rounded everywhere), Math.pow otherwise
+    val weighted = countRows.map { r =>
+      val n = r.getLong(1)
+      val w = math.max(1L,
+        if (temperature == 2.0) math.sqrt(n.toDouble).toLong
+        else math.pow(n.toDouble, 1.0 / temperature).toLong)
+      (r.get(0), n, w)
+    }
+    val totalW = weighted.iterator.map(w => BigInt(w._3)).sum
+    val targets = weighted.map { case (g, n, w) =>
+      val t =
+        if (totalW == 0) 0L
+        else (BigInt(totalTarget) * w / totalW).toLong
+      (g, math.min(n, t))
+    }
+    val (hc, rc, gk, tc) = (fresh(df, "_ts_h"), fresh(df, "_ts_rank"),
+      fresh(df, "_ts_g"), fresh(df, "_ts_target"))
+    val key = md5(concat_ws("\u0001",
+      lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"),
+        lit(""))): _*))
+    val ranked = Ranking.rankInGroup(df.withColumn(hc, key),
+      Seq(groupCol), hc +: keyCols, rc, numPartitions)
+    val spark = df.sparkSession
+    val targetSchema = StructType(Seq(
+      StructField(gk, df.schema(groupCol).dataType, nullable = true),
+      StructField(tc, LongType, nullable = false)))
+    val targetDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(
+        targets.map(t => Row(t._1, t._2)): _*), targetSchema))
+    ranked
+      .join(targetDf, ranked(groupCol) <=> targetDf(gk), "left")
+      .filter(col(rc) <= col(tc))
+      .drop(hc, rc, gk, tc)
+  }
 }
