@@ -23,7 +23,7 @@ import graft.sources.CorpusIO
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>]
+  *     [--shuffle-salt <s>] [--ppl-buckets <k>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -361,10 +361,32 @@ object Run {
         keptSh.unionByName(base.filter(!col("keep"))
           .withColumn("shuffle_pos", lit(null).cast("long")))
     }
+    // --ppl-buckets <k>: stamp kept docs with their CCNet-style
+    // per-language perplexity tile ([[graft.filters.CcNet]] — `head` is
+    // the most-fluent third for k=3), grouped by the PREDICTED language
+    // (the lang the perplexity models a doc against, as in CCNet).
+    // Dropped docs carry a null bucket.
+    val bucketed = a.get("ppl-buckets") match {
+      case None => shuffled
+      case Some(kStr) =>
+        val base = pin(shuffled)
+        // tiebreak on the synthesized 128-bit row key, not the raw text:
+        // the rank's range shuffle sorts on its order columns, and a
+        // 32-char hex key moves through that exchange where the full
+        // document text must not
+        val keptB = graft.filters.CcNet.buckets(
+            base.filter(col("keep")).withColumn("_ppl_tie",
+              rowKey128(col("url"), col("warc_ts"), col("scrubbed_text"))),
+            "perplexity", "lang_pred", Seq("_ppl_tie"), k = kStr.toInt)
+          .drop("_ppl_tie")
+        keptB.unionByName(base.filter(!col("keep"))
+          .withColumn("ppl_bucket", lit(null).cast("string")))
+    }
     val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
       "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
-      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil)
-    val persisted = pin(shuffled)
+      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
+      (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil)
+    val persisted = pin(bucketed)
     CorpusIO.writeWithExclusions(
       persisted.select(outCols.map(col): _*), out, outFormat)
     // --write-sigs: store kept docs' signature table for the next run's

@@ -208,7 +208,8 @@ object Sampling {
     require(maxTokens > 0, "maxTokens must be positive")
     // the projection introduces these names; a keyCol sharing one would
     // silently shadow or become ambiguous downstream
-    val reserved = Set("_toks", "_h", "seq_id", "seq_tokens", "doc_tokens")
+    val reserved = Set("_toks", "_h", "_pid", "seq_id", "seq_tokens",
+      "doc_tokens")
     require(!keyCols.exists(reserved), s"keyCols may not use reserved " +
       s"names ${reserved.mkString(", ")} (got ${keyCols.mkString(", ")})")
     val parts =
@@ -227,26 +228,44 @@ object Sampling {
     // order out of the shuffle, which would break the documented
     // determinism at fixed parallelism. With _toks last, any remaining
     // ties are between fully identical projected rows (interchangeable).
-    val arranged = proj.repartitionByRange(parts, col("_h"))
-      .sortWithinPartitions(
-        col("_h") +: keyCols.map(col) :+ col("_toks"): _*)
-    val outSchema = StructType(arranged.schema.fields.filterNot(_.name == "_h")
+    // the partition id is STAMPED INTO THE DATA behind a checkpoint
+    // (same design as Ranking.rankInGroup, same reason): seq ids must
+    // be distinct ACROSS partitions, and a downstream coalesce()
+    // re-tasks this scan so TaskContext.getPartitionId() would return
+    // one id for every stored partition — duplicating "p0-s0" across
+    // chunks and silently merging unrelated sequences for any consumer
+    // that groups by seq_id (coalesce-pinned in AnalyticsSpec)
+    val arranged = graft.SparkUtil.materialize(
+      proj.repartitionByRange(parts, col("_h"))
+        .sortWithinPartitions(
+          col("_h") +: keyCols.map(col) :+ col("_toks"): _*)
+        .withColumn("_pid", spark_partition_id()))
+    val internal = Set("_h", "_pid")
+    val outSchema = StructType(
+      arranged.schema.fields.filterNot(f => internal(f.name))
       ++ Seq(StructField("seq_id", StringType, nullable = false),
         StructField("seq_tokens", LongType, nullable = false)))
     val hIdx = arranged.schema.fieldIndex("_h")
+    val pIdx = arranged.schema.fieldIndex("_pid")
     val tIdx = arranged.schema.fieldIndex("_toks")
     arranged.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var pid = -1
       var seqIdx = -1
       new Iterator[Row] {
         private var pending: Row = if (rows.hasNext) rows.next() else null
         private var queue: Iterator[Row] = Iterator.empty
         private def fillSeq(): Unit = {
+          // stored pid, not TaskContext: a re-tasked scan streams several
+          // stored partitions through one invocation — a stored-pid
+          // boundary closes the open sequence and restarts numbering, so
+          // ids stay exactly what an un-coalesced run would issue
+          val rowPid = pending.getInt(pIdx)
+          if (rowPid != pid) { pid = rowPid; seqIdx = -1 }
           seqIdx += 1
           val buf = ArrayBuffer.empty[Row]
           var acc = 0L
           var open = true
-          while (open && pending != null) {
+          while (open && pending != null && pending.getInt(pIdx) == pid) {
             val t = pending.getLong(tIdx)
             if (buf.isEmpty || acc + t <= maxTokens) {
               buf += pending; acc += t
@@ -256,7 +275,7 @@ object Sampling {
           val id = s"p$pid-s$seqIdx"
           queue = buf.iterator.map { r =>
             val base = r.toSeq.zipWithIndex.collect {
-              case (v, i) if i != hIdx => v
+              case (v, i) if i != hIdx && i != pIdx => v
             }
             Row.fromSeq(base ++ Seq(id, acc))
           }

@@ -71,6 +71,42 @@ class RunSpec extends SparkSpec {
       "dropped docs must carry a null shuffle position")
   }
 
+  test("--ppl-buckets stamps kept docs with per-language perplexity tiles") {
+    val out = dir()
+    Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> out, "ppl-buckets" -> "3"))
+    val kept = spark.read.parquet(s"$out/kept")
+    val n = kept.count()
+    val byBucket = kept.groupBy("ppl_bucket").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"got $byBucket")
+    assert(byBucket.values.sum == n)
+    // tiles are per predicted language and near-equal within each
+    val skew = kept.groupBy("lang_pred", "ppl_bucket").count()
+      .groupBy("lang_pred")
+      .agg(max("count").as("mx"), min("count").as("mn"))
+      .collect()
+    skew.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) <= 1,
+        s"tiles must differ by at most one row: $r")
+    }
+    // head really is the most-fluent side per language
+    val enHeadMax = kept.filter(col("ppl_bucket") === "head")
+      .groupBy("lang_pred").agg(max("perplexity").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val enTailMin = kept.filter(col("ppl_bucket") === "tail")
+      .groupBy("lang_pred").agg(min("perplexity").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    enHeadMax.foreach { case (lang, hm) =>
+      enTailMin.get(lang).foreach(tm =>
+        assert(hm <= tm, s"$lang head max $hm > tail min $tm"))
+    }
+    val removed = spark.read.parquet(s"$out/removed")
+    assert(removed.filter(col("ppl_bucket").isNotNull).count() == 0,
+      "dropped docs must carry a null bucket")
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(

@@ -614,6 +614,29 @@ class SamplingSpec extends SparkSpec {
     assert(packedN.count() == 250)
   }
 
+  test("sequence packing survives a downstream coalesce(1)") {
+    // regression: coalesce re-tasks the scan so a TaskContext-based
+    // partition id would stamp "p0-sN" from EVERY stored partition,
+    // merging unrelated sequences for any consumer grouping by seq_id.
+    // The stored-pid design must keep ids and totals identical.
+    val docs = Synth.pages(spark, 250L)
+      .select(col("url"), size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val packed = Sampling.packSequences(docs, "toks", 300L, Seq("url"),
+      numPartitions = 7)
+    val direct = packed.select("url", "seq_id", "seq_tokens")
+      .collect().toSet
+    val out = s"/tmp/packing-coalesce-${System.nanoTime()}"
+    packed.coalesce(1).write.parquet(out)
+    val reread = spark.read.parquet(out)
+      .select("url", "seq_id", "seq_tokens").collect().toSet
+    assert(reread == direct)
+    // and grouped totals still reconcile after the coalesced write
+    spark.read.parquet(out).groupBy("seq_id")
+      .agg(sum("doc_tokens").as("s"), first("seq_tokens").as("rep"))
+      .as[(String, Long, Long)].collect()
+      .foreach { case (id, s, rep) => assert(s == rep, s"corrupt $id") }
+  }
+
   test("train/val split partitions every stratum near the target fraction") {
     val (tr, va) = Sampling.trainValSplit(docs, "lang", 0.8, Seq("text"))
     assert(tr.count() + va.count() == docs.count())
