@@ -83,6 +83,13 @@ class RankingSpec extends SparkSpec {
     assert(reread == want)
   }
 
+  test("rankInGroup on an empty frame returns empty, schema intact") {
+    val df = fixture(10, 2).filter(col("id") < 0)
+    val got = Ranking.rankInGroup(df, Seq("grp"), Seq("score", "id"), "rk")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("id", "grp", "score", "rk"))
+  }
+
   test("rankInGroup refuses an existing output column") {
     val df = fixture(10, 2)
     intercept[IllegalArgumentException] {
