@@ -23,7 +23,7 @@ import graft.sources.CorpusIO
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>] [--ppl-buckets <k>]
+  *     [--shuffle-salt <s>] [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -346,30 +346,22 @@ object Run {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
-    // --shuffle-salt <s>: stamp kept docs with their training-order
-    // position (salted-md5 permutation, [[graft.analytics.Sampling
-    // .deterministicShuffle]]) — the corpus ships ready to shard-and-read
-    // in shuffle_pos order; a different salt per epoch reshuffles
-    // reproducibly. Dropped docs carry a null position.
-    val shuffled = a.get("shuffle-salt") match {
-      case None => dsirApplied
-      case Some(saltStr) =>
-        val base = pin(dsirApplied)
-        val keptSh = graft.analytics.Sampling.deterministicShuffle(
-          base.filter(col("keep")),
-          Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)
-        keptSh.unionByName(base.filter(!col("keep"))
-          .withColumn("shuffle_pos", lit(null).cast("long")))
-    }
     // --ppl-buckets <k>: stamp kept docs with their CCNet-style
     // per-language perplexity tile ([[graft.filters.CcNet]] — `head` is
     // the most-fluent third for k=3), grouped by the PREDICTED language
     // (the lang the perplexity models a doc against, as in CCNet).
-    // Dropped docs carry a null bucket.
+    // Dropped docs carry a null bucket. --ppl-keep <b1,b2> additionally
+    // DROPS kept docs outside the listed buckets (the actual CCNet
+    // recipe keeps head+middle) under drop_stage 9_ppl_bucket; it runs
+    // BEFORE the shuffle stage so shuffle_pos stays a gapless
+    // permutation of the docs that actually ship.
     val bucketed = a.get("ppl-buckets") match {
-      case None => shuffled
+      case None =>
+        require(!a.contains("ppl-keep"),
+          "--ppl-keep requires --ppl-buckets")
+        dsirApplied
       case Some(kStr) =>
-        val base = pin(shuffled)
+        val base = pin(dsirApplied)
         // tiebreak on the synthesized 128-bit row key, not the raw text:
         // the rank's range shuffle sorts on its order columns, and a
         // 32-char hex key moves through that exchange where the full
@@ -379,14 +371,38 @@ object Run {
               rowKey128(col("url"), col("warc_ts"), col("scrubbed_text"))),
             "perplexity", "lang_pred", Seq("_ppl_tie"), k = kStr.toInt)
           .drop("_ppl_tie")
-        keptB.unionByName(base.filter(!col("keep"))
+        val gated = a.get("ppl-keep") match {
+          case None => keptB
+          case Some(keepList) =>
+            val keepSet = keepList.split(",").map(_.trim).toSet
+            keptB
+              .withColumn("keep", col("ppl_bucket").isin(keepSet.toSeq: _*))
+              .withColumn("drop_stage", when(col("keep"), col("drop_stage"))
+                .otherwise(lit("9_ppl_bucket")))
+        }
+        gated.unionByName(base.filter(!col("keep"))
           .withColumn("ppl_bucket", lit(null).cast("string")))
+    }
+    // --shuffle-salt <s>: stamp kept docs with their training-order
+    // position (salted-md5 permutation, [[graft.analytics.Sampling
+    // .deterministicShuffle]]) — the corpus ships ready to shard-and-read
+    // in shuffle_pos order; a different salt per epoch reshuffles
+    // reproducibly. Dropped docs carry a null position.
+    val shuffled = a.get("shuffle-salt") match {
+      case None => bucketed
+      case Some(saltStr) =>
+        val base = pin(bucketed)
+        val keptSh = graft.analytics.Sampling.deterministicShuffle(
+          base.filter(col("keep")),
+          Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)
+        keptSh.unionByName(base.filter(!col("keep"))
+          .withColumn("shuffle_pos", lit(null).cast("long")))
     }
     val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
       "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
-      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
-      (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil)
-    val persisted = pin(bucketed)
+      (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil) ++
+      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil)
+    val persisted = pin(shuffled)
     CorpusIO.writeWithExclusions(
       persisted.select(outCols.map(col): _*), out, outFormat)
     // --write-sigs: store kept docs' signature table for the next run's

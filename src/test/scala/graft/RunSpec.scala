@@ -107,6 +107,26 @@ class RunSpec extends SparkSpec {
       "dropped docs must carry a null bucket")
   }
 
+  test("--ppl-keep drops the tail bucket; shuffle positions stay gapless") {
+    val out = dir()
+    Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> out, "ppl-buckets" -> "3",
+      "ppl-keep" -> "head,middle", "shuffle-salt" -> "e0"))
+    val kept = spark.read.parquet(s"$out/kept")
+    val buckets = kept.select("ppl_bucket").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(buckets == Set("head", "middle"), s"got $buckets")
+    // the bucket gate runs BEFORE the shuffle: positions are a gapless
+    // permutation of exactly the docs that ship
+    val pos = kept.select("shuffle_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq == (1L to kept.count()))
+    // the dropped tail is audited under its own stage with its bucket
+    val tail = spark.read.parquet(s"$out/removed")
+      .filter(col("drop_stage") === "9_ppl_bucket")
+    assert(tail.count() > 0)
+    assert(tail.filter(col("ppl_bucket") =!= "tail").count() == 0)
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(
