@@ -753,6 +753,20 @@ object SparkEntry {
         .select(col("doc_id"), round(ppl(col("text")), 4).as("perplexity"))
     }),
 
+    // CCNet per-language LMs: each doc scored against its OWN language's
+    // Kneser-Ney model (Wenzek et al. §3.3 — one KenLM per language;
+    // a single global LM conflates fluency with language frequency).
+    // Rows-only: learned LM state, same ledger class as q_perplexity.
+    "q_perplexity_by_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val models = graft.filters.KneserNeyLM.trainPerLang(
+        d, "text", "lang", perLangSampleN = 200)
+      val bc = s.sparkContext.broadcast(models)
+      val f = udf(graft.filters.KneserNeyLM.perplexityByLangFn(bc))
+      d.select(col("doc_id"), col("lang"),
+        round(f(col("lang"), col("text")), 4).as("ppl_own"))
+    }),
+
     // ---- segmentation (UDTF-shaped, rows-only) ------------------------
     "q_segment" -> ((s, dir) => {
       val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))

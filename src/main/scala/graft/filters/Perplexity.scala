@@ -141,6 +141,67 @@ object KneserNeyLM {
     */
   private[filters] val TokPat = java.util.regex.Pattern.compile("[^a-z0-9']+")
 
+  /** CCNet trains ONE language model PER LANGUAGE and scores each doc
+    * against its own language's model (Wenzek et al. 2020 §3.3 — the
+    * per-language Wikipedia KenLMs); a single global LM conflates
+    * fluency with language frequency. This trains a KN bigram model per
+    * distinct `langCol` value from a bounded DETERMINISTIC per-language
+    * sample.
+    *
+    * Scale shape: the sample ranks docs per language with
+    * [[graft.analytics.Ranking.rankInGroup]] (range shuffle — the
+    * dominant language never sorts through one task, unlike a
+    * per-stratum window) and collects only `perLangSampleN × #languages`
+    * rows; `maxLangs` caps the driver's model table with a loud failure.
+    * Training itself is the driver-side model-then-broadcast flow every
+    * learned component here uses (fastText, BPE, DSIR).
+    */
+  def trainPerLang(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   langCol: String, perLangSampleN: Int = 2000,
+                   seed: Long = 42L, maxLangs: Int = 512,
+                   discount: Double = 0.75): Map[String, KneserNeyLM] = {
+    import org.apache.spark.sql.functions._
+    require(perLangSampleN > 0, "perLangSampleN must be positive")
+    val base = df.select(col(langCol).as("_lang"), col(textCol).as("_text"))
+      .filter(col("_lang").isNotNull && col("_text").isNotNull)
+    val nLangs = base.select("_lang").distinct()
+      .limit(maxLangs + 1).count()
+    require(nLangs <= maxLangs,
+      s"trainPerLang: > $maxLangs distinct languages — raise maxLangs " +
+        "or pre-bucket rare languages")
+    // deterministic per-language hash order; the text hash + the text
+    // itself make the order total (identical texts are interchangeable
+    // training-wise, so any residual tie is harmless)
+    val sampled = graft.analytics.Ranking.rankInGroup(
+        base.withColumn("_h", xxhash64(col("_text"), lit(seed))),
+        Seq("_lang"), Seq("_h", "_text"), "_rk")
+      .filter(col("_rk") <= perLangSampleN)
+      .select("_lang", "_text")
+      .collect()
+    sampled.groupBy(_.getString(0)).map { case (lang, rows) =>
+      // hash order is shuffle-nondeterministic in ROW ORDER after
+      // collect; sort for a reproducible training sequence
+      lang -> train(rows.map(_.getString(1)).sorted.iterator, discount)
+    }
+  }
+
+  /** Per-language scorer for use inside a `udf`: each doc scores against
+    * its own language's model; a language with no trained model yields
+    * null (the caller decides whether that is a drop or a pass).
+    * Broadcast read once per task — same SoftReference trap note as
+    * [[perplexityFn]].
+    */
+  def perplexityByLangFn(
+      bc: org.apache.spark.broadcast.Broadcast[Map[String, KneserNeyLM]])
+      : (String, String) => Option[Double] =
+    new ((String, String) => Option[Double]) with Serializable {
+      @transient private lazy val models = bc.value
+      def apply(lang: String, text: String): Option[Double] =
+        if (lang == null) None
+        else models.get(lang)
+          .map(_.perplexity(if (text == null) "" else text))
+    }
+
   /** Count-based training from an iterator of documents. Deterministic. */
   def train(docs: IterableOnce[String], discount: Double = 0.75): KneserNeyLM = {
     val uni = mutable.HashMap.empty[String, Long]

@@ -190,6 +190,58 @@ class LangIdSpec extends AnyFunSuite {
   }
 }
 
+class PerLangPerplexitySpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private def doc(vocab: Seq[String], seed: Long, n: Int) = {
+    val r = new java.util.SplittableRandom(seed)
+    (1 to n).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+  }
+  private val enV = Seq("the", "of", "and", "river", "stone", "valley",
+    "light", "is", "under", "old")
+  private val frV = Seq("le", "de", "et", "riviere", "pierre", "vallee",
+    "lumiere", "est", "sous", "vieux")
+  private lazy val corpus = (
+    (1 to 300).map(i => ("en", doc(enV, i, 30))) ++
+      (1 to 300).map(i => ("fr", doc(frV, 1000L + i, 30)))
+  ).toDF("lang", "text")
+
+  test("per-language models score their own language best") {
+    val models = KneserNeyLM.trainPerLang(corpus, "text", "lang",
+      perLangSampleN = 200)
+    assert(models.keySet == Set("en", "fr"))
+    val enDoc = doc(enV, 77777L, 25)
+    val frDoc = doc(frV, 88888L, 25)
+    assert(models("en").perplexity(enDoc) < models("fr").perplexity(enDoc))
+    assert(models("fr").perplexity(frDoc) < models("en").perplexity(frDoc))
+  }
+
+  test("per-doc own-language scoring; untrained language scores null") {
+    val models = KneserNeyLM.trainPerLang(corpus, "text", "lang",
+      perLangSampleN = 200)
+    val bc = spark.sparkContext.broadcast(models)
+    val f = udf(KneserNeyLM.perplexityByLangFn(bc))
+    val enDoc = doc(enV, 7L, 25)
+    val got = Seq(("en", enDoc), ("fr", doc(frV, 8L, 25)),
+      ("zz", enDoc), (null.asInstanceOf[String], enDoc))
+      .toDF("lang", "text")
+      .withColumn("ppl", f(col("lang"), col("text")))
+      .collect().map(r => Option(r.getString(0)) -> r.isNullAt(2)).toMap
+    assert(got(Some("en")) == false && got(Some("fr")) == false)
+    assert(got(Some("zz")) == true && got(None) == true)
+  }
+
+  test("training is deterministic across input partitioning") {
+    val a = KneserNeyLM.trainPerLang(corpus, "text", "lang", perLangSampleN = 150)
+    val b = KneserNeyLM.trainPerLang(corpus.repartition(13), "text", "lang",
+      perLangSampleN = 150)
+    val probe = doc(enV, 99L, 40)
+    assert(a("en").perplexity(probe) == b("en").perplexity(probe))
+    assert(a("fr").perplexity(probe) == b("fr").perplexity(probe))
+  }
+}
+
 class PerplexitySpec extends AnyFunSuite {
   lazy val lm: KneserNeyLM = KneserNeyLM.train(Synth.lmSamples(200))
 
