@@ -23,7 +23,8 @@ import graft.sources.CorpusIO
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>] [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
+  *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
+  *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -346,6 +347,31 @@ object Run {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
     }
+    // --ppl-per-lang <n>: CCNet own-language re-scoring — train one KN
+    // model per PREDICTED language from a deterministic ≤n-doc/language
+    // sample of the kept corpus (Wenzek et al. §3.3 score each doc with
+    // its own language's KenLM; the kept corpus is this run's stand-in
+    // for their clean per-language training text), then restamp kept
+    // docs' perplexity with the own-language score so the bucket stage
+    // below tiles fluency WITHIN a language rather than language
+    // frequency. Languages too rare to train fall back to the global
+    // LM inside the scorer. Dropped docs keep the score that made the
+    // drop decision — the audit stays truthful.
+    val perLangScored = a.get("ppl-per-lang") match {
+      case None => dsirApplied
+      case Some(nStr) =>
+        val base = pin(dsirApplied)
+        val kept = base.filter(col("keep"))
+        val models = graft.filters.KneserNeyLM.trainPerLang(
+          kept, "scrubbed_text", "lang_pred", perLangSampleN = nStr.toInt)
+        val bc = spark.sparkContext.broadcast(
+          (models, CorpusPipeline.defaultModels.lm))
+        val f = udf(graft.filters.KneserNeyLM.perplexityOwnLangFn(bc))
+        kept
+          .withColumn("perplexity", f(col("lang_pred"), col("scrubbed_text")))
+          .unionByName(base.filter(!col("keep")))
+    }
+
     // --ppl-buckets <k>: stamp kept docs with their CCNet-style
     // per-language perplexity tile ([[graft.filters.CcNet]] — `head` is
     // the most-fluent third for k=3), grouped by the PREDICTED language
@@ -359,9 +385,9 @@ object Run {
       case None =>
         require(!a.contains("ppl-keep"),
           "--ppl-keep requires --ppl-buckets")
-        dsirApplied
+        perLangScored
       case Some(kStr) =>
-        val base = pin(dsirApplied)
+        val base = pin(perLangScored)
         // tiebreak on the synthesized 128-bit row key, not the raw text:
         // the rank's range shuffle sorts on its order columns, and a
         // 32-char hex key moves through that exchange where the full

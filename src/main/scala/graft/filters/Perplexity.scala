@@ -202,6 +202,25 @@ object KneserNeyLM {
           .map(_.perplexity(if (text == null) "" else text))
     }
 
+  /** Pipeline-flavored own-language scorer: unlike [[perplexityByLangFn]]
+    * (which yields null for untrained languages and lets the caller
+    * decide), this FALLS BACK to a global model so the pipeline's
+    * perplexity column stays total — a doc in a language too rare to
+    * train never escapes the perplexity gate by scoring null. One
+    * broadcast carries both so a task deserializes a single value.
+    */
+  def perplexityOwnLangFn(
+      bc: org.apache.spark.broadcast.Broadcast[
+        (Map[String, KneserNeyLM], KneserNeyLM)])
+      : (String, String) => Double =
+    new ((String, String) => Double) with Serializable {
+      @transient private lazy val v = bc.value
+      def apply(lang: String, text: String): Double = {
+        val m = if (lang == null) v._2 else v._1.getOrElse(lang, v._2)
+        m.perplexity(if (text == null) "" else text)
+      }
+    }
+
   /** Count-based training from an iterator of documents. Deterministic. */
   def train(docs: IterableOnce[String], discount: Double = 0.75): KneserNeyLM = {
     val uni = mutable.HashMap.empty[String, Long]

@@ -29,7 +29,8 @@ object CorpusPipeline {
     * and off the hot path (mirrors the reference: models are trained once,
     * then broadcast per process — /root/reference/fasttext/mult_infer.py:56-66).
     */
-  case class Models(lang: FastTextModel, lm: KneserNeyLM)
+  case class Models(lang: FastTextModel, lm: KneserNeyLM,
+                    perLang: Map[String, KneserNeyLM] = Map.empty)
 
   /** Default models trained on the deterministic synthetic distributions.
     * ~2s of driver CPU, cached for the JVM lifetime.
@@ -147,8 +148,21 @@ object CorpusPipeline {
     // subexpression elimination keep the property today, and the pin
     // fails loudly if a future optimizer change breaks it.
     val analyzeUdf = udf((t: String) => Heuristics.analyze(t, heurCfg))
-    val bcLm = spark.sparkContext.broadcast(models.lm)
-    val pplUdf = udf(KneserNeyLM.perplexityFn(bcLm))
+    // CCNet own-language scoring is opt-in (Models.perLang non-empty):
+    // each doc scores against its PREDICTED language's model, falling
+    // back to the global LM for untrained languages — Wenzek et al. §3.3.
+    // The default (empty map) keeps the single-global-LM behavior the
+    // reference-parity F1 gate is pinned to.
+    val pplExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (models.perLang.isEmpty) {
+        val bcLm = spark.sparkContext.broadcast(models.lm)
+        val f = udf(KneserNeyLM.perplexityFn(bcLm))
+        t => f(t)
+      } else {
+        val bcPl = spark.sparkContext.broadcast((models.perLang, models.lm))
+        val f = udf(KneserNeyLM.perplexityOwnLangFn(bcPl))
+        t => f(col("lang_pred"), t)
+      }
     val keepLangs = cfg.keepLanguages.toSeq
 
     // stage 0: URL/domain blocklist (reference URLFilter position). The
@@ -191,7 +205,7 @@ object CorpusPipeline {
       .withColumn("n_tokens",
         when(col("drop_stage").isNull, col("_h.n_tokens")).otherwise(lit(0)))
       .withColumn("perplexity",
-        when(col("drop_stage").isNull, pplUdf(col("scrubbed_text"))))
+        when(col("drop_stage").isNull, pplExpr(col("scrubbed_text"))))
 
     val withPpl = cfg.maxPerplexity match {
       case Some(maxP) =>

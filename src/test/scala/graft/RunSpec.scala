@@ -127,6 +127,48 @@ class RunSpec extends SparkSpec {
     assert(tail.filter(col("ppl_bucket") =!= "tail").count() == 0)
   }
 
+  test("--ppl-per-lang restamps kept docs with own-language scores") {
+    val outA = dir(); val outB = dir()
+    Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> outA, "ppl-buckets" -> "3"))
+    Run.execute(spark, Map(
+      "synth" -> "1000", "output" -> outB, "ppl-buckets" -> "3",
+      "ppl-per-lang" -> "200"))
+    val a = spark.read.parquet(s"$outA/kept")
+      .select(col("url"), col("perplexity").as("ppl_global"))
+    val b = spark.read.parquet(s"$outB/kept")
+      .select(col("url"), col("perplexity").as("ppl_own"),
+        col("ppl_bucket"), col("lang_pred"))
+    // re-scoring never changes WHICH docs ship, only their score
+    val j = a.join(b, Seq("url"), "full").cache()
+    assert(j.filter(col("ppl_global").isNull || col("ppl_own").isNull)
+      .count() == 0, "kept sets must be identical")
+    // the per-language model is trained on the kept corpus itself, so
+    // own-language scores must differ from the synthetic global LM's
+    assert(j.filter(col("ppl_global") =!= col("ppl_own")).count() > 0)
+    // and the bucket stage tiled the RESTAMPED scores (per language)
+    val headMax = b.filter(col("ppl_bucket") === "head")
+      .groupBy("lang_pred").agg(max("ppl_own").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tailMin = b.filter(col("ppl_bucket") === "tail")
+      .groupBy("lang_pred").agg(min("ppl_own").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    headMax.foreach { case (lang, hm) =>
+      tailMin.get(lang).foreach(tm =>
+        assert(hm <= tm, s"$lang head max $hm > tail min $tm"))
+    }
+    j.unpersist()
+    // dropped docs keep the score that made the drop decision
+    val remA = spark.read.parquet(s"$outA/removed")
+      .filter(col("perplexity").isNotNull)
+      .select(col("url"), col("perplexity").as("pA"))
+    val remB = spark.read.parquet(s"$outB/removed")
+      .filter(col("perplexity").isNotNull)
+      .select(col("url"), col("perplexity").as("pB"))
+    assert(remA.join(remB, "url").filter(col("pA") =!= col("pB"))
+      .count() == 0, "dropped docs' scores must be untouched")
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(

@@ -145,4 +145,46 @@ class PipelineE2ESpec extends SparkSpec {
     val kept = out.filter($"keep").select("url").as[String].collect().toSet
     assert(kept == Set("https://a/1"))
   }
+
+  test("Models.perLang scores docs against their own language's model, " +
+       "falling back to the global LM for untrained languages") {
+    import graft.filters.KneserNeyLM
+    val pages = (1 to 10).map(i =>
+      (s"https://en/$i", new java.sql.Timestamp(i.toLong), Array[Byte](),
+        Synth.cleanDoc(Synth.rngFor(9, i), Synth.EnVocab, 8), "en")) ++
+      (1 to 10).map(i =>
+        (s"https://qq/$i", new java.sql.Timestamp(100L + i), Array[Byte](),
+          Synth.cleanDoc(Synth.rngFor(9, 100 + i), Synth.QqVocab, 8,
+            english = false), "qq"))
+    val df = pages.toDF("url", "warc_ts", "html", "text", "lang")
+    // an en model trained on DIFFERENT text than the global LM, so the
+    // own-language score is distinguishable from the fallback score
+    val enLm = KneserNeyLM.train(
+      (1 to 50).map(i => Synth.cleanDoc(Synth.rngFor(11, i), Synth.EnVocab, 6)))
+    val global = CorpusPipeline.defaultModels.lm
+    val models = CorpusPipeline.defaultModels.copy(perLang = Map("en" -> enLm))
+    // minStopWords=0: the qq vocabulary has no English stop words, and
+    // this test is about the scorer, not the Gopher gate
+    val cfg = PipelineConfig(
+      heur = graft.model.HeuristicConfig(minStopWords = 0),
+      keepLanguages = Set("en", "qq"),
+      minLangProb = 0.0, exactDedup = false, minhashDedup = false)
+    val got = CorpusPipeline.score(df, cfg, models = models)
+      .filter($"drop_stage".isNull)
+      .select("lang_pred", "scrubbed_text", "perplexity")
+      .collect()
+    assert(got.map(_.getString(0)).toSet == Set("en", "qq"))
+    got.foreach { r =>
+      val expect = r.getString(0) match {
+        case "en" => enLm.perplexity(r.getString(1))      // own model
+        case _    => global.perplexity(r.getString(1))    // fallback
+      }
+      assert(r.getDouble(2) == expect,
+        s"${r.getString(0)}: got ${r.getDouble(2)}, expected $expect")
+    }
+    // the own-language model really is a different model: at least one
+    // en doc scores differently than the global LM would score it
+    assert(got.filter(_.getString(0) == "en").exists(r =>
+      enLm.perplexity(r.getString(1)) != global.perplexity(r.getString(1))))
+  }
 }
