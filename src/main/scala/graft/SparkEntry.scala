@@ -310,6 +310,15 @@ object SparkEntry {
       analytics.NearDup.jaccardPairs(Synth.pages(s, 2000L), "url", "text",
         minJaccard = 0.5)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via spherical k-means
+    // cells + within-cell cosine epsilon-balls, keeping each duplicate
+    // group's farthest-from-centroid member. Rows-only: the k-means
+    // model state and the iterative CC fixpoint are not SQL-expressible
+    // (same ledger class as q_ivf_assign / q_minhash_mark).
+    "q_semdedup" -> ((s, dir) =>
+      analytics.SemDedup.mark(t(s, dir, "embeddings"),
+        "vec_id", "embedding", eps = 0.15, nClusters = 8)),
+
     // Embedding-cosine near-dup clustering (rows-only)
     "q_embed_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s

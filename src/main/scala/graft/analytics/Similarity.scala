@@ -209,7 +209,9 @@ object Similarity {
           col(vecCol).cast("array<double>").as("_v")),
         sampleN, Seq(idCol), seed)
       .select("_v").collect()
+    // null rows are skipped like zero vectors — no direction to learn
     val sample: Array[Array[Double]] = sampleRows.iterator
+      .filterNot(_.isNullAt(0))
       .map(_.getSeq[Double](0).toArray)
       .map(normalize).filter(_ != null).toArray
     require(sample.nonEmpty, "trainCentroids: no non-zero vectors sampled")
