@@ -692,6 +692,13 @@ object SparkEntry {
     // P15 Gopher doc-stats subset (word count, mean word length) as an
     // oracle-checked relational query; full filter verdicts are exercised
     // by q_pipeline_full + unit tests
+    // RedPajama-v2-style quality-signal vector: 13 per-doc signals as one
+    // narrow zero-UDF projection (oracle-checked column by column)
+    "q_quality_signals" -> ((s, dir) =>
+      analytics.QualitySignals.withSignals(
+        t(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
+
     "q_gopher_stats" -> ((s, dir) => {
       val words = size(split(trim(col("text")), "\\s+"))
       val chars = length(regexp_replace(col("text"), "\\s+", ""))
@@ -1239,6 +1246,41 @@ object SparkEntry {
         |FROM (SELECT label = 1 AS truth,
         |             CAST(embedding[1] AS DOUBLE) > 0.0 AS pred
         |      FROM embeddings)""".stripMargin,
+
+    "q_quality_signals" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS words,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> x <> '') AS lines
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(words) AS INT) AS n_words,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  round(list_sum(list_transform(words, x -> length(x)))
+        |    / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS mean_word_len,
+        |  round(len(list_distinct(list_transform(words, x -> lower(x))))
+        |    / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS frac_unique_words,
+        |  round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+        |    / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS frac_alpha_words,
+        |  round(len(list_filter(words, x -> lower(x) IN
+        |      ('the','and','of','to','is','in','a','that')))
+        |    / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS stopword_frac,
+        |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS frac_digit_chars,
+        |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |    / CAST(nullif(length(text), 0) AS DOUBLE), 4) AS frac_upper_chars,
+        |  round(len(list_filter(lines, x -> regexp_matches(x, '[.!?]$')))
+        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_lines_end_punct,
+        |  round(len(list_filter(lines, x -> length(x) < 30))
+        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_short_lines,
+        |  round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_bullet_lines,
+        |  round(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
+        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_ellipsis_lines
+        |FROM s""".stripMargin,
 
     "q_gopher_stats" ->
       """SELECT doc_id,
