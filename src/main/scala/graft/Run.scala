@@ -25,6 +25,7 @@ import graft.sources.CorpusIO
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
   *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
+  *     [--pii-extended] [--signals]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -121,7 +122,8 @@ object Run {
     while (i < args.length) {
       args(i) match {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
-            | "--extract-html" | "--url-dedup" | "--task-metrics") =>
+            | "--extract-html" | "--url-dedup" | "--task-metrics"
+            | "--pii-extended" | "--signals") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -269,16 +271,36 @@ object Run {
         CorpusPipeline.dedup(scored, cfg)
       }
 
+    // --pii-extended: widen the scrub beyond reference parity (phones +
+    // Luhn-validated payment cards — the Dolma-style PII surface) on
+    // KEPT docs only; the default chain stays byte-identical to the
+    // reference, which the E2E gate pins. Runs before the span rewrites
+    // so spans dedup the final text.
+    val piiExtended =
+      if (!a.contains("pii-extended")) result
+      else {
+        val base = pin(result)
+        val ext = udf((t: String) =>
+          if (t == null) null
+          else graft.filters.Pii.scrubPhones(graft.filters.Pii.scrubCards(t)))
+        val recount = udf((t: String) =>
+          graft.text.TextStats.countWords(if (t == null) "" else t))
+        base.filter(col("keep"))
+          .withColumn("scrubbed_text", ext(col("scrubbed_text")))
+          .withColumn("n_tokens", recount(col("scrubbed_text")))
+          .unionByName(base.filter(!col("keep")))
+      }
+
     // span-level rewrites apply to KEPT docs only (dropped docs' text
     // must stay byte-identical for the exclusion audit), after document-
     // level dedup so surviving docs dedup against survivors
     val spanDeduped = (a.get("span-dedup"), a.get("substring-dedup")) match {
-      case (None, None) => result
+      case (None, None) => piiExtended
       case (spanW, subW) =>
         // persist before the fan-out: the kept/dropped split plus each
         // rewrite's own multi-scan would otherwise recompute the whole
         // scoring+dedup stage up to ~5×
-        val base = pin(result)
+        val base = pin(piiExtended)
         // SpanDedup requires a UNIQUE row id; url recurs across crawl
         // snapshots (the exact-dedup module documents this), so key the
         // rewrite on a synthesized 128-bit full-row hash ([[rowKey128]]
@@ -424,11 +446,23 @@ object Run {
         keptSh.unionByName(base.filter(!col("keep"))
           .withColumn("shuffle_pos", lit(null).cast("long")))
     }
+    // --signals: publish the RedPajama-v2-style quality-signal vector as
+    // output columns (signals-not-decisions — downstream consumers can
+    // re-threshold without re-reading the corpus). One narrow zero-UDF
+    // projection over the shipped text; dropped docs (null scrubbed
+    // text) carry null signals.
+    val signalNames =
+      graft.analytics.QualitySignals.signals(col("scrubbed_text")).map(_._1)
+    val signaled =
+      if (a.contains("signals"))
+        graft.analytics.QualitySignals.withSignals(shuffled, "scrubbed_text")
+      else shuffled
     val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
       "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
       (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil) ++
-      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil)
-    val persisted = pin(shuffled)
+      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
+      (if (a.contains("signals")) signalNames else Nil)
+    val persisted = pin(signaled)
     CorpusIO.writeWithExclusions(
       persisted.select(outCols.map(col): _*), out, outFormat)
     // --write-sigs: store kept docs' signature table for the next run's

@@ -109,4 +109,97 @@ object Pii {
   /** Full scrub chain, fixed order: emails → IPs → toxicity. */
   def scrub(text: String, toxicWords: Seq[String] = DefaultToxicWords): String =
     scrubToxic(scrubIps(scrubEmails(text)), toxicWords)
+
+  // ---- extended scrubbers (OPT-IN) ----------------------------------
+  // The default chain above stays byte-identical to the reference's
+  // PIIFormatter semantics — the E2E byte-identity gate depends on it.
+  // The extended set below is the wider Dolma-style PII surface
+  // (phones, payment cards); callers opt in via scrubExtended or Run's
+  // --pii-extended.
+
+  val PhoneReplacement = "+1-555-0100"
+  val CardReplacement = "0000-0000-0000-0000"
+
+  /** Phone numbers, conservatively: either an international form
+    * (+CC then 8-13 digits with optional space/dash/dot/paren
+    * separators) or a NANP-ish form with explicit grouping
+    * ((XXX) XXX-XXXX / XXX-XXX-XXXX). Bare digit runs are NOT matched —
+    * ids, timestamps, and quantities would false-positive; a digit run
+    * only reads as a phone number when it carries phone punctuation.
+    */
+  private val PhoneRe = java.util.regex.Pattern.compile(
+    """(?<![\d\w])(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)[ .-]?)?\d(?:[ .-]?\d){7,12}|\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}|\d{3}[ .-]\d{3}[ .-]\d{4})(?![\d\w])""")
+
+  def scrubPhones(text: String): String = {
+    // probe: a phone match needs ≥8 digits total and either '+' or an
+    // in-number separator; cheapest sufficient probe is "has 3+ digits"
+    var digits = 0
+    var i = 0
+    while (i < text.length && digits < 3) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      i += 1
+    }
+    if (digits < 3) text
+    else PhoneRe.matcher(text).replaceAll(
+      java.util.regex.Matcher.quoteReplacement(PhoneReplacement))
+  }
+
+  /** Luhn checksum over the digits of a candidate card number. */
+  private[filters] def luhn(digits: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private val CardRe = java.util.regex.Pattern.compile(
+    """(?<![\d\w])\d{4}(?:[ -]?\d{4}){2,3}(?:[ -]?\d{1,3})?(?![\d\w])""")
+
+  /** Payment-card-shaped digit groups (13-19 digits in 4-digit-ish
+    * grouping) that pass the Luhn checksum. The checksum is what keeps
+    * order ids and EAN barcodes in the text: a random digit string
+    * passes Luhn 1 in 10 times, a real PAN always does.
+    */
+  def scrubCards(text: String): String = {
+    var digits = 0
+    var i = 0
+    while (i < text.length && digits < 13) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      i += 1
+    }
+    if (digits < 13) text
+    else {
+      val m = CardRe.matcher(text)
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      while (m.find()) {
+        val raw = m.group()
+        val only = raw.filter(_.isDigit)
+        if (only.length >= 13 && only.length <= 19 && luhn(only)) {
+          sb.append(text, last, m.start()).append(CardReplacement)
+          last = m.end()
+        }
+      }
+      if (last == 0) text
+      else { sb.append(text, last, text.length); sb.toString }
+    }
+  }
+
+  /** Extended chain: the reference-parity scrub, then cards, then
+    * phones. Cards run BEFORE phones so a separator-grouped PAN reaches
+    * the Luhn check intact — a 13-digit card also parses as an
+    * international phone number, and the phone pass would eat it.
+    */
+  def scrubExtended(text: String,
+                    toxicWords: Seq[String] = DefaultToxicWords): String =
+    scrubPhones(scrubCards(scrub(text, toxicWords)))
 }

@@ -169,6 +169,42 @@ class RunSpec extends SparkSpec {
       .count() == 0, "dropped docs' scores must be untouched")
   }
 
+  test("--pii-extended scrubs phones/cards on kept docs only; --signals " +
+       "publishes the quality-signal vector") {
+    val in = dir() + "/in"; val out = dir(); val outPlain = dir()
+    import spark.implicits._
+    val pii = " call (212) 555-0198 or pay 4111-1111-1111-1111 today."
+    val rows = (1 to 60).map { i =>
+      val base = Synth.cleanDoc(Synth.rngFor(31, i), Synth.EnVocab, 8)
+      (s"https://pii$i.example.com/p/$i", Synth.tsOf(i),
+        Array.empty[Byte], base + pii, "en")
+    }
+    rows.toDF("url", "warc_ts", "html", "text", "lang")
+      .write.parquet(in)
+    Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> out, "pii-extended" -> "true", "signals" -> "true"))
+    val kept = spark.read.parquet(s"$out/kept").cache()
+    assert(kept.count() > 0)
+    assert(kept.filter(col("scrubbed_text").contains("(212) 555-0198") ||
+      col("scrubbed_text").contains("4111-1111-1111-1111")).count() == 0,
+      "extended PII must be scrubbed")
+    assert(kept.filter(
+      col("scrubbed_text").contains(graft.filters.Pii.PhoneReplacement) &&
+      col("scrubbed_text").contains(graft.filters.Pii.CardReplacement))
+      .count() == kept.count())
+    // signal columns ship, populated on kept docs
+    assert(kept.filter(col("stopword_frac").isNull ||
+      col("n_words") <= 0).count() == 0)
+    kept.unpersist()
+    // without the flag the default reference-parity chain leaves both
+    Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> outPlain))
+    val plain = spark.read.parquet(s"$outPlain/kept")
+    assert(plain.filter(col("scrubbed_text")
+      .contains("4111-1111-1111-1111")).count() == plain.count())
+    assert(!plain.columns.contains("stopword_frac"))
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(

@@ -50,6 +50,45 @@ class PiiSpec extends AnyFunSuite {
     assert(!Pii.isGlobalIpv4("224.0.0.1"))
     assert(!Pii.isGlobalIpv4("256.1.1.1"))
   }
+
+  test("extended: phone forms scrub, bare digit runs survive") {
+    assert(Pii.scrubPhones("call +44 20 7946 0958 now") ==
+      s"call ${Pii.PhoneReplacement} now")
+    assert(Pii.scrubPhones("call (212) 555-0198 or 212-555-0143") ==
+      s"call ${Pii.PhoneReplacement} or ${Pii.PhoneReplacement}")
+    assert(Pii.scrubPhones("+1.415.555.0132 works") ==
+      s"${Pii.PhoneReplacement} works")
+    // bare digit runs are ids/timestamps, not phones
+    assert(Pii.scrubPhones("order 4152125550132 shipped") ==
+      "order 4152125550132 shipped")
+    assert(Pii.scrubPhones("ts 1696118400000 ok") == "ts 1696118400000 ok")
+    assert(Pii.scrubPhones("v2.10.3 fine") == "v2.10.3 fine")
+  }
+
+  test("extended: only Luhn-valid card-shaped numbers scrub") {
+    // 4111111111111111 is the classic Luhn-valid test PAN
+    assert(Pii.luhn("4111111111111111"))
+    assert(!Pii.luhn("4111111111111112"))
+    assert(Pii.scrubCards("pay 4111 1111 1111 1111 thanks") ==
+      s"pay ${Pii.CardReplacement} thanks")
+    assert(Pii.scrubCards("pay 4111-1111-1111-1111 thanks") ==
+      s"pay ${Pii.CardReplacement} thanks")
+    // same shape, failing checksum: stays (order ids, barcodes)
+    assert(Pii.scrubCards("ref 4111 1111 1111 1112 thanks") ==
+      "ref 4111 1111 1111 1112 thanks")
+    // 13-digit Luhn-valid (old Visa length)
+    assert(Pii.scrubCards("ok 4222222222222 ok") ==
+      s"ok ${Pii.CardReplacement} ok")
+  }
+
+  test("extended chain: cards survive the phone pass; parity chain first") {
+    val in = "mail a@b.co, card 4111-1111-1111-1111, tel (212) 555-0198"
+    assert(Pii.scrubExtended(in) ==
+      s"mail ${Pii.EmailReplacement}, card ${Pii.CardReplacement}, " +
+        s"tel ${Pii.PhoneReplacement}")
+    // the DEFAULT chain is untouched by the extended set — byte parity
+    assert(Pii.scrub(in) == in.replace("a@b.co", Pii.EmailReplacement))
+  }
 }
 
 class HeuristicsSpec extends AnyFunSuite {
