@@ -319,6 +319,17 @@ object SparkEntry {
       analytics.SemDedup.mark(t(s, dir, "embeddings"),
         "vec_id", "embedding", eps = 0.15, nClusters = 8)),
 
+    // Semantic decontamination: corpus docs inside the epsilon-ball of
+    // any reference vector (every 50th doc stands in for a benchmark
+    // suite). Rows-only: same learned-centroid ledger class as
+    // q_semdedup.
+    "q_semdedup_against" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      analytics.SemDedup.markAgainst(emb,
+        emb.filter(col("vec_id") % 50 === 0).select("embedding"),
+        "vec_id", "embedding", eps = 0.05, nClusters = 8)
+    }),
+
     // Embedding-cosine near-dup clustering (rows-only)
     "q_embed_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s

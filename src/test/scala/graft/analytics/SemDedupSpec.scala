@@ -136,6 +136,76 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("markAgainst flags corpus docs inside a reference vector's " +
+       "epsilon-ball; clean docs and degenerate vectors pass") {
+    // the reference set: near-copies of topic-0 group-0 and topic-2
+    // group-1 members (paraphrased benchmark leakage), jittered inside
+    // the 0.02 ball
+    val leakSources = Seq("t0_g0_0", "t2_g1_2")
+    val byId = fixture.collect().map(r => r.getString(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val reference = leakSources.zipWithIndex.map { case (id, i) =>
+      jitter(byId(id), 40000L + i, 0.003)
+    }.toDF("embedding")
+    val withDegenerate = fixture.unionByName(Seq(
+      ("zz_null", null.asInstanceOf[Seq[Float]]),
+      ("zz_zero", Seq.fill(Dim)(0.0f))).toDF("vec_id", "embedding"))
+    val got = SemDedup.markAgainst(withDegenerate, reference,
+        "vec_id", "embedding", eps = 0.02, nClusters = 4,
+        nProbe = 4, sampleN = 256)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got.size == withDegenerate.count())
+    // the leaked groups' members (0.005-jitter siblings of the leak
+    // sources) are contaminated; everything else is clean
+    val expected = Set("t0_g0_0", "t0_g0_1", "t0_g0_2",
+      "t2_g1_0", "t2_g1_1", "t2_g1_2")
+    val flagged = got.filter(_._2).keySet
+    assert(flagged == expected, s"got $flagged")
+    assert(!got("zz_null") && !got("zz_zero"))
+  }
+
+  test("tiled pair kernel partitions exactly like driver brute force " +
+       "(single cell, block-boundary sizes)") {
+    // 300 rows > two 128-row tiles, with a ragged tail — exercises
+    // within-block, cross-block, and tail index math. Mixed structure:
+    // jittered twins (edges) + random directions (mostly non-edges).
+    val r = new java.util.SplittableRandom(77L)
+    val rows = (0 until 300).map { i =>
+      val base =
+        if (i % 3 == 0 && i > 0) // every third row twins its predecessor
+          jitter(fixture.collect()(0).getSeq[Float](1)
+            .map(_.toDouble).toArray, 3000L + i, 0.004)
+        else Seq.fill(Dim)((r.nextGaussian()).toFloat)
+      (f"v$i%03d", base.map(x => x: Float))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val eps = 0.02
+    val got = SemDedup.mark(df, "vec_id", "embedding", eps = eps,
+        nClusters = 1, sampleN = 300, maxCellSize = 1000L)
+      .collect().map(r2 => r2.getString(0) -> Option(r2.get(2))
+        .map(_.toString)).toMap
+    // driver brute force: all-pairs cosine + union-find
+    val vs = rows.map { case (id, v) =>
+      val a = v.map(_.toDouble).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      id -> a.map(_ / n)
+    }
+    val parent = scala.collection.mutable.Map(vs.map(_._1 -> null: (String, String))
+      .map { case (k, _) => k -> k }: _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val rt = find(parent(x)); parent(x) = rt; rt }
+    for (i <- vs.indices; j <- (i + 1) until vs.size) {
+      val d = vs(i)._2.zip(vs(j)._2).map { case (a, b) => a * b }.sum
+      if (d >= 1.0 - eps) parent(find(vs(i)._1)) = find(vs(j)._1)
+    }
+    val bruteGroups = vs.map(_._1).groupBy(find).values
+      .map(_.toSet).filter(_.size > 1).toSet
+    val gotGroups = got.toSeq.collect { case (id, Some(c)) => c -> id }
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(gotGroups == bruteGroups,
+      s"kernel clusters != brute force: ${gotGroups.size} vs ${bruteGroups.size}")
+  }
+
   test("an undersized cluster count fails loudly instead of running a " +
        "quadratic task") {
     val e = intercept[IllegalArgumentException] {
