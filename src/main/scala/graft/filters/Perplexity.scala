@@ -152,29 +152,38 @@ object KneserNeyLM {
     * [[graft.analytics.Ranking.rankInGroup]] (range shuffle — the
     * dominant language never sorts through one task, unlike a
     * per-stratum window) and collects only `perLangSampleN × #languages`
-    * rows; `maxLangs` caps the driver's model table with a loud failure.
-    * Training itself is the driver-side model-then-broadcast flow every
-    * learned component here uses (fastText, BPE, DSIR).
+    * rows, each truncated to `maxCharsPerDoc` BEFORE the shuffle so
+    * neither the exchange nor the driver ever holds an unbounded
+    * document; `maxLangs` caps the model table with a loud failure.
+    * Driver memory is therefore ≤ nLangs × perLangSampleN ×
+    * maxCharsPerDoc bytes by construction — size those three together.
+    * The rank orders on two independent 64-bit text hashes (not the
+    * text: a megabyte document must not be a range-partition SORT KEY);
+    * rows where both hashes tie are identical texts for any practical
+    * purpose, and interchangeable as training rows. Training itself is
+    * the driver-side model-then-broadcast flow every learned component
+    * here uses (fastText, BPE, DSIR).
     */
   def trainPerLang(df: org.apache.spark.sql.DataFrame, textCol: String,
                    langCol: String, perLangSampleN: Int = 2000,
                    seed: Long = 42L, maxLangs: Int = 512,
-                   discount: Double = 0.75): Map[String, KneserNeyLM] = {
+                   discount: Double = 0.75,
+                   maxCharsPerDoc: Int = 8192): Map[String, KneserNeyLM] = {
     import org.apache.spark.sql.functions._
     require(perLangSampleN > 0, "perLangSampleN must be positive")
-    val base = df.select(col(langCol).as("_lang"), col(textCol).as("_text"))
+    require(maxCharsPerDoc > 0, "maxCharsPerDoc must be positive")
+    val base = df.select(col(langCol).as("_lang"),
+        substring(col(textCol), 1, maxCharsPerDoc).as("_text"))
       .filter(col("_lang").isNotNull && col("_text").isNotNull)
     val nLangs = base.select("_lang").distinct()
       .limit(maxLangs + 1).count()
     require(nLangs <= maxLangs,
       s"trainPerLang: > $maxLangs distinct languages — raise maxLangs " +
         "or pre-bucket rare languages")
-    // deterministic per-language hash order; the text hash + the text
-    // itself make the order total (identical texts are interchangeable
-    // training-wise, so any residual tie is harmless)
     val sampled = graft.analytics.Ranking.rankInGroup(
-        base.withColumn("_h", xxhash64(col("_text"), lit(seed))),
-        Seq("_lang"), Seq("_h", "_text"), "_rk")
+        base.withColumn("_h", xxhash64(col("_text"), lit(seed)))
+          .withColumn("_h2", xxhash64(col("_text"), lit(seed + 1))),
+        Seq("_lang"), Seq("_h", "_h2"), "_rk")
       .filter(col("_rk") <= perLangSampleN)
       .select("_lang", "_text")
       .collect()

@@ -279,6 +279,23 @@ class PerLangPerplexitySpec extends graft.SparkSpec {
     assert(a("en").perplexity(probe) == b("en").perplexity(probe))
     assert(a("fr").perplexity(probe) == b("fr").perplexity(probe))
   }
+
+  test("the driver collect is char-bounded: oversized docs train as " +
+       "their truncated prefix") {
+    import org.apache.spark.sql.functions._
+    // one language whose docs are huge: only the first maxCharsPerDoc
+    // chars may influence the model
+    val big = (1 to 20).map(i => ("xx", doc(enV, 5000L + i, 3000)))
+      .toDF("lang", "text")
+    val cap = 500
+    val m = KneserNeyLM.trainPerLang(big, "text", "lang",
+      perLangSampleN = 20, maxCharsPerDoc = cap)
+    val truncated = KneserNeyLM.trainPerLang(
+      big.withColumn("text", substring(col("text"), 1, cap)),
+      "text", "lang", perLangSampleN = 20, maxCharsPerDoc = 1 << 20)
+    val probe = doc(enV, 31337L, 30)
+    assert(m("xx").perplexity(probe) == truncated("xx").perplexity(probe))
+  }
 }
 
 class PerplexitySpec extends AnyFunSuite {
