@@ -122,9 +122,12 @@ object SemDedup {
     // loud guard BEFORE the quadratic join: a merged giant cell means
     // nClusters is undersized for this corpus, and the fix is more
     // clusters — never a silent hour-long straggler task
-    val hottest = assigned.filter(col("sem_cell").isNotNull)
+    val hottestRow = assigned.filter(col("sem_cell").isNotNull)
       .groupBy("sem_cell").count()
-      .agg(max("count")).head().getLong(0)
+      .agg(max("count")).head()
+    // null max = zero comparable rows (every vector null/zero): nothing
+    // to pair, the guard passes vacuously and mark returns all-kept
+    val hottest = if (hottestRow.isNullAt(0)) 0L else hottestRow.getLong(0)
     require(hottest <= maxCellSize,
       s"semDedup: largest cell holds $hottest members (cap $maxCellSize)" +
         s" — raise nClusters (paper guidance: k ≈ corpus/10^4) or " +

@@ -53,6 +53,43 @@ object MinHash {
     def numHashes: Int = bands * rowsPerBand
   }
 
+  /** LSH S-curve: the probability that a pair with Jaccard similarity
+    * `s` shares at least one of `b` bands of `r` rows — 1 - (1 - s^r)^b
+    * (Leskovec/Rajaraman/Ullman, MMDS ch. 3). The curve's midpoint sits
+    * near the threshold (1/b)^(1/r).
+    */
+  def detectionProbability(s: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Choose (bands, rowsPerBand) for a target Jaccard threshold under a
+    * signature-size budget: among all factorizations b × r ≤ maxHashes
+    * (using the largest feasible signature for each split), pick the one
+    * whose S-curve midpoint (1/b)^(1/r) lands closest to `threshold`;
+    * ties prefer more hashes (sharper curve), then fewer bands (fewer
+    * shuffled band rows). Deterministic; a planner, not a tuner — run it
+    * once when sizing a deployment, not per job.
+    *
+    * The reference's own 14 × 8 = 112 parameters come back for its
+    * implied threshold: planParams(0.72, 112) == Config(14, 8).
+    */
+  def planParams(threshold: Double, maxHashes: Int = 112,
+                 shingleSize: Int = 5, seed: Long = 42L): Config = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(maxHashes >= 2, s"maxHashes must be >= 2, got $maxHashes")
+    val candidates = for {
+      r <- 1 to maxHashes
+      b = maxHashes / r
+      if b >= 1 && b * r >= 2
+    } yield (b, r)
+    val (b, r) = candidates.minBy { case (b0, r0) =>
+      (math.abs(math.pow(1.0 / b0, 1.0 / r0) - threshold),
+        -(b0 * r0), b0)
+    }
+    Config(bands = b, rowsPerBand = r, shingleSize = shingleSize,
+      seed = seed)
+  }
+
   /** Word-shingle column: k-word windows joined by a single space; docs
     * shorter than k words contribute their whole text as one shingle.
     * Empty tokens (leading/trailing whitespace artifacts of `split`) are

@@ -120,6 +120,18 @@ class SemDedupSpec extends SparkSpec {
     assert(got.size == 4 * 9)
   }
 
+  test("a corpus of only degenerate vectors returns all-kept") {
+    val df = Seq(
+      ("a", null.asInstanceOf[Seq[Float]]),
+      ("b", Seq.fill(Dim)(0.0f)),
+      ("c", Seq.fill(Dim)(0.0f)),
+      ("d", Seq(1.0f) ++ Seq.fill(Dim - 1)(0.0f)) // one real direction
+    ).toDF("vec_id", "embedding")
+    val got = SemDedup.mark(df, "vec_id", "embedding",
+      eps = 0.02, nClusters = 2, sampleN = 4)
+    assert(got.count() == 4 && got.filter(!col("keep_sem")).count() == 0)
+  }
+
   test("null and zero vectors are kept, never paired") {
     val extra = Seq(
       ("zz_null", null.asInstanceOf[Seq[Float]]),

@@ -480,4 +480,26 @@ class MinHashSpec extends SparkSpec {
       .as[String].collect()
     assert(sh.toSeq == Seq("tiny doc"))
   }
+
+  test("S-curve planner recovers the reference's 14x8 banding and " +
+       "orders thresholds correctly") {
+    // the reference's 112-hash signature at its implied ~0.72 threshold
+    val ref = MinHash.planParams(0.72, 112)
+    assert(ref.bands == 14 && ref.rowsPerBand == 8)
+    // detection probability is monotone in s and crosses ~0.5 near the
+    // planned midpoint
+    val mid = math.pow(1.0 / ref.bands, 1.0 / ref.rowsPerBand)
+    val pAt = MinHash.detectionProbability(mid, ref.bands, ref.rowsPerBand)
+    assert(pAt > 0.4 && pAt < 0.75, s"midpoint detection $pAt")
+    assert(MinHash.detectionProbability(mid - 0.2, 14, 8) < pAt)
+    assert(MinHash.detectionProbability(mid + 0.2, 14, 8) > pAt)
+    // a stricter threshold plans more rows per band (sharper, higher)
+    val strict = MinHash.planParams(0.9, 112)
+    val loose = MinHash.planParams(0.4, 112)
+    assert(math.pow(1.0 / strict.bands, 1.0 / strict.rowsPerBand) >
+      math.pow(1.0 / loose.bands, 1.0 / loose.rowsPerBand))
+    assert(strict.rowsPerBand > loose.rowsPerBand)
+    // budget respected
+    assert(strict.numHashes <= 112 && loose.numHashes <= 112)
+  }
 }
