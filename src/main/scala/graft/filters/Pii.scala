@@ -128,7 +128,15 @@ object Pii {
     * only reads as a phone number when it carries phone punctuation.
     */
   private val PhoneRe = java.util.regex.Pattern.compile(
-    """(?<![\d\w])(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)[ .-]?)?\d(?:[ .-]?\d){7,12}|\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}|\d{3}[ .-]\d{3}[ .-]\d{4})(?![\d\w])""")
+    // the trailing (?![ .-]\d) forbids ENDING a match where a
+    // separator-digit continuation follows: without it the
+    // international alternative bites a 12-digit prefix out of a longer
+    // grouped digit run (including the card REPLACEMENT, breaking scrub
+    // idempotence — caught by PiiExtendedProperties) and re-matches
+    // differently on every pass. A real number directly followed by
+    // more separated digits is ambiguous anyway; the module's stance is
+    // the conservative miss.
+    """(?<![\d\w])(?:\+\d{1,3}[ .-]?(?:\(\d{1,4}\)[ .-]?)?\d(?:[ .-]?\d){7,12}|\(\d{3}\)[ .-]?\d{3}[ .-]\d{4}|\d{3}[ .-]\d{3}[ .-]\d{4})(?![\d\w]|[ .-]\d)""")
 
   def scrubPhones(text: String): String = {
     // probe: a phone match needs ≥8 digits total and either '+' or an
@@ -146,7 +154,7 @@ object Pii {
   }
 
   /** Luhn checksum over the digits of a candidate card number. */
-  private[filters] def luhn(digits: String): Boolean = {
+  private[graft] def luhn(digits: String): Boolean = {
     var sum = 0
     var alt = false
     var i = digits.length - 1
@@ -160,8 +168,14 @@ object Pii {
     sum % 10 == 0
   }
 
+  // the separator is CAPTURED once and backreferenced: humans write a
+  // PAN with one consistent separator ("4111 1111 1111 1111", never
+  // "4111-1111 1111"), and without the consistency requirement the
+  // replacement value fuses with a neighboring digit token across a
+  // space into a fresh 19-digit Luhn-valid "card" on the next pass
+  // (caught by PiiExtendedProperties)
   private val CardRe = java.util.regex.Pattern.compile(
-    """(?<![\d\w])\d{4}(?:[ -]?\d{4}){2,3}(?:[ -]?\d{1,3})?(?![\d\w])""")
+    """(?<![\d\w])\d{4}(?:([ -]?)\d{4})(?:\1\d{4}){1,2}(?:\1\d{1,3})?(?![\d\w])""")
 
   /** Payment-card-shaped digit groups (13-19 digits in 4-digit-ish
     * grouping) that pass the Luhn checksum. The checksum is what keeps

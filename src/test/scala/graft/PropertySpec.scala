@@ -213,3 +213,56 @@ object UrlNormProperties extends Properties("urlnorm") {
       canonical(u) == ""
     }
 }
+
+object PiiExtendedProperties extends Properties("pii-extended") {
+  import graft.filters.Pii
+
+  private val digitRun: Gen[String] =
+    Gen.choose(1, 22).flatMap(n => Gen.listOfN(n, Gen.numChar).map(_.mkString))
+  private val cardish: Gen[String] = for {
+    groups <- Gen.choose(3, 4)
+    gs <- Gen.listOfN(groups, Gen.listOfN(4, Gen.numChar).map(_.mkString))
+    sep <- Gen.oneOf(" ", "-", "")
+  } yield gs.mkString(sep)
+  private val phoneish: Gen[String] = Gen.oneOf(
+    Gen.listOfN(10, Gen.numChar).map(_.mkString.grouped(3).mkString("-")),
+    Gen.choose(8, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map("+1 " + _.mkString(" "))),
+    digitRun)
+  private val chunk: Gen[String] = Gen.frequency(
+    4 -> Gen.oneOf("call", "pay", "order", "ref", "v2.10.3", "now.", "(x)"),
+    2 -> cardish, 2 -> phoneish, 1 -> digitRun)
+  private val piiTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    cs <- Gen.listOfN(n, chunk)
+  } yield cs.mkString(" ")
+
+  property("scrubExtended is idempotent") = forAll(piiTextGen) { t =>
+    val once = Pii.scrubExtended(t)
+    Pii.scrubExtended(once) == once
+  }
+
+  property("no Luhn-valid card shape survives except the replacement") =
+    forAll(piiTextGen) { t =>
+      val out = Pii.scrubCards(t)
+      // the scrubber's own shape definition: one CONSISTENT separator
+      // (mixed-separator runs are not how humans write a PAN)
+      val m = java.util.regex.Pattern
+        .compile("""(?<![\d\w])\d{4}(?:([ -]?)\d{4})(?:\1\d{4}){1,2}(?:\1\d{1,3})?(?![\d\w])""")
+        .matcher(out)
+      var ok = true
+      while (m.find()) {
+        val digits = m.group().filter(_.isDigit)
+        if (digits.length >= 13 && digits.length <= 19 &&
+            Pii.luhn(digits) && m.group() != Pii.CardReplacement)
+          ok = false
+      }
+      ok
+    }
+
+  property("text without digits is untouched by the extended passes") =
+    forAll(Gen.listOf(Gen.oneOf("call", "me", "at", "home.", "(soon)"))
+      .map(_.mkString(" "))) { t =>
+      Pii.scrubPhones(t) == t && Pii.scrubCards(t) == t
+    }
+}
