@@ -240,15 +240,22 @@ object SemDedup {
   def markAgainst(embeddings: DataFrame, reference: DataFrame,
                   idCol: String, vecCol: String, eps: Double,
                   nClusters: Int, nProbe: Int = 2, iters: Int = 8,
-                  sampleN: Int = 4096, seed: Long = 42L): DataFrame = {
+                  sampleN: Int = 4096, seed: Long = 42L,
+                  trainedCentroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
     require(eps > 0.0 && eps < 1.0, s"eps must be in (0,1), got $eps")
-    require(nProbe >= 1 && nProbe <= nClusters,
-      s"nProbe must be in [1, nClusters], got $nProbe")
     val spark = embeddings.sparkSession
     val minSim = 1.0 - eps
-    val centroids = Similarity.trainCentroids(embeddings, idCol, vecCol,
-      k = nClusters, iters = iters, sampleN = math.max(sampleN, nClusters),
-      seed = seed)
+    // callers probing many batches against one reference (the streaming
+    // gate) pass centroids trained ONCE — per-batch retraining would
+    // shift cell boundaries between batches and pay the driver cost on
+    // every micro-batch
+    val centroids = trainedCentroids.getOrElse(
+      Similarity.trainCentroids(embeddings, idCol, vecCol,
+        k = nClusters, iters = iters,
+        sampleN = math.max(sampleN, nClusters), seed = seed))
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
     val unit = centroids.map(c => {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n > 0) c.map(_ / n) else c

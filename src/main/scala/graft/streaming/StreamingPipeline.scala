@@ -103,6 +103,48 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Semantic twin of [[runDedupAgainst]]: gate an embedding-bearing
+    * stream against a static reference set in EMBEDDING space
+    * ([[graft.analytics.SemDedup.markAgainst]] — paraphrased benchmark
+    * leakage that n-gram/MinHash gates cannot see). Same foreachBatch
+    * shape and the same idempotent batchId-keyed overwrite. Centroids
+    * are trained ONCE from the reference before the query starts and
+    * broadcast into every micro-batch — per-batch retraining would
+    * shift cell boundaries between batches (and pay the driver-side
+    * k-means on each one).
+    */
+  def runSemGateAgainst(spark: SparkSession, inputDir: String,
+                        outputDir: String, checkpointDir: String,
+                        reference: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding", eps: Double = 0.05,
+                        nClusters: Int = 64, nProbe: Int = 2,
+                        seed: Long = 42L): StreamingQuery = {
+    val refIded = reference
+      .withColumn("_ref_id", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+    val centroids = graft.analytics.Similarity.trainCentroids(
+      refIded, "_ref_id", vecCol,
+      k = nClusters, sampleN = math.max(4096, nClusters))
+    val schema = spark.read.parquet(inputDir).schema
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val marks = graft.analytics.SemDedup.markAgainst(
+          batch, reference, idCol, vecCol, eps, nClusters, nProbe,
+          seed = seed, trainedCentroids = Some(centroids))
+        val clean = marks.filter(!org.apache.spark.sql.functions
+          .col("sem_contaminated"))
+          .select(org.apache.spark.sql.functions.col(idCol).as("_keep_id"))
+        batch.join(clean,
+            batch(idCol).cast("string") === org.apache.spark.sql.functions
+              .col("_keep_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$outputDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming keep-first dedup with EXPLICIT custom state —
     * `KeyValueGroupedDataset.flatMapGroupsWithState` over the content
     * key, the form to reach for when per-key state is richer than

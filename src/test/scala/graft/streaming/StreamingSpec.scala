@@ -66,6 +66,50 @@ class StreamingSpec extends SparkSpec {
     refSigs.unpersist()
   }
 
+  test("stream-static SEMANTIC gate equals batch markAgainst") {
+    val in = Files.createTempDirectory("stream_sem_in").toString
+    val out = Files.createTempDirectory("stream_sem_out").toString
+    val ckpt = Files.createTempDirectory("stream_sem_ckpt").toString
+    val dim = 16
+    def vec(seed: Long, base: Option[Array[Double]] = None,
+            sigma: Double = 0.0): Seq[Float] = {
+      val r = new java.util.SplittableRandom(seed)
+      base match {
+        case None => Seq.fill(dim)(r.nextGaussian().toFloat)
+        case Some(b) => b.map(x => (x + sigma * r.nextGaussian()).toFloat).toSeq
+      }
+    }
+    val refVecs = (1 to 8).map(i => vec(100L + i).map(_.toDouble).toArray)
+    val reference = refVecs.map(v => Tuple1(v.map(_.toFloat).toSeq))
+      .toDF("embedding")
+    // incoming: 10 leaked (jittered copies of ref vectors) + 30 clean
+    val leaked = (0 until 10).map(i =>
+      (s"leak$i", vec(500L + i, Some(refVecs(i % 8)), 0.003)))
+    val clean = (0 until 30).map(i => (s"clean$i", vec(9000L + i)))
+    val incoming = (leaked ++ clean).toDF("vec_id", "embedding")
+    incoming.write.mode("append").parquet(in)
+
+    val q = StreamingPipeline.runSemGateAgainst(spark, in, out, ckpt,
+      reference, nClusters = 8, nProbe = 8)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out).select("vec_id")
+      .as[String].collect().toSet
+    assert(streamed.forall(_.startsWith("clean")), s"leaked: $streamed")
+    // stream ≡ batch: the micro-batch gate must equal one batch call
+    // with the same reference-trained centroids
+    val cents = graft.analytics.Similarity.trainCentroids(
+      reference.withColumn("_ref_id", monotonically_increasing_id()),
+      "_ref_id", "embedding", k = 8, sampleN = 4096)
+    val batchClean = graft.analytics.SemDedup.markAgainst(
+        incoming, reference, "vec_id", "embedding", eps = 0.05,
+        nClusters = 8, nProbe = 8, trainedCentroids = Some(cents))
+      .filter(!col("sem_contaminated"))
+      .select("vec_id").as[String].collect().toSet
+    assert(streamed == batchClean,
+      s"stream/batch diverge: ${streamed.diff(batchClean)} / " +
+        s"${batchClean.diff(streamed)}")
+  }
+
   test("custom-state first-seen dedup emits one row per key with dup counts") {
     val in = Files.createTempDirectory("stream_fs_in").toString
     val pages = Synth.pages(spark, 60L)
