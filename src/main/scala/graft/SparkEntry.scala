@@ -710,6 +710,24 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "text"), "text")
         .drop("text")),
 
+    // Corpus datasheet (Gebru et al. 2021, "Datasheets for Datasets"):
+    // per-language release-audit aggregates over the signal vector.
+    // Decimal accumulation keeps the averages shuffle-order-independent
+    // (hash-exact vs the oracle).
+    "q_corpus_datasheet" -> ((s, dir) => {
+      val sig = analytics.QualitySignals.withSignals(
+        t(s, dir, "documents").select("doc_id", "lang", "text"), "text")
+      sig.groupBy("lang").agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_words").cast("long")).as("total_words"),
+        round(avg(col("mean_word_len").cast("decimal(18,6)")), 4)
+          .cast("double").as("avg_word_len"),
+        round(avg(col("stopword_frac").cast("decimal(18,6)")), 4)
+          .cast("double").as("avg_stopword_frac"),
+        round(avg(col("frac_unique_words").cast("decimal(18,6)")), 4)
+          .cast("double").as("avg_unique_frac"))
+    }),
+
     "q_gopher_stats" -> ((s, dir) => {
       val words = size(split(trim(col("text")), "\\s+"))
       val chars = length(regexp_replace(col("text"), "\\s+", ""))
@@ -1257,6 +1275,33 @@ object SparkEntry {
         |FROM (SELECT label = 1 AS truth,
         |             CAST(embedding[1] AS DOUBLE) > 0.0 AS pred
         |      FROM embeddings)""".stripMargin,
+
+    "q_corpus_datasheet" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS words
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    round(list_sum(list_transform(words, x -> length(x)))
+        |      / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS mean_word_len,
+        |    round(len(list_filter(words, x -> lower(x) IN
+        |        ('the','and','of','to','is','in','a','that')))
+        |      / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS stopword_frac,
+        |    round(len(list_distinct(list_transform(words, x -> lower(x))))
+        |      / CAST(nullif(len(words), 0) AS DOUBLE), 4) AS frac_unique_words
+        |  FROM s)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CAST(round(avg(CAST(mean_word_len AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS avg_word_len,
+        |  CAST(round(avg(CAST(stopword_frac AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS avg_stopword_frac,
+        |  CAST(round(avg(CAST(frac_unique_words AS DECIMAL(18,6))), 4)
+        |    AS DOUBLE) AS avg_unique_frac
+        |FROM p GROUP BY lang""".stripMargin,
 
     "q_quality_signals" ->
       """WITH s AS (

@@ -281,6 +281,32 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained centroid set (one row per cell, cell id + vector)
+    * so IVF indexes and SemDedup cell maps stay STABLE across runs —
+    * incremental batches gated against a stored reference must see the
+    * same cell boundaries the reference was indexed with (the
+    * `--write-sigs`/`--ref-sigs` discipline, applied to embeddings).
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a centroid set written by [[saveCentroids]], ordered by cell
+    * id — bit-identical to the saved array.
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy("cell_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }

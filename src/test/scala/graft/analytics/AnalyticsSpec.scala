@@ -138,6 +138,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top2 == Seq(("the", 6L), ("and", 3L)))
   }
 
+  test("centroid save/load round-trips bit-identically") {
+    val cents = Array(
+      Array(1.0, 0.25, -3.5e-7), Array(0.0, 0.0, 0.0),
+      Array(Double.MinPositiveValue, 1e300, -1.0))
+    val dir = java.nio.file.Files.createTempDirectory("cents").toString
+    Similarity.saveCentroids(spark, cents, dir)
+    val back = Similarity.loadCentroids(spark, dir)
+    assert(back.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // overwrite semantics: a second save replaces, never appends
+    Similarity.saveCentroids(spark, cents.take(2), dir)
+    assert(Similarity.loadCentroids(spark, dir).length == 2)
+  }
+
   test("trained centroids beat PRNG centroids on clustered embeddings") {
     // 6 well-separated direction prototypes + small noise — the shape
     // real embedding corpora have and random centroids handle badly
