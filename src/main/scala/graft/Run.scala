@@ -25,6 +25,7 @@ import graft.sources.CorpusIO
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
   *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
+  *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
@@ -431,15 +432,69 @@ object Run {
         gated.unionByName(base.filter(!col("keep"))
           .withColumn("ppl_bucket", lit(null).cast("string")))
     }
+    // --semdedup <eps>,<nClusters>: SemDeDup semantic near-dup removal
+    // on KEPT docs (Abbas et al. 2023 — paraphrased/re-expressed
+    // duplicates that MinHash's lexical shingles cannot see). The
+    // embedding is the langid model's deterministic hashed char-n-gram
+    // projection over the FINAL scrubbed text ([[graft.filters
+    // .FastTextModel.embed]]) — zero new model state, broadcast once; a
+    // corpus with a learned embedding column feeds SemDedup.mark
+    // directly instead. Non-representatives demote to 10_semdedup and
+    // land in the exclusion audit like every other drop; the stage runs
+    // BEFORE --shuffle-salt so shuffle_pos stays a gapless permutation
+    // of the docs that actually ship. Under --lineage the O(corpus)
+    // mark table commits under `_semdedup_stage` (the same
+    // _SUCCESS-gated contract as the MinHash signature/cluster
+    // commits): a kill after the quadratic cell pass resumes from the
+    // stored marks instead of re-embedding the corpus.
+    val semDeduped = a.get("semdedup") match {
+      case None => bucketed
+      case Some(spec) =>
+        val parts = spec.split(",", -1)
+        require(parts.length == 2,
+          s"--semdedup expects <eps>,<nClusters> (got '$spec')")
+        val (eps, nClusters) = (parts(0).toDouble, parts(1).toInt)
+        val base = pin(bucketed)
+        val bcLang = spark.sparkContext.broadcast(
+          CorpusPipeline.defaultModels.lang)
+        val embUdf = udf(new (String => Array[Double]) with Serializable {
+          @transient private lazy val m = bcLang.value
+          def apply(t: String): Array[Double] = m.embed(t)
+        })
+        val keyed = base.filter(col("keep")).withColumn("_sem_id",
+          rowKey128(col("url"), col("warc_ts"), col("scrubbed_text")))
+        def computeMarks(): DataFrame = graft.analytics.SemDedup.mark(
+            keyed.select(col("_sem_id"),
+              embUdf(col("scrubbed_text")).as("_emb")),
+            "_sem_id", "_emb", eps, nClusters)
+          .select(col("_sem_id"), col("keep_sem"))
+          // byte-identical (url, warc_ts, scrubbed_text) rows (possible
+          // only with --no-exact --no-minhash) share one _sem_id and an
+          // identical keep_sem decision; collapse so the join-back
+          // cannot multiply rows — the DSIR stage's precaution
+          .dropDuplicates("_sem_id")
+        val marks =
+          if (a.contains("lineage"))
+            graft.dedup.MinHash.committed(
+              spark, s"$out/_semdedup_stage")(computeMarks())
+          else computeMarks()
+        val marked = keyed.join(marks, Seq("_sem_id"), "left")
+          .withColumn("keep", coalesce(col("keep_sem"), lit(true)))
+          .withColumn("drop_stage",
+            when(col("keep"), col("drop_stage"))
+              .otherwise(lit("10_semdedup")))
+          .drop("_sem_id", "keep_sem")
+        marked.unionByName(base.filter(!col("keep")))
+    }
     // --shuffle-salt <s>: stamp kept docs with their training-order
     // position (salted-md5 permutation, [[graft.analytics.Sampling
     // .deterministicShuffle]]) — the corpus ships ready to shard-and-read
     // in shuffle_pos order; a different salt per epoch reshuffles
     // reproducibly. Dropped docs carry a null position.
     val shuffled = a.get("shuffle-salt") match {
-      case None => bucketed
+      case None => semDeduped
       case Some(saltStr) =>
-        val base = pin(bucketed)
+        val base = pin(semDeduped)
         val keptSh = graft.analytics.Sampling.deterministicShuffle(
           base.filter(col("keep")),
           Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)
@@ -482,15 +537,20 @@ object Run {
     val stagesJson = byStage.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     // listener-bus delivery is async and the drain API is private[spark]:
     // poll until the task counter stops moving (all actions above have
-    // completed, so the bus only has a bounded tail to deliver)
+    // completed, so the bus only has a bounded tail to deliver). The poll
+    // is deadline-bounded: a stalled bus (or a concurrently scheduled job
+    // on a shared session) must degrade to best-effort totals, not spin
+    // the summary forever; 50 ms ticks keep the happy-path overhead to
+    // one tick instead of the old 2×200 ms.
     val tmJson = taskMetrics.map { l =>
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       var prev = -1L
       var stable = 0
-      while (stable < 2 && prev < Long.MaxValue) {
+      while (stable < 2 && System.nanoTime() < deadline) {
         val cur = l.synchronized(l.tasks)
         if (cur == prev) stable += 1 else stable = 0
         prev = cur
-        if (stable < 2) Thread.sleep(200)
+        if (stable < 2) Thread.sleep(50)
       }
       s""","task_metrics":${l.json}"""
     }.getOrElse("")

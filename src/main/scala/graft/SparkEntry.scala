@@ -995,7 +995,8 @@ object SparkEntry {
         |        ORDER BY md5('mix0' || chr(1) || CAST(doc_id AS VARCHAR)),
         |                 doc_id) AS rn
         |      FROM documents)
-        |SELECT r.doc_id, r.lang FROM r JOIN tg USING (lang)
+        |SELECT r.doc_id, r.lang FROM r
+        |JOIN tg ON r.lang IS NOT DISTINCT FROM tg.lang
         |WHERE rn <= target""".stripMargin,
 
     "q_ngram_decontaminate" ->

@@ -92,15 +92,23 @@ object MediaHeader {
 
   /** BMP: DIB header size at 14 selects the layout — BITMAPCOREHEADER (12)
     * carries u16 dims at 18/20; BITMAPINFOHEADER+ (>=40) carries i32 dims at
-    * 18/22 (height may be negative = top-down) and bpp at 28.
+    * 18/22 (height may be negative = top-down, |h| is the pixel height) and
+    * bpp at 28. Dims are validated like the PNG path: hostile/truncated
+    * crawl bytes must yield null dims, never a non-positive or absurd
+    * width — the file-wide parser contract. `h == Int.MinValue` has no
+    * positive magnitude, so it fails the same check.
     */
   private def parseBmp(b: Array[Byte]): MediaInfo = {
     if (b.length < 26) return MediaInfo("bmp", None, None, None)
     val dib = le32(b, 14)
-    if (dib == 12) MediaInfo("bmp", Some(le16(b, 18)), Some(le16(b, 20)), Some(le16(b, 24)))
-    else if (dib >= 40 && b.length >= 30) {
-      val w = le32(b, 18).toInt; val h = le32(b, 22).toInt
-      MediaInfo("bmp", Some(w), Some(math.abs(h)), Some(le16(b, 28)))
+    if (dib == 12) {
+      val w = le16(b, 18); val h = le16(b, 20)
+      if (w == 0 || h == 0) MediaInfo("bmp", None, None, None)
+      else MediaInfo("bmp", Some(w), Some(h), Some(le16(b, 24)))
+    } else if (dib >= 40 && b.length >= 30) {
+      val w = le32(b, 18).toInt; val h = math.abs(le32(b, 22).toInt)
+      if (w <= 0 || h <= 0) MediaInfo("bmp", None, None, None)
+      else MediaInfo("bmp", Some(w), Some(h), Some(le16(b, 28)))
     } else MediaInfo("bmp", None, None, None)
   }
 

@@ -20,6 +20,33 @@ object Sampling {
   private def hashOrder(cols: Seq[Column], seed: Long): Column =
     xxhash64(cols :+ lit(seed): _*)
 
+  /** Target rows per order-bucket for the auto-sized `prefixLen` of
+    * [[deterministicShuffle]]/[[tokenBudget]] (each bucket's exact
+    * window runs through ONE task): 4M rows ≈ a few hundred MB of
+    * narrow (hash, key) sort state — comfortably one task, far below
+    * the single-task-sorts-the-corpus failure the bucket trick exists
+    * to prevent.
+    */
+  val TargetBucketRows: Long = 4L << 20
+
+  /** Smallest hex-prefix length in [1,5] whose EXPECTED bucket size
+    * `rows / 16^len` stays at or below `targetBucketRows`. md5 output
+    * is uniform, so expected == typical; 5 (1M buckets) is the
+    * driver-side offset-table ceiling — at 10^12 rows that still holds
+    * under 1M rows per bucket task. Deterministic, pure arithmetic —
+    * the caller pays one `count()` to use it.
+    */
+  def choosePrefixLen(rows: Long,
+                      targetBucketRows: Long = TargetBucketRows): Int = {
+    require(targetBucketRows > 0, "targetBucketRows must be positive")
+    var len = 1
+    var buckets = 16L
+    while (len < 5 && rows / buckets > targetBucketRows) {
+      len += 1; buckets *= 16L
+    }
+    len
+  }
+
   /** An internal-column name not already present on `df` — `withColumn`
     * silently REPLACES an existing column, so a caller frame that happens
     * to carry e.g. `_rn` or `_b` (this codebase itself propagates
@@ -119,11 +146,20 @@ object Sampling {
     */
   def tokenBudget(df: DataFrame, tokenCol: String, budget: Long,
                   orderCol: Column, tieCols: Seq[String],
-                  prefixLen: Int = 3): DataFrame = {
+                  prefixLen: Int = 0): DataFrame = {
+    require(prefixLen >= 0 && prefixLen <= 5,
+      s"prefixLen must be 0 (auto) or in [1,5], got $prefixLen")
+    // prefixLen 0 = auto-size from one cheap count: the r4 default (3)
+    // was a silent fixed knob — a 10^12-row caller who forgot it got
+    // 250M-row single-task boundary sorts ([[choosePrefixLen]]). The
+    // explicit-arg override remains for callers who know their corpus.
+    val pl =
+      if (prefixLen > 0) prefixLen
+      else choosePrefixLen(df.count())
     val (oc, bc) = (fresh(df, "_o"), fresh(df, "_b"))
     val withKeys = df
       .withColumn(oc, orderCol.cast("string"))
-      .withColumn(bc, substring(col(oc), 1, prefixLen))
+      .withColumn(bc, substring(col(oc), 1, pl))
     // bounded driver collect: for a hex order key the bucket count is
     // ≤ 16^prefixLen; an arbitrary orderCol could explode it, so the
     // collect is capped and over-cardinality fails loudly instead of
@@ -137,7 +173,7 @@ object Sampling {
       .collect()
     require(rows.length <= maxBuckets,
       s"tokenBudget: > $maxBuckets distinct order-key prefixes at " +
-        s"prefixLen=$prefixLen — use a hash-valued orderCol or a shorter prefix")
+        s"prefixLen=$pl — use a hash-valued orderCol or a shorter prefix")
     // precondition checks ride the same collected pass (no extra job):
     // a null order key would satisfy neither the `< boundary` nor the
     // `= boundary` filter and silently vanish from BOTH the wholesale
@@ -306,8 +342,12 @@ object Sampling {
     * rows — plus its bucket's offset IS the global position.
     * Bit-identical to the naive window (oracle-checked), one wide
     * shuffle (inherent: a global permutation must move rows), no global
-    * sort. Size `prefixLen` so a bucket fits one task: 3 (4096 buckets)
-    * to the max 5 (~1M) for 10^10+-row corpora.
+    * sort. `prefixLen` 0 (the default) auto-sizes from one cheap
+    * `count()` so a bucket fits one task ([[choosePrefixLen]]); the
+    * explicit override (1..5, 16 to ~1M buckets) remains for callers
+    * who know their corpus. The position assignment is prefixLen-
+    * INVARIANT — any depth yields the identical permutation (pinned in
+    * AnalyticsSpec) — so auto-sizing can never change output.
     *
     * The md5 key is encoded like [[graft.Run.rowKey128]] (null-safe
     * coalesce + U+0001 separators), so `keyCols` may contain nulls;
@@ -316,18 +356,21 @@ object Sampling {
     * arrival-order positions, breaking determinism).
     */
   def deterministicShuffle(df: DataFrame, keyCols: Seq[String],
-                           salt: String = "", prefixLen: Int = 3)
+                           salt: String = "", prefixLen: Int = 0)
       : DataFrame = {
     require(keyCols.nonEmpty, "deterministicShuffle: need key columns")
-    require(prefixLen >= 1 && prefixLen <= 5,
-      s"prefixLen must be in [1,5] (got $prefixLen) — 16^5 bucket " +
-        "offsets is already the driver-side ceiling")
+    require(prefixLen >= 0 && prefixLen <= 5,
+      s"prefixLen must be 0 (auto) or in [1,5] (got $prefixLen) — 16^5 " +
+        "bucket offsets is already the driver-side ceiling")
+    val pl =
+      if (prefixLen > 0) prefixLen
+      else choosePrefixLen(df.count())
     val (hc, bc, oc) = (fresh(df, "_sh"), fresh(df, "_sb"), fresh(df, "_so"))
     val key = md5(concat_ws("\u0001",
       lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"),
         lit(""))): _*))
     val withKeys = df.withColumn(hc, key)
-      .withColumn(bc, substring(col(hc), 1, prefixLen))
+      .withColumn(bc, substring(col(hc), 1, pl))
     // bounded by construction: md5 hex prefixes → ≤ 16^prefixLen rows
     val counts = withKeys.groupBy(bc).count().orderBy(bc).collect()
     var acc = 0L

@@ -473,8 +473,8 @@ object MinHash {
     * read-back also materializes the frame (parquet-backed), so callers
     * need neither persist nor checkpoint around it.
     */
-  private def committed(spark: SparkSession, path: String)
-                       (compute: => DataFrame): DataFrame = {
+  private[graft] def committed(spark: SparkSession, path: String)
+                              (compute: => DataFrame): DataFrame = {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {

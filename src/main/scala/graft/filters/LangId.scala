@@ -152,6 +152,25 @@ class FastTextModel(
     z
   }
 
+  /** The model's pooled hidden vector as a DOCUMENT EMBEDDING — the
+    * deterministic, zero-new-model-state text embedding the semantic
+    * stages (SemDeDup, semantic decontamination) consume: hashed char
+    * 1..3-gram bag → 1/sqrt(n)-pooled `dim`-vector. Documents sharing
+    * most of their character n-grams land close in cosine, which is the
+    * fastText-style sentence-vector property SemDeDup needs; a learned
+    * transformer embedding slots into the same `array<double>` column
+    * when one is available. Empty/whitespace-only text yields the zero
+    * vector (no direction — the semantic stages treat it as
+    * incomparable and keep it).
+    */
+  def embed(text: String): Array[Double] = {
+    val h = hidden(features(if (text == null) "" else text))
+    val out = new Array[Double](h.length)
+    var i = 0
+    while (i < h.length) { out(i) = h(i).toDouble; i += 1 }
+    out
+  }
+
   /** (label, probability) of the argmax class. */
   def predict(text: String): (String, Double) = {
     val p = softmax(hidden(features(text)))

@@ -151,18 +151,24 @@ object KneserNeyLM {
     * Scale shape: the sample ranks docs per language with
     * [[graft.analytics.Ranking.rankInGroup]] (range shuffle — the
     * dominant language never sorts through one task, unlike a
-    * per-stratum window) and collects only `perLangSampleN × #languages`
-    * rows, each truncated to `maxCharsPerDoc` BEFORE the shuffle so
-    * neither the exchange nor the driver ever holds an unbounded
-    * document; `maxLangs` caps the model table with a loud failure.
-    * Driver memory is therefore ≤ nLangs × perLangSampleN ×
-    * maxCharsPerDoc bytes by construction — size those three together.
-    * The rank orders on two independent 64-bit text hashes (not the
-    * text: a megabyte document must not be a range-partition SORT KEY);
-    * rows where both hashes tie are identical texts for any practical
-    * purpose, and interchangeable as training rows. Training itself is
-    * the driver-side model-then-broadcast flow every learned component
-    * here uses (fastText, BPE, DSIR).
+    * per-stratum window), each doc truncated to `maxCharsPerDoc` BEFORE
+    * the shuffle so no exchange ever carries an unbounded document;
+    * `maxLangs` caps the model table with a loud failure. Training then
+    * runs ONE TASK PER LANGUAGE (`groupByKey(lang).mapGroups` over the
+    * rank-bounded sample) — per-task memory is ≤ perLangSampleN ×
+    * maxCharsPerDoc bytes by construction, the 512 models train in
+    * parallel instead of serially on the driver, and the driver holds
+    * only the finished O(#langs) model map (the r4 design collected the
+    * raw sample — up to ~8 GB at the caps — and trained through one
+    * thread). Each group sorts its texts before training, so the
+    * training sequence (and hence the model) is independent of shuffle
+    * arrival order — the same determinism discipline the driver loop
+    * had, now pinned per task. The rank orders on two independent
+    * 64-bit text hashes (not the text: a megabyte document must not be
+    * a range-partition SORT KEY); rows where both hashes tie are
+    * identical texts for any practical purpose, and interchangeable as
+    * training rows. The finished map broadcasts exactly like every
+    * learned component here (fastText, BPE, DSIR).
     */
   def trainPerLang(df: org.apache.spark.sql.DataFrame, textCol: String,
                    langCol: String, perLangSampleN: Int = 2000,
@@ -186,12 +192,22 @@ object KneserNeyLM {
         Seq("_lang"), Seq("_h", "_h2"), "_rk")
       .filter(col("_rk") <= perLangSampleN)
       .select("_lang", "_text")
-      .collect()
-    sampled.groupBy(_.getString(0)).map { case (lang, rows) =>
-      // hash order is shuffle-nondeterministic in ROW ORDER after
-      // collect; sort for a reproducible training sequence
-      lang -> train(rows.map(_.getString(1)).sorted.iterator, discount)
-    }
+    // one task per language; the model rides a java-serialization
+    // encoder (KneserNeyLM is Serializable nested maps — there is no
+    // meaningful columnar shape for it, and only #langs rows ever cross)
+    implicit val modelEnc: org.apache.spark.sql.Encoder[(String, KneserNeyLM)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.javaSerialization[KneserNeyLM])
+    sampled
+      .groupByKey(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
+      .mapGroups { (lang, rows) =>
+        // sort for a reproducible training sequence — shuffle arrival
+        // order is nondeterministic, the trained model must not be
+        lang -> train(rows.map(_.getString(1)).toArray.sorted.iterator,
+          discount)
+      }
+      .collect().toMap
   }
 
   /** Per-language scorer for use inside a `udf`: each doc scores against

@@ -113,30 +113,59 @@ object StreamingPipeline {
     * shift cell boundaries between batches (and pay the driver-side
     * k-means on each one).
     */
+  /** The gate's default centroid training, exposed for the determinism
+    * pin: the sampling key is xxhash64 of the vector content, so the
+    * trained set is a pure function of the reference's ROW SET — any
+    * repartitioning/re-reading of the same reference trains bit-identical
+    * centroids (StreamingSpec pins this against a `repartition(7)` copy).
+    */
+  def gateCentroids(reference: DataFrame, vecCol: String, nClusters: Int,
+                    seed: Long = 42L): Array[Array[Double]] = {
+    val refKeyed = reference.withColumn("_ref_id",
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col(vecCol).cast("array<double>")))
+    graft.analytics.Similarity.trainCentroids(
+      refKeyed, "_ref_id", vecCol,
+      k = nClusters, sampleN = math.max(4096, nClusters), seed = seed)
+  }
+
   def runSemGateAgainst(spark: SparkSession, inputDir: String,
                         outputDir: String, checkpointDir: String,
                         reference: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding", eps: Double = 0.05,
                         nClusters: Int = 64, nProbe: Int = 2,
-                        seed: Long = 42L): StreamingQuery = {
-    val refIded = reference
-      .withColumn("_ref_id", org.apache.spark.sql.functions
-        .monotonically_increasing_id())
-    val centroids = graft.analytics.Similarity.trainCentroids(
-      refIded, "_ref_id", vecCol,
-      k = nClusters, sampleN = math.max(4096, nClusters))
+                        seed: Long = 42L,
+                        trainedCentroids: Option[Array[Array[Double]]] =
+                          None): StreamingQuery = {
+    // the training-sample key is derived from the VECTOR CONTENT, never
+    // from monotonically_increasing_id: the latter depends on the
+    // reference frame's partition layout, so a repartitioned (or simply
+    // re-read) reference would train a different centroid set — and the
+    // gate's cell boundaries, hence its hit/miss decisions near them,
+    // would drift between query restarts. Content keying makes the
+    // trained centroids a pure function of the reference SET, matching
+    // the saveCentroids/loadCentroids discipline; long-lived deployments
+    // pass `trainedCentroids` (Similarity.loadCentroids) and skip
+    // training entirely.
+    val centroids = trainedCentroids.getOrElse(
+      gateCentroids(reference, vecCol, nClusters, seed))
     val schema = spark.read.parquet(inputDir).schema
+    val idType = schema(idCol).dataType
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val marks = graft.analytics.SemDedup.markAgainst(
           batch, reference, idCol, vecCol, eps, nClusters, nProbe,
           seed = seed, trainedCentroids = Some(centroids))
+        // cast the SMALL (kept-ids) side back to the batch's id type
+        // once, instead of casting the batch's id column per micro-batch
+        // row — the semi-join probe side stays untouched
         val clean = marks.filter(!org.apache.spark.sql.functions
           .col("sem_contaminated"))
-          .select(org.apache.spark.sql.functions.col(idCol).as("_keep_id"))
+          .select(org.apache.spark.sql.functions.col(idCol).cast(idType)
+            .as("_keep_id"))
         batch.join(clean,
-            batch(idCol).cast("string") === org.apache.spark.sql.functions
+            batch(idCol) === org.apache.spark.sql.functions
               .col("_keep_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$outputDir/batch_id=$batchId")
       }

@@ -205,6 +205,69 @@ class RunSpec extends SparkSpec {
     assert(!plain.columns.contains("stopword_frac"))
   }
 
+  test("--semdedup drops semantic near-dups under 10_semdedup; " +
+       "shuffle positions stay gapless") {
+    val in = dir() + "/in"; val out = dir(); val outPlain = dir()
+    import spark.implicits._
+    // 60 distinct clean docs + a planted semantic-duplicate triple:
+    // identical text under three urls. Exact dedup is OFF so the
+    // semantic stage (cosine 1.0 — same embedding, same cell at any
+    // nClusters) is the only thing that can collapse them; eps is set
+    // tiny so no distinct fixture docs ride along.
+    val base = Synth.cleanDoc(Synth.rngFor(77L, 1L), Synth.EnVocab, 8)
+    val rows = (1 to 60).map { i =>
+      (s"https://sem$i.example.com/p/$i", Synth.tsOf(i),
+        Array.empty[Byte],
+        Synth.cleanDoc(Synth.rngFor(78L, i.toLong), Synth.EnVocab, 8), "en")
+    } ++ Seq("a", "b", "c").zipWithIndex.map { case (s, i) =>
+      (s"https://semdup.example.com/$s", Synth.tsOf(100 + i),
+        Array.empty[Byte], base, "en")
+    }
+    rows.toDF("url", "warc_ts", "html", "text", "lang").write.parquet(in)
+    val json = Run.execute(spark, Map(
+      "input" -> in, "format" -> "parquet", "output" -> out,
+      "no-exact" -> "true", "no-minhash" -> "true",
+      "semdedup" -> "0.000001,4", "shuffle-salt" -> "e0"))
+    val st = stages(json)
+    assert(st.getOrElse("10_semdedup", 0L) == 2L,
+      s"expected exactly the 2 planted copies dropped: $json")
+    val kept = spark.read.parquet(s"$out/kept").cache()
+    // exactly ONE of the planted triple ships (the representative)
+    assert(kept.filter(col("url").startsWith("https://semdup"))
+      .count() == 1L)
+    // the semdedup gate ran BEFORE the shuffle: positions are a gapless
+    // permutation of exactly the docs that ship
+    val pos = kept.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to kept.count()))
+    kept.unpersist()
+    // the two drops are audited under their stage with text preserved
+    val audited = spark.read.parquet(s"$out/removed")
+      .filter(col("drop_stage") === "10_semdedup")
+    assert(audited.count() == 2L)
+    // flag off → no 10_semdedup stage, triple ships whole
+    val jsonPlain = Run.execute(spark, Map(
+      "input" -> in, "format" -> "parquet", "output" -> outPlain,
+      "no-exact" -> "true", "no-minhash" -> "true"))
+    assert(!stages(jsonPlain).contains("10_semdedup"))
+    assert(spark.read.parquet(s"$outPlain/kept")
+      .filter(col("url").startsWith("https://semdup")).count() == 3L)
+  }
+
+  test("--semdedup under --lineage commits the mark table and resumes") {
+    import java.nio.file.Paths
+    val out = dir()
+    val args = Map(
+      "synth" -> "1200", "output" -> out, "lineage" -> "true",
+      "semdedup" -> "0.000001,4")
+    val j1 = Run.execute(spark, args)
+    assert(Files.exists(
+      Paths.get(out, "_semdedup_stage", "_SUCCESS")),
+      "semdedup mark table must commit under the output dir")
+    // a rerun resumes all three committed stages — identical accounting
+    val j2 = Run.execute(spark, args)
+    assert(stages(j2) == stages(j1), s"rerun diverged: $j1 vs $j2")
+  }
+
   test("rowKey128 is 128-bit, distinct across variants, and null-field safe") {
     import spark.implicits._
     val df = Seq(

@@ -538,6 +538,44 @@ class SamplingSpec extends SparkSpec {
     assert(moved > 300, s"salt change should reshuffle most rows ($moved)")
   }
 
+  test("prefixLen auto-sizing: deeper prefixes for bigger corpora, " +
+      "output invariant across depths") {
+    // r4 next-round #6: prefixLen defaulted to a silent 3 — a 10^12-row
+    // caller who forgot the knob got 250M-row single-task bucket sorts.
+    // choosePrefixLen picks the smallest depth whose expected bucket
+    // stays under the target; forced-large synthetic counts must select
+    // deeper prefixes (pure arithmetic — no 10^12-row frame needed)
+    assert(Sampling.choosePrefixLen(0L) == 1)
+    assert(Sampling.choosePrefixLen(1000L) == 1)
+    assert(Sampling.choosePrefixLen(16L * Sampling.TargetBucketRows) == 1)
+    assert(Sampling.choosePrefixLen(16L * Sampling.TargetBucketRows + 16L) == 2)
+    assert(Sampling.choosePrefixLen(1L << 40) == 5) // ~10^12 rows
+    assert(Sampling.choosePrefixLen(Long.MaxValue) == 5) // clamped ceiling
+    // a forced target shows the monotone staircase without huge counts
+    assert(Sampling.choosePrefixLen(4096L, targetBucketRows = 1L) == 3)
+    // the position assignment is prefixLen-INVARIANT: auto (0), shallow,
+    // and deep depths yield the identical permutation — so auto-sizing
+    // can never change output, only task shape
+    val docs = Synth.pages(spark, 300L).select("url")
+    val auto = Sampling.deterministicShuffle(docs, Seq("url"), salt = "sA")
+      .select("url", "shuffle_pos")
+    for (depth <- Seq(1, 4)) {
+      val at = Sampling.deterministicShuffle(docs, Seq("url"), salt = "sA",
+        prefixLen = depth).select("url", "shuffle_pos")
+      assert(auto.except(at).isEmpty && at.except(auto).isEmpty,
+        s"shuffle output differs at prefixLen=$depth")
+    }
+    // same invariance for the token-budget cut
+    val toks = Synth.pages(spark, 200L).select(col("url"), col("text"))
+      .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
+    val total = toks.agg(sum("toks")).as[Long].head()
+    def cut(pl: Int): Set[String] =
+      Sampling.tokenBudget(toks, "toks", total / 2, md5(col("text")),
+        Seq("url"), prefixLen = pl).select("url").as[String].collect().toSet
+    val autoCut = cut(0)
+    assert(autoCut == cut(1) && autoCut == cut(4))
+  }
+
   test("token budget fails loudly on null order keys and negative tokens") {
     val docs = Synth.pages(spark, 50L).select(col("url"), col("text"))
       .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))

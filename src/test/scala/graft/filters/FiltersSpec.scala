@@ -271,6 +271,27 @@ class PerLangPerplexitySpec extends graft.SparkSpec {
     assert(got(Some("zz")) == true && got(None) == true)
   }
 
+  test("distributed per-lang training == local train on the same sample") {
+    // r4 next-round #5: training moved from a driver collect + serial
+    // loop to one-task-per-language mapGroups. Parity pin: with the
+    // sample cap above the corpus size, every doc trains, so the
+    // distributed result must equal a local KneserNeyLM.train over the
+    // same sorted texts — bit-identical scores, not approximately.
+    val models = KneserNeyLM.trainPerLang(corpus, "text", "lang",
+      perLangSampleN = 10000)
+    val local = corpus.collect().groupBy(_.getString(0)).map {
+      case (l, rows) =>
+        l -> KneserNeyLM.train(rows.map(_.getString(1)).sorted.iterator)
+    }
+    assert(models.keySet == local.keySet)
+    for (lang <- models.keySet; probe <- Seq(doc(enV, 99L, 40),
+        doc(frV, 98L, 40))) {
+      assert(models(lang).perplexity(probe) ==
+        local(lang).perplexity(probe),
+        s"$lang diverges on probe")
+    }
+  }
+
   test("training is deterministic across input partitioning") {
     val a = KneserNeyLM.trainPerLang(corpus, "text", "lang", perLangSampleN = 150)
     val b = KneserNeyLM.trainPerLang(corpus.repartition(13), "text", "lang",

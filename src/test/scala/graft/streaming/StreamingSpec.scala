@@ -97,9 +97,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(_.startsWith("clean")), s"leaked: $streamed")
     // stream ≡ batch: the micro-batch gate must equal one batch call
     // with the same reference-trained centroids
-    val cents = graft.analytics.Similarity.trainCentroids(
-      reference.withColumn("_ref_id", monotonically_increasing_id()),
-      "_ref_id", "embedding", k = 8, sampleN = 4096)
+    val cents = StreamingPipeline.gateCentroids(reference, "embedding", 8)
     val batchClean = graft.analytics.SemDedup.markAgainst(
         incoming, reference, "vec_id", "embedding", eps = 0.05,
         nClusters = 8, nProbe = 8, trainedCentroids = Some(cents))
@@ -108,6 +106,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchClean,
       s"stream/batch diverge: ${streamed.diff(batchClean)} / " +
         s"${batchClean.diff(streamed)}")
+  }
+
+  test("gate centroids are partitioning-independent (content-keyed sample)") {
+    // r4 advisory: the gate trained its centroids on a sample ranked by
+    // monotonically_increasing_id — a partition-layout artifact, so a
+    // repartitioned reference could shift cell boundaries between query
+    // restarts. The sampling key is now xxhash64 of the vector content:
+    // any layout of the same reference set must train BIT-IDENTICAL
+    // centroids.
+    val dim = 16
+    def vec(seed: Long): Seq[Float] = {
+      val r = new java.util.SplittableRandom(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val reference = (1 to 64).map(i => Tuple1(vec(3000L + i)))
+      .toDF("embedding")
+    val a = StreamingPipeline.gateCentroids(reference, "embedding", 8)
+    val b = StreamingPipeline.gateCentroids(
+      reference.repartition(7), "embedding", 8)
+    val c = StreamingPipeline.gateCentroids(
+      reference.coalesce(1), "embedding", 8)
+    assert(a.length == b.length && a.length == c.length)
+    a.indices.foreach { i =>
+      assert(java.util.Arrays.equals(a(i), b(i)),
+        s"centroid $i differs under repartition(7)")
+      assert(java.util.Arrays.equals(a(i), c(i)),
+        s"centroid $i differs under coalesce(1)")
+    }
   }
 
   test("custom-state first-seen dedup emits one row per key with dup counts") {
