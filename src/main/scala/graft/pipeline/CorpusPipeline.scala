@@ -231,9 +231,107 @@ object CorpusPipeline {
     * dedup, then MinHash-LSH near-dup removal, both keyed on the scrubbed
     * bytes. Early-dropped rows pass through untouched (their exclusion
     * columns null), mirroring the reference's per-stage exclusion sinks.
+    *
+    * Plan shape (round 5): with a UNIQUE id column — the flagship case;
+    * one cheap narrow aggregation verifies it — both dedup stages compute
+    * their mark tables from NARROW (url, warc_ts, scrubbed_text)
+    * projections and the final result is ONE pass over the scored frame
+    * with two O(duplicates) left joins. The r4 union-of-filtered-branches
+    * form decoded the uncompressed scored cache three times at sink (the
+    * 10M-doc stress attributed 65 GB of input and 17% executor GC mostly
+    * to those re-reads) and evaluated the exact-dup join twice. Recurring
+    * ids (raw multi-snapshot crawls without `--url-dedup`) fall back to
+    * the windowed branch form, which is correct for any input. Both
+    * paths are output-identical (PipelineE2ESpec parity pin).
     */
   def dedup(scored: DataFrame, cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     implicit val spark: SparkSession = scored.sparkSession
+    if (!cfg.exactDedup && !cfg.minhashDedup)
+      return scored
+        .withColumn("minhash_cluster", lit(null).cast("string"))
+        .withColumn("keep", col("drop_stage").isNull)
+        .withColumn("scrubbed_text", when(col("keep"), col("scrubbed_text")))
+    // the same uniqueness gate markById runs, hoisted so one check
+    // serves both stages AND the single-pass join-back below (a dead row
+    // sharing a url with an alive duplicate must never inherit its mark)
+    val u = scored.agg(count(lit(1)).as("n"), count(col("url")).as("nn"),
+      countDistinct(col("url")).as("nd")).head()
+    val unique = u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+    if (unique) dedupById(scored, cfg) else dedupByWindow(scored, cfg)
+  }
+
+  /** Single-sink-pass dedup for unique ids: narrow mark tables, one
+    * full-width pass, two left joins (AQE broadcasts them at real dup
+    * fractions; MinHash.mark's own cluster join-back has the explicit
+    * `BroadcastClustersMaxRows` gate).
+    */
+  private[graft] def dedupById(scored: DataFrame, cfg: PipelineConfig)
+                       (implicit spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aliveN = scored.filter(col("drop_stage").isNull)
+      .select(col("url"), col("warc_ts"), col("scrubbed_text"))
+    // exact keep-first over (id, content-hash, order) — ~100 B/row
+    // through the window shuffle, never the text
+    val exactDupIds: Option[DataFrame] =
+      if (!cfg.exactDedup) None
+      else {
+        val w = Window.partitionBy(col("_k"))
+          .orderBy(col("warc_ts"), col("url"))
+        Some(aliveN
+          .select(col("url"), col("warc_ts"),
+            ExactDedup.key(Seq(col("scrubbed_text"))).as("_k"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") > 1)
+          .select(col("url").as("_xd_id")))
+      }
+    val stillAliveN = exactDupIds match {
+      case Some(x) => aliveN.join(x, aliveN("url") === x("_xd_id"),
+        "left_anti")
+      case None => aliveN
+    }
+    val nearTbl: Option[DataFrame] =
+      if (!cfg.minhashDedup) None
+      else {
+        val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
+          cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
+          driverCcMaxEdges = cfg.ccDriverMaxEdges)
+        Some(MinHash.mark(stillAliveN, "url", "scrubbed_text", mhCfg,
+            stageDir = cfg.dedupStageDir)
+          .filter(col("minhash_cluster").isNotNull)
+          .select(col("url").as("_mh_id"),
+            col("minhash_cluster").cast("string").as("_mh_cluster"),
+            col("is_near_dup").as("_mh_dup")))
+      }
+    var out = scored
+    exactDupIds.foreach { x =>
+      out = out.join(x, out("url") === x("_xd_id"), "left")
+    }
+    nearTbl.foreach { nt =>
+      out = out.join(nt, out("url") === nt("_mh_id"), "left")
+    }
+    val withStage = out.withColumn("drop_stage", coalesce(
+      Seq(col("drop_stage")) ++
+        exactDupIds.map(_ => when(col("_xd_id").isNotNull,
+          lit(DropStage.ExactDup))) ++
+        nearTbl.map(_ => when(col("_mh_dup"), lit(DropStage.MinhashDup)))
+        : _*))
+    val withCluster = nearTbl match {
+      case Some(_) => withStage
+        .withColumn("minhash_cluster", col("_mh_cluster"))
+        .drop("_mh_id", "_mh_cluster", "_mh_dup")
+      case None => withStage
+        .withColumn("minhash_cluster", lit(null).cast("string"))
+    }
+    (if (cfg.exactDedup) withCluster.drop("_xd_id") else withCluster)
+      .withColumn("keep", col("drop_stage").isNull)
+      .withColumn("scrubbed_text", when(col("keep"), col("scrubbed_text")))
+  }
+
+  /** Windowed branch form — correct for recurring ids (the keep-first
+    * window ranks rows, not ids, and nothing joins back by id).
+    */
+  private[graft] def dedupByWindow(scored: DataFrame, cfg: PipelineConfig)
+                           (implicit spark: SparkSession): DataFrame = {
     val alive = scored.filter(col("drop_stage").isNull)
     val dead = scored.filter(col("drop_stage").isNotNull)
       .withColumn("minhash_cluster", lit(null).cast("string"))
@@ -241,7 +339,7 @@ object CorpusPipeline {
     val afterExact =
       if (cfg.exactDedup)
         ExactDedup.markById(alive, Seq("scrubbed_text"), Seq("warc_ts", "url"),
-            idCol = "url")
+            idCol = "url", idIsUnique = Some(false))
           .withColumn("drop_stage",
             when(col("is_exact_dup"), lit(DropStage.ExactDup)))
           .drop("is_exact_dup")

@@ -69,6 +69,37 @@ class PipelineE2ESpec extends SparkSpec {
     assert(repsPerCluster == 0, s"$repsPerCluster planted clusters split")
   }
 
+  test("single-pass dedup (unique ids) == windowed branch dedup, " +
+       "and the id path is what unique-id corpora take") {
+    // r5: dedup() gained a single-sink-pass form for unique ids (one
+    // full-width scan + two O(dups) joins instead of three cache
+    // decodes). Both paths must be row-identical on the same scored
+    // frame — every column, both kept and audited rows.
+    val scored = CorpusPipeline.score(
+      Synth.pages(spark, 1500L)).cache()
+    val cfg = PipelineConfig()
+    val a = CorpusPipeline.dedupById(scored, cfg)(spark)
+    val b = CorpusPipeline.dedupByWindow(scored, cfg)(spark)
+    assert(a.columns.toSeq == b.columns.toSeq,
+      s"column order diverged: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "id-path and window-path dedup outputs diverge")
+    // the public entry point routes unique-id corpora through the id
+    // path: same rows again (synth urls are unique)
+    val c = CorpusPipeline.dedup(scored, cfg)
+    assert(c.except(a).isEmpty && a.except(c).isEmpty)
+    // and a corpus with a RECURRING url still dedups correctly via the
+    // window fallback — the duplicated-url rows must each be ranked,
+    // never join-multiplied
+    val dup = Synth.pages(spark, 200L)
+    val recDup = dup.unionByName(
+      dup.filter(col("url") === Synth.urlOf(3L))) // same url twice
+    val scoredDup = CorpusPipeline.score(recDup)
+    val d = CorpusPipeline.dedup(scoredDup, cfg)
+    assert(d.count() == 201L, "window fallback must preserve row count")
+    scored.unpersist()
+  }
+
   test("deterministic across input partitioning") {
     val result8 = CorpusPipeline.run(
       rows.select("url", "warc_ts", "html", "text", "lang").repartition(17))

@@ -140,6 +140,58 @@ class CleanTextSpec extends AnyFunSuite {
     assert(CleanText("中文 内容 很 好 的 文章 测试") ==
       "hong en ei ong en ao e en hi")
   }
+
+  test("rare-hanzi gap is MEASURED: ~26% char drop on a Zipf zh corpus") {
+    // VERDICT r4 #7: quantify what the top-~600 table misses on a
+    // realistic zh character stream. Model (public knowledge): hanzi
+    // rank-frequency is Zipf-like with exponent ~1 over the ~7000
+    // general-use characters (GB 2312 / 通用规范汉字表 scale), and the
+    // table holds the TOP ranks of published frequency lists. Expected
+    // coverage under Zipf(1) is H(|table|)/H(7000) ≈ 0.74 — i.e. ~26%
+    // of CHARACTER TOKENS drop. The measurement below drives the real
+    // fold path: covered ranks use actual table characters, uncovered
+    // ranks use real out-of-table CJK codepoints, 200k chars sampled by
+    // seeded inverse-CDF. The band is the SURVEY §2.12 documented
+    // constant; a table extension (e.g. to top-1000 ≈ 19% drop) moves
+    // the measured value and must update both.
+    val cjk = (0x4E00 to 0x9FFF).map(_.toChar)
+    val covered = cjk.filter(c => AsciiFold(c.toString).nonEmpty).toArray
+    assert(covered.length >= 550,
+      s"frequency table shrank: ${covered.length} covered chars")
+    val uncovered = cjk.filterNot(c =>
+      AsciiFold(c.toString).nonEmpty).take(8000).toArray
+    val nRanks = 7000
+    val k = covered.length
+    // Zipf(1) cumulative weights over ranks 1..7000
+    val cum = new Array[Double](nRanks)
+    var acc = 0.0
+    var r = 0
+    while (r < nRanks) { acc += 1.0 / (r + 1); cum(r) = acc; r += 1 }
+    val rng = new java.util.SplittableRandom(20260818L)
+    val n = 200000
+    var dropped = 0
+    var i = 0
+    while (i < n) {
+      val u = rng.nextDouble() * acc
+      var lo = 0; var hi = nRanks - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) < u) lo = mid + 1 else hi = mid
+      }
+      val ch = if (lo < k) covered(lo) else uncovered((lo - k) % uncovered.length)
+      if (AsciiFold(ch.toString).isEmpty) dropped += 1
+      i += 1
+    }
+    val dropFrac = dropped.toDouble / n
+    // analytic check: 1 - H(k)/H(7000)
+    val expected = 1.0 - cum(k - 1) / acc
+    assert(math.abs(dropFrac - expected) < 0.01,
+      f"sampled $dropFrac%.4f vs analytic $expected%.4f")
+    assert(dropFrac > 0.20 && dropFrac < 0.32,
+      f"measured rare-hanzi drop fraction $dropFrac%.4f left the " +
+        "documented [0.20, 0.32] band — update SURVEY §2.12 with the " +
+        "new constant if this was a deliberate table change")
+  }
 }
 
 class DomainOfSpec extends AnyFunSuite {
