@@ -70,6 +70,28 @@ object Bench {
     pipeline.CorpusPipeline.defaultModels
     filterScrub(spark, 40000L)
 
+    // r5 steady-state protocol: one fixed warmup lap is NOT enough on
+    // this box anymore — an isolated probe session measured the same
+    // filter+scrub job at 49/52/70 s for three laps and then 2.2 s once
+    // C2 settled (the r3-era box settled within one 40k lap; the r4/r5
+    // VM takes ~0.5-1M docs). So warm UNTIL STABLE: repeat the
+    // throughput-sized job until two consecutive laps agree within 20%
+    // (cap 6 laps), and report the lap times in the JSON so a record
+    // that never stabilized is self-flagging. This measures the engine,
+    // not the JIT compiler backlog; storms during the TIMED sections
+    // remain visible via the per-sample cpu_util fields.
+    val throughputN = synthN * 4
+    val warmLaps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var warmPrev = Double.MaxValue
+    var warmStable = false
+    while (warmLaps.size < 6 && !warmStable) {
+      val (t, _) = time(filterScrub(spark, throughputN))
+      warmLaps += t
+      warmStable = math.abs(t - warmPrev) / math.max(t, warmPrev) <= 0.20
+      warmPrev = t
+    }
+    val warmJson = warmLaps.map(t => f"$t%.3f").mkString("[", ",", "]")
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     val (tPipe, nDocs) = time(filterScrub(spark, synthN))
@@ -79,7 +101,6 @@ object Bench {
     // compute dominates the ~2-4 s fixed job overhead — at the round-2
     // per-doc cost, 40k docs finish in ~1 s of work at 32 cores and
     // would measure scheduling, not the pipeline.
-    val throughputN = synthN * 4
     // The three samples are INTERLEAVED across the whole bench (one here,
     // one after the dedup pipeline, one after the per-query section)
     // instead of back-to-back: measured neighbor storms span minutes —
@@ -91,10 +112,14 @@ object Bench {
     val tputSamples = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
     tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
 
-    val (tFull, _) = time {
+    // full pipeline: one untimed lap first — the dedup stages (window,
+    // banding, CC) have their own codegen + hot loops the scrub warmup
+    // never touches (r5 steady-state protocol)
+    def fullDedup(): Long =
       pipeline.CorpusPipeline.run(pipeline.Synth.pages(spark, synthN))
         .filter(col("keep")).count()
-    }
+    fullDedup()
+    val (tFull, _) = time(fullDedup())
     results += "pipeline_full_dedup" -> tFull
 
     tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
@@ -102,7 +127,12 @@ object Bench {
     val headline = Seq("q_agg_sum", "q_join_ratio", "q_dedup_exact", "q_topk",
       "q_minhash_mark", "q_word_count", "q_stratified_sample")
     headline.foreach { name =>
-      val (t, _) = time(SparkEntry.queries(name)(spark, sfDir).count())
+      // r5 steady-state protocol: one untimed lap (plan compile + fresh
+      // codegen JIT), then best-of-2 timed — per-query figures measure
+      // steady-state latency, not compiler state
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val t = Seq.fill(2)(
+        time(SparkEntry.queries(name)(spark, sfDir).count())._1).min
       results += name -> t
     }
 
@@ -179,7 +209,7 @@ object Bench {
     // synth_docs = the flagship/per-query input size; throughput_docs =
     // the (4x larger) input docs_per_sec was actually measured on
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs,"throughput_docs":$nDocs2,"throughput_samples_sec":$tputJson,"throughput_cpu_util":$tputCpuJson$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"synth_docs":$nDocs,"throughput_docs":$nDocs2,"throughput_samples_sec":$tputJson,"throughput_cpu_util":$tputCpuJson,"warmup_laps_sec":$warmJson$scaling}""")
     if (!sys.env.get("SPARK_GRAFT_SCALE").contains("1")) spark.stop()
   }
 }

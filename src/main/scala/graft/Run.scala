@@ -19,6 +19,7 @@ import graft.sources.CorpusIO
   *     --output <dir> [--out-format jsonl|parquet] \
   *     [--repartition <n>] [--lineage [--buckets-per-commit <k>]] \
   *     [--no-minhash] [--no-exact] [--minhash-salt <s>] \
+  *     [--minhash-salt-hot <members>] \
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
@@ -274,6 +275,10 @@ object Run {
       // --minhash-salt N shards hot band hashes, --cc-driver-max-edges
       // bounds the driver union-find fast path for small drivers
       minhashSaltBuckets = a.get("minhash-salt").map(_.toInt).getOrElse(0),
+      // --minhash-salt-hot T: with --minhash-salt, salt ONLY band groups
+      // larger than T members (selective skew handling)
+      minhashHotBandThreshold = a.get("minhash-salt-hot").map(_.toLong)
+        .getOrElse(0L),
       ccDriverMaxEdges = a.get("cc-driver-max-edges").map(_.toLong)
         .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges),
       // --url-blocklist <file>: one registrable domain per line enables

@@ -330,6 +330,31 @@ object SparkEntry {
         "vec_id", "embedding", eps = 0.05, nClusters = 8)
     }),
 
+    // EXACT semantic decontamination (oracle-checked): max cosine of
+    // every corpus vector to a small broadcast reference set — recall
+    // 1.0 by construction; the small-|ref| exact counterpart of
+    // q_semdedup_against's cell-probed approximate path.
+    "q_semdecon_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      analytics.Similarity.cosineAgainst(emb,
+        emb.filter(col("vec_id") % 50 === 0).select("embedding"),
+        "vec_id", "embedding", minSim = 0.95)
+        .select(col("vec_id"), col("max_ref_sim"), col("is_contaminated"))
+    }),
+
+    // EXACT n-gram Jaccard decontamination (oracle-checked): max
+    // 3-gram-shingle Jaccard of every doc to a small broadcast
+    // reference set — exact counterpart of q_ngram_decontaminate's
+    // hashed-gram semi-join.
+    "q_jaccard_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      analytics.NearDup.jaccardAgainst(docs,
+        docs.filter(col("doc_id") % 50 === 0).select("text"),
+        "doc_id", "text", minJaccard = 0.5)
+        .select(col("doc_id"), col("max_ref_jaccard"),
+          col("is_contaminated"))
+    }),
+
     // Embedding-cosine near-dup clustering (rows-only)
     "q_embed_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -933,6 +958,37 @@ object SparkEntry {
         |  AS sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_semdecon_exact" ->
+      """SELECT vec_id, max_ref_sim, max_ref_sim >= 0.95 AS is_contaminated
+        |FROM (
+        |  SELECT e.vec_id,
+        |    round(max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(r.embedding AS DOUBLE[]))), 4) AS max_ref_sim
+        |  FROM embeddings e,
+        |    (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0) r
+        |  GROUP BY e.vec_id) t""".stripMargin,
+
+    "q_jaccard_decon" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> array_to_string(w[i:i+2], ' ')))
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN len(a.s) + len(r.s) - len(list_intersect(a.s, r.s)) > 0
+        |      THEN CAST(len(list_intersect(a.s, r.s)) AS DOUBLE) /
+        |        (len(a.s) + len(r.s) - len(list_intersect(a.s, r.s)))
+        |      ELSE 0.0 END AS j
+        |  FROM sh a, (SELECT s FROM sh WHERE doc_id % 50 = 0) r)
+        |SELECT doc_id, max_ref_jaccard,
+        |  max_ref_jaccard >= 0.5 AS is_contaminated
+        |FROM (SELECT doc_id, round(max(j), 4) AS max_ref_jaccard
+        |      FROM pairs GROUP BY doc_id) t""".stripMargin,
 
     "q_lang_heuristic" ->
       """SELECT doc_id,

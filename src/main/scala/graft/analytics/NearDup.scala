@@ -170,6 +170,63 @@ object NearDup {
       .select(col("src").as("id_a"), col("dst").as("id_b"), col("jaccard"))
   }
 
+  /** Cap on reference documents accepted by [[jaccardAgainst]] — same
+    * single-broadcast-row discipline as
+    * [[Similarity.MaxExactRefVectors]]; eval suites are thousands of
+    * docs, not corpora.
+    */
+  val MaxExactRefDocs: Long = 1L << 15
+
+  /** Distinct word `n`-gram shingle set as a native column — no UDF:
+    * `regexp_extract_all` tokens (so leading/trailing whitespace never
+    * fabricates empty tokens), sliding windows via
+    * `transform(sequence(...))`, de-duplicated with `array_distinct`.
+    * Documents shorter than `n` words yield the empty set.
+    */
+  def shingleSet(textCol: Column, n: Int): Column = {
+    val words = regexp_extract_all(textCol, lit("\\S+"), lit(0))
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact n-gram Jaccard decontamination against a SMALL reference set:
+    * per corpus doc, the max Jaccard similarity of its distinct-shingle
+    * set to ANY reference doc's (`simCol`, 4 dp) and a flag (rounded max
+    * ≥ `minJaccard`). Exact counterpart of the hashed-gram semi-join
+    * ([[graft.dedup.Decontaminate]]) and MinHash
+    * [[graft.dedup.MinHash.markAgainst]]: recall 1.0 by construction,
+    * for when the reference is eval-suite-sized.
+    *
+    * 100-TB shape: reference shingle sets ride in ONE broadcast row;
+    * the corpus side is a single narrow map pass (each doc's shingle set
+    * computed once into `_s`, then |ref| set intersections per row), no
+    * corpus shuffle, no driver collect, all codegen'd native functions.
+    */
+  def jaccardAgainst(corpus: DataFrame, ref: DataFrame, idCol: String,
+                     textCol: String, minJaccard: Double, n: Int = 3,
+                     simCol: String = "max_ref_jaccard",
+                     flagCol: String = "is_contaminated"): DataFrame = {
+    val nRef = ref.count()
+    require(nRef > 0, "jaccardAgainst: empty reference set")
+    require(nRef <= MaxExactRefDocs,
+      s"jaccardAgainst: $nRef reference docs exceed MaxExactRefDocs=" +
+        s"$MaxExactRefDocs - use Decontaminate/MinHash.markAgainst for " +
+        "corpus-sized reference sets")
+    val refRow = ref.agg(
+      collect_list(shingleSet(col(textCol), n)).as("_ref_sh"))
+    corpus.crossJoin(broadcast(refRow))
+      .withColumn("_s", shingleSet(col(textCol), n))
+      .withColumn(simCol, round(array_max(transform(col("_ref_sh"), r => {
+        val inter = size(array_intersect(col("_s"), r)).cast("double")
+        val uni = (size(col("_s")) + size(r)).cast("double") - inter
+        when(uni > 0.0, inter / uni).otherwise(lit(0.0))
+      })), 4))
+      .withColumn(flagCol, col(simCol) >= minJaccard)
+      .drop("_ref_sh", "_s")
+  }
+
   /** Embedding-cosine near-dup marking: LSH-bucketed pairs above `minSim`
     * collapse to clusters; non-representatives are flagged. Same
     * block→verify→CC shape as MinHash, on vectors.

@@ -44,6 +44,54 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Cap on reference vectors accepted by [[cosineAgainst]]. The whole
+    * reference set rides inside ONE broadcast row; 2^17 × dim-64 doubles
+    * is ~64 MB — past that the broadcast (and the per-row O(|ref|·dim)
+    * kernel) stops being the right plan and the caller should switch to
+    * [[SemDedup.markAgainst]] (cell-probed) or [[nearPairs]] (LSH).
+    */
+  val MaxExactRefVectors: Long = 1L << 17
+
+  /** Exact cosine decontamination of a corpus against a SMALL reference
+    * set (a benchmark suite's eval embeddings): per corpus row, the max
+    * cosine to ANY reference vector (`simCol`, 4 dp) and a flag
+    * (`flagCol` = rounded max ≥ `minSim`).
+    *
+    * 100-TB shape: the reference collapses to a single row
+    * (`collect_list` of ref vectors with precomputed norms) that
+    * broadcasts once to every task; the corpus side is then ONE narrow
+    * map pass — no corpus shuffle, no driver collect, and the whole
+    * kernel is codegen'd higher-order functions (zip_with/aggregate/
+    * transform), no UDF. This is the exact counterpart of the
+    * approximate paths: use it when |ref| is small (eval-suite scale)
+    * and recall must be 1.0 by construction; use LSH/IVF when the
+    * reference side is itself corpus-sized.
+    */
+  def cosineAgainst(corpus: DataFrame, ref: DataFrame, idCol: String,
+                    vecCol: String, minSim: Double,
+                    simCol: String = "max_ref_sim",
+                    flagCol: String = "is_contaminated"): DataFrame = {
+    val nRef = ref.count()
+    require(nRef > 0, "cosineAgainst: empty reference set")
+    require(nRef <= MaxExactRefVectors,
+      s"cosineAgainst: $nRef reference vectors exceed MaxExactRefVectors=" +
+        s"$MaxExactRefVectors - use SemDedup.markAgainst or nearPairs " +
+        "for corpus-sized reference sets")
+    def dotc(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    // per-ref norm computed ONCE here, not once per corpus row per ref
+    val refVec = col(vecCol).cast("array<double>")
+    val refRow = ref.agg(collect_list(struct(refVec.as("v"),
+      sqrt(dotc(refVec, refVec)).as("n"))).as("_refs"))
+    val dv = col(vecCol).cast("array<double>")
+    corpus.crossJoin(broadcast(refRow))
+      .withColumn("_an", sqrt(dotc(dv, dv)))
+      .withColumn(simCol, round(array_max(transform(col("_refs"),
+        r => dotc(dv, r("v")) / (col("_an") * r("n")))), 4))
+      .withColumn(flagCol, col(simCol) >= minSim)
+      .drop("_refs", "_an")
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a seeded mix —
     * executors regenerate identically, nothing to broadcast.
     */

@@ -44,6 +44,15 @@ object MinHash {
         * double-digit percent of the corpus.
         */
       saltBuckets: Int = 0,
+      /** >0 (with saltBuckets > 1) switches to SELECTIVE salting
+        * ([[candidateEdgesSaltedHot]]): only band groups with more than
+        * this many members are salt-split; cold groups keep the plain
+        * star-reduction join. The r4 10M stress measured full salting at
+        * max-task −21% for +57% shuffle — selective salting buys the
+        * same tail cut for extra shuffle proportional to the HOT rows
+        * only. 0 (default) keeps the all-or-nothing behavior.
+        */
+      hotBandThreshold: Long = 0L,
       /** Edge-count ceiling for the driver-side union-find fast path in
         * [[clusters]]; deployments with small drivers can lower it (or 0
         * to force the distributed CC loop).
@@ -294,6 +303,55 @@ object MinHash {
     withinShard.unionByName(crossShard).distinct()
   }
 
+  /** Cap on hot (band_id, band_hash) keys collected to the driver by
+    * [[candidateEdgesSaltedHot]] — same discipline as
+    * [[graft.analytics.Similarity.MaxHotKeysCollected]]: 10k longs is
+    * ~80 KB, keys past the cap simply stay unsalted (AQE skew splitting
+    * still applies; salting is CC-preserving, so the cap shifts work,
+    * never results).
+    */
+  val MaxHotBandKeys: Int = 10000
+
+  /** SELECTIVELY salted candidate edges: only band groups whose
+    * membership exceeds `hotThreshold` are salt-split; every cold group
+    * takes the plain star-reduction join. The group-size aggregation is
+    * the SAME one the unsalted path already runs (min + count per band
+    * group), so against [[candidateEdges]] the only extra cost is the
+    * hot-key collect (bounded, tiny) and the re-grouping of the hot
+    * rows themselves — at 100 TB that is the difference between
+    * re-shuffling the whole signature table (full salting, +57% shuffle
+    * on the r4 10M stress) and re-shuffling one mega-cluster's rows.
+    * Hot-key detection hashes (band_id, band_hash); a collision can only
+    * mark a cold group hot, which is harmless (salting preserves
+    * connected components — SkewSpec asserts equality).
+    */
+  def candidateEdgesSaltedHot(sigs: DataFrame, saltBuckets: Int,
+                              hotThreshold: Long): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(hotThreshold > 1, "hotThreshold must be > 1")
+    val counts = sigs.groupBy("band_id", "band_hash")
+      .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val hotKeys: Array[Long] = counts
+      .filter(col("cnt") > hotThreshold)
+      .orderBy(col("cnt").desc, col("band_id"), col("band_hash"))
+      .limit(MaxHotBandKeys)
+      .select(xxhash64(col("band_id"), col("band_hash")))
+      .collect().map(_.getLong(0))
+    if (hotKeys.isEmpty) return candidateEdges(sigs)
+    val keyHash = xxhash64(col("band_id"), col("band_hash"))
+    val isHot = keyHash.isInCollection(hotKeys)
+    // cold groups: star edges exactly as candidateEdges
+    val cold = sigs.filter(!isHot)
+      .join(counts.filter(!keyHash.isInCollection(hotKeys)).drop("cnt"),
+        Seq("band_id", "band_hash"))
+      .filter(col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"))
+    // hot groups: the salted two-level star over ONLY the hot rows
+    val hot = candidateEdgesSalted(sigs.filter(isHot), saltBuckets)
+    cold.unionByName(hot).distinct()
+  }
+
   /** Edge-count threshold under which CC runs as a driver-side union-find
     * over the collected edge list. The candidate-edge set is O(duplicates),
     * orders of magnitude smaller than the corpus, so at bench scales this
@@ -514,7 +572,9 @@ object MinHash {
     }
     def computeClusters(): DataFrame = {
       val edges =
-        if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
+        if (cfg.saltBuckets > 1 && cfg.hotBandThreshold > 0)
+          candidateEdgesSaltedHot(sigs, cfg.saltBuckets, cfg.hotBandThreshold)
+        else if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
         else candidateEdges(sigs)
       clusters(edges, cfg.driverCcMaxEdges)
     }

@@ -59,6 +59,11 @@ case class PipelineConfig(
     // band hashes sharded across this many salts); 0 = star-reduction
     // join. Cluster-deploy tunable — see MinHash.Config.saltBuckets.
     minhashSaltBuckets: Int = 0,
+    // >0 (with minhashSaltBuckets > 1) salts ONLY band groups larger
+    // than this (MinHash.candidateEdgesSaltedHot): the mega-cluster tail
+    // cut of full salting at a fraction of its extra shuffle. Cluster-
+    // deploy tunable — see MinHash.Config.hotBandThreshold.
+    minhashHotBandThreshold: Long = 0L,
     // Driver union-find fast-path ceiling for connected components;
     // lower on small-driver deployments (0 forces distributed CC).
     ccDriverMaxEdges: Long = graft.dedup.MinHash.DriverCcMaxEdges,

@@ -294,6 +294,7 @@ object CorpusPipeline {
       else {
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
           cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
+          hotBandThreshold = cfg.minhashHotBandThreshold,
           driverCcMaxEdges = cfg.ccDriverMaxEdges)
         Some(MinHash.mark(stillAliveN, "url", "scrubbed_text", mhCfg,
             stageDir = cfg.dedupStageDir)
@@ -352,6 +353,7 @@ object CorpusPipeline {
           .withColumn("minhash_cluster", lit(null).cast("string"))
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
           cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
+          hotBandThreshold = cfg.minhashHotBandThreshold,
           driverCcMaxEdges = cfg.ccDriverMaxEdges)
         val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg,
             stageDir = cfg.dedupStageDir)

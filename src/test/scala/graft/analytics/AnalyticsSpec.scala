@@ -21,6 +21,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1)._2 - 0.9 / math.sqrt(0.82)) < 1e-3)
   }
 
+  test("exact cosine decontamination against a broadcast reference set") {
+    val corpus = Seq(
+      (1L, vec(1, 0, 0)), (2L, vec(0.9, 0.1, 0)), (3L, vec(0, 1, 0)),
+      (4L, vec(0, 0.5, 0.5))
+    ).toDF("vec_id", "embedding")
+    val ref = Seq(Tuple1(vec(1, 0, 0)), Tuple1(vec(0, 0, 1)))
+      .toDF("embedding")
+    val got = Similarity
+      .cosineAgainst(corpus, ref, "vec_id", "embedding", minSim = 0.95)
+      .select("vec_id", "max_ref_sim", "is_contaminated")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1.0, true)))
+    // cos((0.9,0.1,0),(1,0,0)) = 0.9/sqrt(0.82) ≈ 0.9939 ≥ 0.95
+    assert(math.abs(got(1)._2 - 0.9939) < 1e-4 && got(1)._3)
+    assert(got(2) == ((3L, 0.0, false)))
+    // cos((0,.5,.5),(0,0,1)) = 1/sqrt(2) ≈ 0.7071 < 0.95
+    assert(math.abs(got(3)._2 - 0.7071) < 1e-4 && !got(3)._3)
+    intercept[IllegalArgumentException] {
+      Similarity.cosineAgainst(corpus, ref.limit(0), "vec_id",
+        "embedding", 0.9)
+    }
+  }
+
   test("lsh near-pairs recover planted high-similarity pairs") {
     val rng = new java.util.SplittableRandom(5)
     val base = Array.fill(64)(rng.nextGaussian())
@@ -262,6 +285,35 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.ngramJaccard("a b c d e", "v w x y z") == 0.0)
     val j = NearDup.ngramJaccard("a b c d e f", "a b c d e g", n = 3)
     assert(j > 0.3 && j < 0.8)
+  }
+
+  test("exact jaccard decontamination against a broadcast reference set") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // shingles {abc,bcd,cde} — equals ref doc 1
+      (2L, "a b c x y"), // {abc,bcx,cxy}: 1 shared of 5 union → 0.2
+      (3L, "v w x y z"), // nothing shared
+      (4L, "a b")        // shorter than n → empty set → 0.0
+    ).toDF("doc_id", "text")
+    val ref = Seq(Tuple1("a b c d e"), Tuple1("p q r s")).toDF("text")
+    val got = NearDup
+      .jaccardAgainst(corpus, ref, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id", "max_ref_jaccard", "is_contaminated")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1.0, true), (2L, 0.2, false),
+      (3L, 0.0, false), (4L, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      NearDup.jaccardAgainst(corpus, ref.limit(0), "doc_id", "text", 0.5)
+    }
+  }
+
+  test("shingleSet: whitespace-robust, distinct, empty under n words") {
+    val df = Seq(("  a  b c d  ", 1), ("a b a b a b", 2), ("a b", 3))
+      .toDF("text", "k")
+      .select(col("k"), NearDup.shingleSet(col("text"), 3).as("s"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(df(1) == Seq("a b c", "b c d")) // no empty tokens from padding
+    assert(df(2) == Seq("a b a", "b a b")) // distinct keeps first order
+    assert(df(3) == Seq.empty)
   }
 
   test("block-then-verify jaccard pairs on planted near-dups") {

@@ -62,6 +62,23 @@ class SkewSpec extends SparkSpec {
       val b = clusterSets(saltedEdges)
       assert(a == b, "salted join changed connected components")
       saltedEdges.unpersist()
+
+      // SELECTIVE salting: only hot band groups re-group with a salt key;
+      // edge set differs from both other forms, components identical
+      val hotEdges = MinHash.candidateEdgesSaltedHot(sigs, saltBuckets = 8,
+        hotThreshold = 256L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nHot = hotEdges.count()
+      assert(nHot < 4L * n, s"selective-salt edge explosion: $nHot")
+      assert(a == clusterSets(hotEdges),
+        "selective salting changed connected components")
+      hotEdges.unpersist()
+      // a threshold no group crosses falls back to exactly candidateEdges
+      val coldOnly = MinHash.candidateEdgesSaltedHot(sigs, saltBuckets = 8,
+        hotThreshold = 10L * n)
+      assert(coldOnly.orderBy("src", "dst").collect().toSeq ==
+        MinHash.candidateEdges(sigs).orderBy("src", "dst").collect().toSeq,
+        "all-cold selective salting must equal the unsalted edge set")
     } finally sigs.unpersist()
   }
 }
