@@ -34,6 +34,19 @@ class RunSpec extends SparkSpec {
     assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
   }
 
+  test("--minhash-salt-hot composes: selective salting is ledger-invariant") {
+    // kernel CC-equivalence is pinned in SkewSpec; this pins the CLI
+    // plumbing end-to-end — a threshold low enough that the planted
+    // near-dup groups go hot, so the salted path actually runs
+    val json0 = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> dir()))
+    val json1 = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> dir(),
+      "minhash-salt" -> "8", "minhash-salt-hot" -> "2"))
+    assert(stages(json0) == stages(json1),
+      s"selective salting changed the stage ledger:\n$json0\n$json1")
+  }
+
   test("--task-metrics reports aggregated task accounting in the JSON line") {
     val out = dir()
     val json = Run.execute(spark, Map(
