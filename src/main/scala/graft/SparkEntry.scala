@@ -330,6 +330,27 @@ object SparkEntry {
         "vec_id", "embedding", eps = 0.05, nClusters = 8)
     }),
 
+    // Snapshot diff (oracle-checked): per-id added/removed/changed/
+    // unchanged ledger between two crawl snapshots — the new snapshot is
+    // a deterministic transform of the base (every 7th doc removed,
+    // every 11th edited, every 13th re-added under a shifted id)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      analytics.Snapshots.diff(docs, newSnap, "doc_id", Seq("text"))
+    }),
+
+    // Order-independent per-language corpus checksum (oracle-checked):
+    // count + mod-2^64 sum of per-doc 64-bit content hashes — replica
+    // verification by exchanging O(#languages) rows
+    "q_corpus_checksum" -> ((s, dir) =>
+      analytics.Snapshots.checksum(t(s, dir, "documents"),
+        Seq("lang"), Seq("text"))),
+
     // EXACT semantic decontamination (oracle-checked): max cosine of
     // every corpus vector to a small broadcast reference set — recall
     // 1.0 by construction; the small-|ref| exact counterpart of
@@ -958,6 +979,38 @@ object SparkEntry {
         |  AS sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text <> n.text THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        |FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+
+    "q_corpus_checksum" ->
+      """SELECT lang, n_docs,
+        |  CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+        |       THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT)
+        |    AS content_checksum
+        |FROM (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(h) % 18446744073709551616::HUGEINT AS f
+        |  FROM (
+        |    SELECT lang,
+        |      list_reduce(list_transform(
+        |        regexp_split_to_array(substr(md5(coalesce(text, chr(0))), 1, 16), ''),
+        |        c -> (strpos('0123456789abcdef', c) - 1)::HUGEINT),
+        |        (a, v) -> a * 16 + v) AS h
+        |    FROM documents) t
+        |  GROUP BY lang) g""".stripMargin,
 
     "q_semdecon_exact" ->
       """SELECT vec_id, max_ref_sim, max_ref_sim >= 0.95 AS is_contaminated

@@ -778,3 +778,66 @@ class DomainStatsSpec extends SparkSpec {
       .select("url").as[String].head() == "https://keep.com/1")
   }
 }
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed/unchanged per id") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "cc"), (4L, "d")).toDF("doc_id", "text")
+    val got = Snapshots.diff(old, neu, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val sum = Snapshots.diffSummary(old, neu, "doc_id", Seq("text"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L))
+  }
+
+  test("diff: null content is a value, not a wildcard") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option("a")))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Snapshots.diff(old, neu, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("checksum matches a hand fold, is partitioning-invariant, " +
+      "and flips on any single-doc change") {
+    val rows = Seq(("en", "alpha"), ("en", "beta"), ("de", "gamma"),
+      ("en", "delta"))
+    val df = rows.toDF("lang", "text")
+    def expected(texts: Seq[String]): Long = {
+      val sum = texts.map { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 16)
+        BigInt(hex, 16)
+      }.sum.mod(BigInt(1) << 64)
+      (if (sum >= (BigInt(1) << 63)) sum - (BigInt(1) << 64) else sum)
+        .toLong
+    }
+    val got = Snapshots.checksum(df, Seq("lang"), Seq("text"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val byLang = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got("en") == ((3L, expected(byLang("en")))))
+    assert(got("de") == ((1L, expected(byLang("de")))))
+    // partitioning/order invariance
+    val got2 = Snapshots.checksum(
+      rows.reverse.toDF("lang", "text").repartition(7),
+      Seq("lang"), Seq("text")).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2 == got)
+    // sensitivity: one changed doc flips its group's checksum only
+    val mut = Seq(("en", "alpha"), ("en", "BETA"), ("de", "gamma"),
+      ("en", "delta")).toDF("lang", "text")
+    val got3 = Snapshots.checksum(mut, Seq("lang"), Seq("text"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got3("de") == got("de") && got3("en") != got("en"))
+  }
+}
