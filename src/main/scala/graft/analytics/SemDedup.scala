@@ -18,16 +18,23 @@ import graft.dedup.MinHash
   *      model-then-broadcast flow every learned component here uses.
   *   2. cell assignment + own-centroid cosine: one narrow broadcast pass
   *      (no shuffle; [[Similarity.ivfAssign]]'s argmax-dot loop).
-  *   3. candidate pairs: a self-join ON THE CELL KEY ONLY — the paper's
-  *      trick that makes all-pairs tractable: O(Σ cell²) instead of
-  *      O(n²). The caller sizes `nClusters` so cells stay small (the
-  *      paper uses k ≈ n/10⁴ on LAION); a max-cell-size guard fails
-  *      LOUDLY with that advice rather than letting one merged cell run
-  *      a quadratic task. Unit-normalized vectors ride the shuffle once
-  *      each per side; cosine is then a plain dot.
-  *   4. duplicate groups: connected components over the ε-edges
-  *      ([[MinHash.clusters]] — driver union-find on small graphs,
-  *      pointer-doubling distributed CC beyond).
+  *   3. candidate pairs: CELL-LOCAL ONLY — the paper's trick that makes
+  *      all-pairs tractable: O(Σ cell²) COMPUTE instead of O(n²). The
+  *      caller sizes `nClusters` so cells stay small (the paper uses
+  *      k ≈ n/10⁴ on LAION); a max-cell-size guard fails LOUDLY with
+  *      that advice rather than letting one merged cell run a quadratic
+  *      task. Unit-normalized vectors ride the cell shuffle once;
+  *      cosine is then a plain dot.
+  *   4. duplicate groups (r5): resolved IN-TASK — cells partition the
+  *      corpus, so ε-graph components never span cells, and the kernel
+  *      that already holds the whole cell runs a union-find while it
+  *      scans tiles, emitting one (id, min-id-of-component) row per
+  *      non-trivial-group member: O(members) OUTPUT and zero extra
+  *      jobs. (Through r4 the kernel emitted the raw passing-pair set
+  *      into [[MinHash.clusters]]; on a too-loose ε that output is
+  *      O(members²) — a measured 2M-doc run filled the disk with it.
+  *      Now a pathological ε costs bounded compute only: rows already
+  *      sharing a root skip their dot product.)
   *   5. representative: per group keep the member with the LOWEST cosine
   *      to its cluster centroid (the paper's diversity-preserving choice
   *      — the most "outlying" phrasing survives), deterministic id
@@ -133,18 +140,42 @@ object SemDedup {
         s" — raise nClusters (paper guidance: k ≈ corpus/10^4) or " +
         s"maxCellSize if the quadratic task is intentional")
 
-    // within-cell pairs above the ε threshold. One shuffle co-locates
-    // each cell, then a per-partition kernel runs the quadratic dot loop
-    // over primitive arrays — ZERO allocation per pair. The declarative
-    // alternative (cell self-join + `aggregate(zip_with(...))` filter)
-    // allocates a fresh array per candidate pair, and at 10⁸ pairs the
-    // collector becomes the bottleneck: measured 129 s at 8 threads but
-    // 364 s at 32 (inverse scaling — all threads queueing on GC) vs this
-    // kernel's near-linear profile. Cell membership is bounded by the
-    // guard above, so the buffer is ≤ maxCellSize rows.
+    // within-cell duplicate GROUPS above the ε threshold. One shuffle
+    // co-locates each cell, then a per-partition kernel runs the
+    // quadratic dot loop over primitive arrays — ZERO allocation per
+    // pair. The declarative alternative (cell self-join +
+    // `aggregate(zip_with(...))` filter) allocates a fresh array per
+    // candidate pair, and at 10⁸ pairs the collector becomes the
+    // bottleneck: measured 129 s at 8 threads but 364 s at 32 (inverse
+    // scaling — all threads queueing on GC) vs this kernel's
+    // near-linear profile. Cell membership is bounded by the guard
+    // above, so the buffer is ≤ maxCellSize rows.
+    //
+    // r5: the kernel resolves connectivity IN-TASK with a union-find
+    // over the cell (cells partition the corpus, so ε-graph components
+    // never span cells — a distributed CC pass can merge nothing the
+    // task can't) and emits ONE (id, min-id-of-component) row per
+    // member of a non-trivial group: O(members) output. The previous
+    // form emitted the raw passing-pair set + ran CC over it, which is
+    // O(members²) OUTPUT on a too-loose ε — a 2M-doc CLI run at
+    // ε = 0.07 on the trigram embedding (within-cell pass rate ≈ 1)
+    // materialized the pair set until the disk filled. Now a
+    // pathological ε costs bounded compute only: once two rows share a
+    // root the kernel skips their dot product entirely, so the
+    // worst-case all-duplicates cell degrades to O(members²) find()
+    // calls (~ns each), not 256-dim dots + a corpus-sized shuffle.
     val session = spark
     import session.implicits._
-    val edges = assigned.filter(col("sem_cell").isNotNull)
+    // block-tiled upper triangle (GEMM-style): the naive i×j sweep
+    // streams the cell's whole vector buffer once PER ROW — ~n/B×
+    // more cache traffic than needed — and the kernel then scales
+    // with shared-LLC bandwidth instead of cores (measured: 74 s at
+    // 8 threads → 57 s at 32 on 1M×64). A 128-row tile (2×64 KB
+    // working set) keeps both blocks L2-resident and restores
+    // compute-bound scaling. Tile order affects only which pairs get
+    // dotted (connectivity unions are order-insensitive), never the
+    // final components or labels.
+    val labels = assigned.filter(col("sem_cell").isNotNull)
       .select(col("sem_cell").cast("int").as("_c"), col("_sid"),
         col("_u"))
       .repartition(col("_c"))
@@ -154,18 +185,21 @@ object SemDedup {
         val ids = scala.collection.mutable.ArrayBuffer.empty[String]
         val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         var cur = Int.MinValue
-        // block-tiled upper triangle (GEMM-style): the naive i×j sweep
-        // streams the cell's whole vector buffer once PER ROW — ~n/B×
-        // more cache traffic than needed — and the kernel then scales
-        // with shared-LLC bandwidth instead of cores (measured: 74 s at
-        // 8 threads → 57 s at 32 on 1M×64). A 128-row tile (2×64 KB
-        // working set) keeps both blocks L2-resident and restores
-        // compute-bound scaling. Pair set and emission ids are
-        // identical; only the visit order changes, and the CC consumer
-        // is order-insensitive.
         def flush(): Iterator[(String, String)] = {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           val m = vecs.length
+          if (m == 0) return Iterator.empty
+          // union-find over cell-local indices; roots attach toward the
+          // smaller index, and ids arrive SORTED (sortWithinPartitions
+          // on (_c, _sid)), so a component's root index is its min id —
+          // the same label MinHash.clusters assigns, order-independent
+          val parent = Array.tabulate(m)(identity)
+          def find(x: Int): Int = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
           val B = 128
           var bi = 0
           while (bi < m) {
@@ -178,12 +212,22 @@ object SemDedup {
                 val vi = vecs(i)
                 var j = math.max(bj, i + 1)
                 while (j < bjEnd) {
-                  val vj = vecs(j)
-                  var d = 0.0
-                  var x = 0
-                  val n = math.min(vi.length, vj.length)
-                  while (x < n) { d += vi(x) * vj(x); x += 1 }
-                  if (d >= minSim) out += ((ids(i), ids(j)))
+                  // roots re-found at EVERY use: a cached root can go
+                  // stale after a union earlier in this row, and
+                  // writing parent(<non-root>) would split components
+                  if (find(i) != find(j)) {
+                    val vj = vecs(j)
+                    var d = 0.0
+                    var x = 0
+                    val n = math.min(vi.length, vj.length)
+                    while (x < n) { d += vi(x) * vj(x); x += 1 }
+                    if (d >= minSim) {
+                      val ra = find(i)
+                      val rb = find(j)
+                      if (ra < rb) parent(rb) = ra
+                      else if (rb < ra) parent(ra) = rb
+                    }
+                  }
                   j += 1
                 }
                 i += 1
@@ -191,6 +235,16 @@ object SemDedup {
               bj += B
             }
             bi += B
+          }
+          val sizes = new Array[Int](m)
+          var i = 0
+          while (i < m) { sizes(find(i)) += 1; i += 1 }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          i = 0
+          while (i < m) {
+            val r = find(i)
+            if (sizes(r) > 1) out += ((ids(i), ids(r)))
+            i += 1
           }
           ids.clear(); vecs.clear()
           out.iterator
@@ -204,10 +258,7 @@ object SemDedup {
           emitted
         } ++ flush()
       }
-      .toDF("src", "dst")
-
-    val labels = MinHash.clusters(edges)
-      .select(col("id").as("_sid"), col("cluster").as("sem_cluster"))
+      .toDF("_sid", "sem_cluster")
 
     // representative per duplicate group: LOWEST cosine to the centroid
     // (keep the outlier — SemDeDup §3.1), lowest id as the tiebreak.

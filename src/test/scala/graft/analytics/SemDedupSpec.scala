@@ -226,4 +226,23 @@ class SemDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("raise nClusters"))
   }
+
+  test("pathological loose eps: an all-pairs cell yields O(members) " +
+       "labels and one representative, not a quadratic pair set") {
+    // r5 regression pin: eps so loose EVERY within-cell pair passes.
+    // Through r4 the kernel materialized the O(m²) passing-pair set
+    // into a CC pass (a 2M-doc CLI run at eps=0.07 filled the disk
+    // with it); the in-kernel union-find emits one row per member and
+    // skips the dot for already-connected pairs.
+    val n = 3000
+    val df = (0 until n)
+      .map(i => (f"v$i%05d", Array.tabulate(8)(d => 1.0 + (i * 8 + d) * 1e-9).toSeq))
+      .toDF("id", "vec")
+    val marked = SemDedup.mark(df, "id", "vec", eps = 0.5, nClusters = 2)
+    assert(marked.count() == n)
+    val kept = marked.filter(col("keep_sem")).count()
+    // one epsilon-group per cell; k-means may split the blob across
+    // the 2 cells, so 1 or 2 representatives survive
+    assert(kept >= 1 && kept <= 2, s"kept=$kept of $n")
+  }
 }
