@@ -330,6 +330,14 @@ object SparkEntry {
         "vec_id", "embedding", eps = 0.05, nClusters = 8)
     }),
 
+    // STREAMING tumbling-window aggregation, run to completion via
+    // Trigger.AvailableNow and returned as a batch frame — the one
+    // streaming operator with a full DuckDB oracle (time_bucket replay);
+    // stream/batch equivalence also pinned in StreamingSpec
+    "q_stream_window" -> ((s, dir) =>
+      streaming.StreamingPipeline.streamWindowCounts(s,
+        s"$dir/events.parquet")),
+
     // Snapshot diff (oracle-checked): per-id added/removed/changed/
     // unchanged ledger between two crawl snapshots — the new snapshot is
     // a deterministic transform of the base (every 7th doc removed,
@@ -979,6 +987,12 @@ object SparkEntry {
         |  AS sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH newsnap AS (

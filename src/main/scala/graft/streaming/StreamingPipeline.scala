@@ -258,4 +258,45 @@ object StreamingPipeline {
       .start()
     q
   }
+
+  /** Tumbling-window event aggregation run AS A STREAM to completion:
+    * `readStream` over the parquet path, epoch-aligned `window(tsCol)`
+    * groups in complete mode into a memory sink, `Trigger.AvailableNow`,
+    * and the drained result returned as a plain batch DataFrame —
+    * which makes this the one STREAMING operator whose output an
+    * external batch engine can replay exactly (the driver's DuckDB
+    * oracle recomputes the same windows with `time_bucket`). Complete
+    * mode deliberately: AvailableNow may split the input into several
+    * micro-batches in file order, and an append-mode watermark would
+    * then emit or drop end-of-stream windows depending on that split —
+    * complete mode keeps the result a pure function of the input set.
+    * The memory sink holds O(#windows × #types) rows, never the events.
+    */
+  def streamWindowCounts(spark: SparkSession, path: String,
+                         tsCol: String = "ts", typeCol: String = "event_type",
+                         valueCol: String = "value",
+                         windowLength: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val sink = "stream_win_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // the file streaming source lists a DIRECTORY; a single local file
+    // path becomes (parent, pathGlobFilter) so table-per-file layouts
+    // (the driver's sf dirs) stream without picking up their siblings
+    val f = new java.io.File(path)
+    val (srcDir, glob) =
+      if (f.isFile) (f.getParent, Some(f.getName)) else (path, None)
+    val reader = spark.readStream.schema(schema)
+    val q = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .parquet(srcDir)
+      .groupBy(window(col(tsCol), windowLength), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 4).as("sum_value"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).select(col("window.start").as("window_start"),
+      col(typeCol), col("n_events"), col("sum_value"))
+  }
 }

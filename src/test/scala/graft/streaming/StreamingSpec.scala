@@ -288,4 +288,26 @@ class StreamingSpec extends SparkSpec {
       u == Synth.urlOf(0) || u == "https://dup.example.com/copy")
     assert(survivors == 1)
   }
+
+  test("streamed tumbling-window aggregation equals the batch groupBy") {
+    val dir = Files.createTempDirectory("stream_win").toString
+    val events = (0 until 500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        s"2024-01-01 ${"%02d".format(i % 13)}:${"%02d".format(i % 60)}:00"),
+        if (i % 3 == 0) "click" else "view", (i % 97) * 0.37)
+    }.toDF("event_id", "ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+    val streamed = graft.streaming.StreamingPipeline
+      .streamWindowCounts(spark, dir)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream/batch window mismatch")
+    assert(streamed.nonEmpty && streamed.size == 13 * 2)
+  }
 }
