@@ -137,6 +137,21 @@ object Bench {
     }
 
     tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
+    // Storm recovery: a quiet sample of this job runs ~1.6-2.8 s; a
+    // storm-hit one 5-44 s (both measured on this box). If the two
+    // fastest of the three interleaved samples still disagree by >20%,
+    // at least two were storm-hit — keep sampling (cap 3 extra) until
+    // the two fastest agree, so one momentary quiet window is enough
+    // for a trustworthy headline. All samples stay in the JSON.
+    def fastTwoAgree: Boolean = {
+      val s = tputSamples.map(_._1).sorted
+      (s(1) - s(0)) / s(1) <= 0.20
+    }
+    var extra = 0
+    while (!fastTwoAgree && extra < 3) {
+      tputSamples += timeWithCpu(cpus)(filterScrub(spark, throughputN))
+      extra += 1
+    }
     val (tPipe2, nDocs2, _) = tputSamples.minBy(_._1)
     results += "pipeline_filter_scrub_warm" -> tPipe2
     val docsPerSec = nDocs2 / tPipe2
