@@ -866,6 +866,17 @@ object SparkEntry {
         round(f(col("lang"), col("text")), 4).as("ppl_own"))
     }),
 
+    // BM25 query-targeted relevance (analytics.Relevance): score every
+    // document against a seed-term set — the third selection primitive
+    // next to membership filters and DSIR. Fixed term order makes the
+    // float sum deterministic; the oracle replays the identical
+    // expression tree (same association, double literals) in DuckDB.
+    "q_bm25_score" -> ((s, dir) =>
+      graft.analytics.Relevance.bm25(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "vector", "window"))
+        .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))),
+
     // ---- segmentation (UDTF-shaped, rows-only) ------------------------
     "q_segment" -> ((s, dir) => {
       val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))
@@ -1524,6 +1535,47 @@ object SparkEntry {
       """SELECT doc_id,
         |row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
         |  <= CAST(count(*) OVER (PARTITION BY lang) * 0.8 AS INT) AS is_train
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // BM25 replay: the same tokenizer ([^a-z0-9']+ on lowercased text,
+    // empties dropped), the same stats (N, avgdl, per-term df — all
+    // integer-exact sums, so avgdl is bit-identical), and the same
+    // per-doc expression tree with identical association and explicit
+    // DOUBLE literals (0.5e0 etc. — DuckDB would otherwise do DECIMAL
+    // arithmetic). Terms summed in the same fixed order; round(4)
+    // absorbs the ≤1-ulp ln() divergence between libm and Math.log.
+    "q_bm25_score" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')),
+        |      '[^a-z0-9'']+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, tk, len(tk) AS dl FROM dd
+        |), s AS (
+        |  SELECT count(*) AS n, avg(dl) AS avgdl,
+        |    sum(CASE WHEN list_contains(tk, 'spark')  THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN list_contains(tk, 'join')   THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END) AS df2,
+        |    sum(CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END) AS df3
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, CAST(dl AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'join'))   AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf3
+        |  FROM d
+        |)
+        |SELECT doc_id, round(
+        |    ln(1e0 + (n - df0 + 0.5e0) / (df0 + 0.5e0)) * tf0 * (1.2e0 + 1e0)
+        |      / (tf0 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |  + ln(1e0 + (n - df1 + 0.5e0) / (df1 + 0.5e0)) * tf1 * (1.2e0 + 1e0)
+        |      / (tf1 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |  + ln(1e0 + (n - df2 + 0.5e0) / (df2 + 0.5e0)) * tf2 * (1.2e0 + 1e0)
+        |      / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
+        |  + ln(1e0 + (n - df3 + 0.5e0) / (df3 + 0.5e0)) * tf3 * (1.2e0 + 1e0)
+        |      / (tf3 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 4) AS bm25
+        |FROM f, s""".stripMargin
   )
 }

@@ -118,7 +118,18 @@ object Pii {
   // --pii-extended.
 
   val PhoneReplacement = "+1-555-0100"
-  val CardReplacement = "0000-0000-0000-0000"
+
+  /** Digit-FREE by design (r5). Any digit-bearing replacement can fuse
+    * with neighboring real digit tokens into a fresh Luhn-valid card
+    * shape on a second pass — e.g. "7029 2281 5213 <13-digit PAN>"
+    * scrubbed to "7029 2281 5213 0000-…" re-matched as the 16-digit
+    * space-separated "7029 2281 5213 0000" (Luhn passes 1 in 10), and
+    * scrubExtended lost idempotence (found by the PiiExtendedProperties
+    * idempotence property, seed pinned in FiltersSpec). The phone
+    * replacement keeps its digits because it is a full-match fixed point
+    * of PhoneRe and '+' cannot appear mid-number; no such safe digit
+    * form exists for cards. */
+  val CardReplacement = "XXXX-XXXX-XXXX-XXXX"
 
   /** Phone numbers, conservatively: either an international form
     * (+CC then 8-13 digits with optional space/dash/dot/paren
@@ -173,7 +184,11 @@ object Pii {
   // "4111-1111 1111"), and without the consistency requirement the
   // replacement value fuses with a neighboring digit token across a
   // space into a fresh 19-digit Luhn-valid "card" on the next pass
-  // (caught by PiiExtendedProperties)
+  // (caught by PiiExtendedProperties). The backreference alone is NOT
+  // sufficient: a SAME-separator fusion of leftover digit groups with a
+  // digit-bearing replacement survived it (r5, same property) — closed
+  // by making CardReplacement digit-free rather than by narrowing the
+  // pattern, which would also have cost recall on digit-adjacent PANs.
   private val CardRe = java.util.regex.Pattern.compile(
     """(?<![\d\w])\d{4}(?:([ -]?)\d{4})(?:\1\d{4}){1,2}(?:\1\d{1,3})?(?![\d\w])""")
 

@@ -81,6 +81,22 @@ class PiiSpec extends AnyFunSuite {
       s"ok ${Pii.CardReplacement} ok")
   }
 
+  test("extended: replacement-fusion regression (scalacheck seed " +
+      "bCfPyV8c, r5) — scrubExtended is a fixed point on leftover groups") {
+    // Three real 4-digit groups + a 13-digit Luhn-valid PAN: pass 1
+    // scrubs the PAN; with the old digit-bearing replacement, pass 2
+    // fused "7029 2281 5213" with the replacement's first group into a
+    // fresh Luhn-valid 16-digit "card". The replacement is digit-free
+    // now; the scrub must be idempotent and leave the non-card groups.
+    val in = "7029 2281 5213 5183165267005"
+    val once = Pii.scrubExtended(in)
+    assert(once == s"7029 2281 5213 ${Pii.CardReplacement}")
+    assert(Pii.scrubExtended(once) == once)
+    // the replacement constant itself must never contain a digit — that
+    // is the structural property the fix rests on
+    assert(!Pii.CardReplacement.exists(_.isDigit))
+  }
+
   test("extended chain: cards survive the phone pass; parity chain first") {
     val in = "mail a@b.co, card 4111-1111-1111-1111, tel (212) 555-0198"
     assert(Pii.scrubExtended(in) ==

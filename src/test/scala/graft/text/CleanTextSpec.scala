@@ -121,10 +121,9 @@ class CleanTextSpec extends AnyFunSuite {
     assert(AsciiFold("中国人") == "Zhong Guo Ren ")
     assert(AsciiFold("你好世界") == "Ni Hao Shi Jie ")
     assert(AsciiFold("我爱学习") == "Wo Ai Xue Xi ")
-    // mixed hanzi + kana: kanji in the frequency table romanize, the
-    // kana romanize per their own table (traditional 語 is NOT in the
-    // simplified-form frequency table → drops)
-    assert(AsciiFold("日本語テスト") == "Ri Ben tesuto")
+    // mixed hanzi + kana: kanji romanize via the table, kana via their
+    // own (traditional 語 entered via the r5 extended snapshot)
+    assert(AsciiFold("日本語テスト") == "Ri Ben Yu tesuto")
     // rare/unmapped ideographs still drop — the remaining documented
     // divergence, pinned so a future behavior change is deliberate
     assert(AsciiFold("똠龘") == "")
@@ -135,28 +134,47 @@ class CleanTextSpec extends AnyFunSuite {
     // BEFORE transliteration in both engines, so unidecode's capital
     // letter is stripped by the [a-z0-9\s,.!?'] whitelist in both —
     // "Zhong " survives as "hong " there and here alike
-    // (章 and 测 are outside the frequency table → they drop; 试 → "Shi"
-    // → "hi" after the capital strips)
+    // (章 → "Zhang" → "hang" via the r5 extended snapshot; 测 remains
+    // outside both tables → drops; 试 → "Shi" → "hi" after the capital
+    // strips)
     assert(CleanText("中文 内容 很 好 的 文章 测试") ==
-      "hong en ei ong en ao e en hi")
+      "hong en ei ong en ao e en hang hi")
   }
 
-  test("rare-hanzi gap is MEASURED: ~26% char drop on a Zipf zh corpus") {
-    // VERDICT r4 #7: quantify what the top-~600 table misses on a
-    // realistic zh character stream. Model (public knowledge): hanzi
-    // rank-frequency is Zipf-like with exponent ~1 over the ~7000
-    // general-use characters (GB 2312 / 通用规范汉字表 scale), and the
-    // table holds the TOP ranks of published frequency lists. Expected
-    // coverage under Zipf(1) is H(|table|)/H(7000) ≈ 0.74 — i.e. ~26%
-    // of CHARACTER TOKENS drop. The measurement below drives the real
-    // fold path: covered ranks use actual table characters, uncovered
-    // ranks use real out-of-table CJK codepoints, 200k chars sampled by
-    // seeded inverse-CDF. The band is the SURVEY §2.12 documented
-    // constant; a table extension (e.g. to top-1000 ≈ 19% drop) moves
-    // the measured value and must update both.
+  test("extended hanzi snapshot romanizes; curated core still wins (r5)") {
+    // snapshot entries (graft/hanzi_pinyin_snapshot.dat) fold exactly
+    // like curated ones — Title-case + trailing space per char
+    assert(AsciiFold("蜘蛛") == "Zhi Zhu ")
+    assert(AsciiFold("乳") == "Ru ")
+    assert(AsciiFold("丈") == "Zhang ")
+    // traditional forms present in the snapshot
+    assert(AsciiFold("圓") == "Yuan ")
+    assert(AsciiFold("偉") == "Wei ")
+    // merge order: the curated inline map is applied AFTER the snapshot,
+    // so a curated golden reading can never be overridden — 什 appears in
+    // both (snapshot "Shi", curated "Shen") and must read "Shen"
+    assert(AsciiFold("什") == "Shen ")
+    // outside both tables → still drops
+    assert(AsciiFold("龘") == "")
+  }
+
+  test("rare-hanzi gap is MEASURED: ~9% char drop on a Zipf zh corpus") {
+    // VERDICT r4 #7: quantify what the table misses on a realistic zh
+    // character stream. Model (public knowledge): hanzi rank-frequency
+    // is Zipf-like with exponent ~1 over the ~7000 general-use
+    // characters (GB 2312 / 通用规范汉字表 scale), and the table holds
+    // the TOP ranks of published frequency lists. r4's ~600-char table
+    // measured ~26% token drop here; the r5 extended snapshot widens
+    // coverage to ~2.9k chars — expected drop under Zipf(1) is
+    // 1 − H(2872)/H(7000) ≈ 0.094. The measurement below drives the
+    // real fold path: covered ranks use actual table characters,
+    // uncovered ranks use real out-of-table CJK codepoints, 200k chars
+    // sampled by seeded inverse-CDF. The band is the SURVEY §2.12
+    // documented constant; a table change moves the measured value and
+    // must update both.
     val cjk = (0x4E00 to 0x9FFF).map(_.toChar)
     val covered = cjk.filter(c => AsciiFold(c.toString).nonEmpty).toArray
-    assert(covered.length >= 550,
+    assert(covered.length >= 2500,
       s"frequency table shrank: ${covered.length} covered chars")
     val uncovered = cjk.filterNot(c =>
       AsciiFold(c.toString).nonEmpty).take(8000).toArray
@@ -187,9 +205,9 @@ class CleanTextSpec extends AnyFunSuite {
     val expected = 1.0 - cum(k - 1) / acc
     assert(math.abs(dropFrac - expected) < 0.01,
       f"sampled $dropFrac%.4f vs analytic $expected%.4f")
-    assert(dropFrac > 0.20 && dropFrac < 0.32,
+    assert(dropFrac > 0.06 && dropFrac < 0.13,
       f"measured rare-hanzi drop fraction $dropFrac%.4f left the " +
-        "documented [0.20, 0.32] band — update SURVEY §2.12 with the " +
+        "documented [0.06, 0.13] band — update SURVEY §2.12 with the " +
         "new constant if this was a deliberate table change")
   }
 }
