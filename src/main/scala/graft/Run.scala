@@ -23,6 +23,7 @@ import graft.sources.CorpusIO
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
+  *     [--bm25-terms <t1,t2,..> --bm25-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
   *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
@@ -42,6 +43,14 @@ import graft.sources.CorpusIO
   * .Dsir]]), Gumbel-resample the k most target-like docs, and demote
   * the rest to `drop_stage = 8_dsir` — they land in the exclusion audit
   * like every other dropped doc.
+  * `--bm25-terms <t1,t2,..> --bm25-keep <k>` (must be used together)
+  * run BM25 query-targeted selection after DSIR: score kept docs'
+  * scrubbed text against the seed terms ([[graft.analytics.Relevance]])
+  * and keep the k most relevant (demoting the rest to `8_bm25`). The
+  * top-k cut ranks via [[graft.analytics.Ranking.rankInGroup]] — the
+  * range-partitioned rank primitive — NOT orderBy().limit(k), whose
+  * global-limit stage would funnel k rows through one task at corpus
+  * scale.
   *
   * Incremental crawl updates: `--write-sigs <dir>` stores the kept
   * docs' MinHash signature table (computed on the scrubbed text);
@@ -190,6 +199,8 @@ object Run {
     if (!a.contains("output")) sys.error("--output <dir> is required")
     if (a.contains("dsir-target") != a.contains("dsir-keep"))
       sys.error("--dsir-target and --dsir-keep must be used together")
+    if (a.contains("bm25-terms") != a.contains("bm25-keep"))
+      sys.error("--bm25-terms and --bm25-keep must be used together")
     val spark = SparkSession.builder()
       .appName("graft-corpus-pipeline")
       .config("spark.sql.adaptive.enabled", "true")
@@ -428,6 +439,45 @@ object Run {
         sys.error("--dsir-target and --dsir-keep must be used together")
     } }
 
+    // --bm25-terms + --bm25-keep: BM25 query-targeted selection — keep
+    // the k docs most relevant to the seed terms, demote the rest to
+    // 8_bm25. Selection unit mirrors DSIR: byte-identical
+    // (url, warc_ts, scrubbed_text) rows share one id and one verdict.
+    // The top-k cut goes through Ranking.rankInGroup (range-partitioned
+    // global rank), not orderBy().limit(k): GlobalLimit would pull all
+    // k winners through a single task, which at production k (millions)
+    // is a driver-shaped bottleneck.
+    val bm25Applied = inPhase(spark, "bm25") {
+      (a.get("bm25-terms"), a.get("bm25-keep")) match {
+      case (None, None) => dsirApplied
+      case (Some(termsCsv), Some(kStr)) =>
+        val terms = termsCsv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val k = kStr.toInt
+        require(k > 0, s"--bm25-keep must be positive, got $k")
+        val base = pin(dsirApplied)
+        val keyed = base.filter(col("keep")).withColumn("_bm25_id",
+          rowKey128(col("url"), col("warc_ts"), col("scrubbed_text")))
+        val scored = graft.analytics.Relevance.bm25(
+          keyed.select(col("_bm25_id"), col("scrubbed_text").as("text"))
+            .dropDuplicates("_bm25_id"),
+          "_bm25_id", "text", terms)
+          .withColumn("_neg_bm25", -col("bm25"))
+        val chosen = graft.analytics.Ranking.rankInGroup(
+            scored, Nil, Seq("_neg_bm25", "_bm25_id"), "_bm25_rank")
+          .filter(col("_bm25_rank") <= k)
+          .select(col("_bm25_id"), lit(true).as("_bm25_pick"))
+        val marked = keyed
+          .join(chosen, Seq("_bm25_id"), "left")
+          .withColumn("keep", col("_bm25_pick").isNotNull)
+          .withColumn("drop_stage",
+            when(col("_bm25_pick").isNotNull, col("drop_stage"))
+              .otherwise(lit("8_bm25")))
+          .drop("_bm25_id", "_bm25_pick")
+        marked.unionByName(base.filter(!col("keep")))
+      case _ =>
+        sys.error("--bm25-terms and --bm25-keep must be used together")
+    } }
+
     val outFormat = a.getOrElse("out-format", "parquet") match {
       case "jsonl" => CorpusIO.Jsonl
       case _ => CorpusIO.Parquet
@@ -444,9 +494,9 @@ object Run {
     // drop decision — the audit stays truthful.
     val perLangScored = inPhase(spark, "ppl_per_lang") {
       a.get("ppl-per-lang") match {
-      case None => dsirApplied
+      case None => bm25Applied
       case Some(nStr) =>
-        val base = pin(dsirApplied)
+        val base = pin(bm25Applied)
         val kept = base.filter(col("keep"))
         val models = graft.filters.KneserNeyLM.trainPerLang(
           kept, "scrubbed_text", "lang_pred", perLangSampleN = nStr.toInt)

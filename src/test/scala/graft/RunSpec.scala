@@ -34,6 +34,28 @@ class RunSpec extends SparkSpec {
     assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
   }
 
+  test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
+    val out = dir()
+    val json = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> out, "repartition" -> "8",
+      "bm25-terms" -> "river,ocean,bridge", "bm25-keep" -> "300"))
+    val st = stages(json)
+    assert(st("kept") == 300L, s"bm25 cap not applied: $json")
+    assert(st.contains("8_bm25") && st("8_bm25") > 0)
+    val keptDf = spark.read.parquet(s"$out/kept")
+    assert(keptDf.count() == 300L)
+    val removed = spark.read.parquet(s"$out/removed")
+    assert(removed.filter(col("drop_stage") === "8_bm25").count() ==
+      st("8_bm25"))
+    // selection actually follows relevance: every kept doc must contain
+    // at least one seed term (with 300 of ~1200 survivors kept from a
+    // uniform vocab, zero-hit docs score 0 and cannot make the cut)
+    val hits = keptDf.filter(col("scrubbed_text").contains("river") ||
+      col("scrubbed_text").contains("ocean") ||
+      col("scrubbed_text").contains("bridge")).count()
+    assert(hits == 300L, s"kept docs without any seed term: ${300 - hits}")
+  }
+
   test("--minhash-salt-hot composes: selective salting is ledger-invariant") {
     // kernel CC-equivalence is pinned in SkewSpec; this pins the CLI
     // plumbing end-to-end — a threshold low enough that the planted
