@@ -877,6 +877,15 @@ object SparkEntry {
           Seq("spark", "join", "vector", "window"))
         .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))),
 
+    // TF-IDF keyword extraction: per-doc top-3 characteristic terms.
+    // The broadcast-idf narrow pass must reproduce the textbook
+    // explode-join-window plan the DuckDB oracle runs.
+    "q_tfidf_keywords" -> ((s, dir) =>
+      graft.analytics.Relevance.tfIdfKeywords(
+          t(s, dir, "documents"), "doc_id", "text", topK = 3, minDf = 2)
+        .select(col("doc_id"), col("rank"), col("keyword"),
+          round(col("tfidf"), 4).as("tfidf"))),
+
     // ---- segmentation (UDTF-shaped, rows-only) ------------------------
     "q_segment" -> ((s, dir) => {
       val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))
@@ -1576,6 +1585,36 @@ object SparkEntry {
         |      / (tf2 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl))
         |  + ln(1e0 + (n - df3 + 0.5e0) / (df3 + 0.5e0)) * tf3 * (1.2e0 + 1e0)
         |      / (tf3 + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 4) AS bm25
-        |FROM f, s""".stripMargin
+        |FROM f, s""".stripMargin,
+
+    // the textbook explode → tf → df-join → per-doc rank plan; the
+    // Spark side reaches the same rows through a broadcast idf map
+    "q_tfidf_keywords" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')),
+        |      '[^a-z0-9'']+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, u.term AS term, count(*) AS tf
+        |  FROM dd, unnest(tk) AS u(term) GROUP BY doc_id, u.term
+        |), dfr AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (
+        |  SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln((n.n + 1e0) / (dfr.df + 1e0)) + 1e0) AS tfidf
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n
+        |  WHERE dfr.df >= 2
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, CAST(rnk AS INT) AS rank, term AS keyword,
+        |  round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rnk <= 3""".stripMargin
   )
 }

@@ -31,11 +31,20 @@ import org.apache.spark.sql.functions._
   * lowercase, split on runs of `[^a-z0-9']`, drop empty tokens. Null
   * text coalesces to "" → dl = 0, every tf = 0 → score 0.0, never null.
   */
+/** One extracted keyword of a document: surfaced by
+  * [[Relevance.tfIdfKeywords]]'s scoring UDF (top-level so Spark can
+  * derive its struct schema reflectively). */
+case class KeywordScore(keyword: String, tfidf: Double)
+
 object Relevance {
 
   /** Max query-term count: each term adds one agg column and one filter
     * expression to the plan — thousands are fine, unbounded is not. */
   val MaxQueryTerms = 4096
+
+  /** Hard ceiling on the idf broadcast (entries). 2M string→double
+    * entries ≈ low hundreds of MB — the most any executor should hold. */
+  val MaxVocabCeiling = 1 << 21
 
   private def tokens(textCol: String): Column =
     filter(split(lower(coalesce(col(textCol), lit(""))), "[^a-z0-9']+"),
@@ -90,6 +99,80 @@ object Relevance {
     }.reduce(_ + _)
 
     tk.select(col(idCol), score.as("bm25"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: the `topK` most
+    * characteristic terms of every document, with sklearn's smoothed
+    * idf (`ln((N+1)/(df+1)) + 1`, always > 0) so rare-but-present terms
+    * rank above ubiquitous ones. Returns
+    * `(idCol, rank:int 1-based, keyword:string, tfidf:double)`; a
+    * document whose every token falls under `minDf` (or has no tokens
+    * at all) emits no rows.
+    *
+    * Scale shape — deliberately NOT the textbook explode-join-window:
+    *   1. ONE corpus shuffle builds the document-frequency table:
+    *      `explode(array_distinct(tokens)) → groupBy(term).count` —
+    *      partial aggregation collapses each partition's repeats
+    *      map-side, and only `(term)` rows move, never text.
+    *   2. The df table is cut to `df >= minDf` and collected under a
+    *      LOUD `maxVocab` bound (the repo-wide bounded-collect idiom:
+    *      `limit(maxVocab+1)` so an over-large vocabulary fails fast
+    *      instead of OOMing the driver), then broadcast as a
+    *      term → idf map — the same broadcast-model shape as LangId
+    *      inference.
+    *   3. Scoring + per-doc top-k run in ONE NARROW pass: a UDF counts
+    *      the doc's terms locally, scores only broadcast-resident
+    *      terms, and heap-selects k — no (id, term) shuffle, no
+    *      per-document window, no corpus-sized join. The textbook plan
+    *      shuffles the exploded token table TWICE (tf groupBy + rank
+    *      window); this shuffles tokens once and documents never.
+    *
+    * Determinism: tf is integral, idf is computed once on the driver,
+    * ranking ties break on the keyword string — identical output on
+    * any partitioning.
+    */
+  def tfIdfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5, minDf: Long = 2,
+                    maxVocab: Int = 1 << 20): DataFrame = {
+    require(topK > 0, s"tfIdfKeywords: topK=$topK")
+    require(minDf >= 1, s"tfIdfKeywords: minDf=$minDf")
+    require(maxVocab > 0 && maxVocab <= MaxVocabCeiling,
+      s"tfIdfKeywords: maxVocab=$maxVocab outside (0, $MaxVocabCeiling]")
+
+    val tk = docs.select(col(idCol), tokens(textCol).as("_tk"))
+    val n = tk.count()
+    require(n > 0, "tfIdfKeywords: empty corpus")
+
+    val dfRows = tk
+      .select(explode(array_distinct(col("_tk"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .limit(maxVocab + 1).collect()
+    require(dfRows.length <= maxVocab,
+      s"tfIdfKeywords: vocabulary exceeds maxVocab=$maxVocab at " +
+        s"minDf=$minDf — raise minDf (or maxVocab, ceiling " +
+        s"$MaxVocabCeiling) so the idf broadcast stays bounded")
+    val idf: Map[String, Double] = dfRows.map { r =>
+      r.getString(0) -> (math.log((n + 1.0) / (r.getLong(1) + 1.0)) + 1.0)
+    }.toMap
+    val bIdf = docs.sparkSession.sparkContext.broadcast(idf)
+
+    val kTop = topK
+    val kwUdf = udf { (tks: Seq[String]) =>
+      val m = bIdf.value
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      tks.foreach { t =>
+        if (m.contains(t)) counts.update(t, counts.getOrElse(t, 0L) + 1L)
+      }
+      counts.iterator
+        .map { case (t, tf) => KeywordScore(t, tf * m(t)) }
+        .toArray
+        .sortBy(k => (-k.tfidf, k.keyword))
+        .take(kTop)
+    }
+    tk.select(col(idCol), posexplode(kwUdf(col("_tk"))).as(Seq("_pos", "_kw")))
+      .select(col(idCol), (col("_pos") + 1).cast("int").as("rank"),
+        col("_kw.keyword").as("keyword"), col("_kw.tfidf").as("tfidf"))
   }
 
   /** The selection step: top-k most relevant documents (ties broken by

@@ -79,6 +79,79 @@ class RelevanceSpec extends SparkSpec {
     assert(a.sameElements(c))
   }
 
+  // --- tfIdfKeywords ------------------------------------------------------
+
+  private val kwCorpus = Seq(
+    (1L, "apple apple apple banana cherry"),
+    (2L, "apple banana banana date date date"),
+    (3L, "apple cherry cherry unique"),   // "unique" df=1 → cut at minDf=2
+    (4L, "apple")                          // only the ubiquitous term
+  )
+
+  /** scalar TF-IDF over kwCorpus, same tokenizer, smoothed idf */
+  private def naiveKw(minDf: Long): Map[(Long, String), Double] = {
+    val toks = kwCorpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = toks.size
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }.filter(_._2 >= minDf)
+    (for {
+      (id, tk) <- toks.toSeq; (t, df) <- dfm if tk.contains(t)
+    } yield (id, t) ->
+      tk.count(_ == t) * (math.log((n + 1.0) / (df + 1.0)) + 1.0)).toMap
+  }
+
+  test("tfIdfKeywords matches the scalar formula; ranks by score then term") {
+    val got = Relevance.tfIdfKeywords(kwCorpus.toDF("doc_id", "text"),
+      "doc_id", "text", topK = 10, minDf = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val want = naiveKw(2)
+    assert(got.map(g => (g._1, g._3)).toSet == want.keySet)
+    for ((id, rk, t, s) <- got)
+      assert(math.abs(s - want((id, t))) < 1e-12, s"($id,$t): $s")
+    // ranks are 1..k per doc, non-increasing score, term-asc inside ties
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("tfIdfKeywords: topK caps per doc; sub-minDf and empty docs emit none") {
+    val out = Relevance.tfIdfKeywords(kwCorpus.toDF("doc_id", "text"),
+      "doc_id", "text", topK = 1, minDf = 2).collect()
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length == 1))
+    assert(!out.exists(_.getString(2) == "unique"))   // df=1 cut
+    val empty = Relevance.tfIdfKeywords(
+      Seq((9L, ""), (10L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", topK = 3, minDf = 1)
+    assert(empty.count() == 0)
+  }
+
+  test("tfIdfKeywords is partitioning-invariant and guards the vocab bound") {
+    val df1 = kwCorpus.toDF("doc_id", "text").repartition(1)
+    val df7 = kwCorpus.toDF("doc_id", "text").repartition(7)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relevance.tfIdfKeywords(df, "doc_id", "text", topK = 2, minDf = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    assert(run(df1).sameElements(run(df7)))
+    intercept[IllegalArgumentException] {   // 4-term vocab > maxVocab=2
+      Relevance.tfIdfKeywords(kwCorpus.toDF("doc_id", "text"),
+        "doc_id", "text", topK = 2, minDf = 1, maxVocab = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Relevance.tfIdfKeywords(kwCorpus.toDF("doc_id", "text"),
+        "doc_id", "text", topK = 0)
+    }
+  }
+
   test("loud guards: empty/duplicate/oversized term sets, empty corpus") {
     val df = corpus.toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
