@@ -886,6 +886,18 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), col("keyword"),
           round(col("tfidf"), 4).as("tfidf"))),
 
+    // domain-authority PageRank, 3 INTEGER-EXACT iterations (ppb fixed
+    // point — long sums are order-independent, so the iterative ranks
+    // replay exactly in SQL where floating-point PageRank could not).
+    // The driver tables carry no hyperlinks, so the edge list derives
+    // deterministically from lineitem by modulo arithmetic.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .selectExpr("l_partkey % 500 AS src", "l_suppkey % 500 AS dst")
+        .filter(col("src") =!= col("dst"))
+      graft.analytics.LinkGraph.pagerank(edges, "src", "dst", iterations = 3)
+    }),
+
     // ---- segmentation (UDTF-shaped, rows-only) ------------------------
     "q_segment" -> ((s, dir) => {
       val segUdf = udf((t: String) => graft.text.Segmenter.segment(t, 20, 60))
@@ -1615,6 +1627,63 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(rnk AS INT) AS rank, term AS keyword,
         |  round(tfidf, 4) AS tfidf
-        |FROM ranked WHERE rnk <= 3""".stripMargin
+        |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // the Spark loop's recurrence unrolled 3 iterations; every value is
+    // a BIGINT (// is DuckDB integer division), so the replay is exact
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey % 500 AS src, l_suppkey % 500 AS dst
+        |  FROM lineitem WHERE l_partkey % 500 <> l_suppkey % 500
+        |), nodes AS (
+        |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        |), r0 AS (
+        |  SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes
+        |), c1 AS (
+        |  SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS inc
+        |  FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), d1 AS (
+        |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dsum
+        |  FROM r0 r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+        |), x1 AS (
+        |  SELECT nodes.node, coalesce(c1.inc, 0) + (d1.dsum // nn.n) AS x
+        |  FROM nodes LEFT JOIN c1 USING (node) CROSS JOIN d1 CROSS JOIN nn
+        |), r1 AS (
+        |  SELECT node,
+        |    150000000 + (x // 100) * 85 + ((x % 100) * 85) // 100 AS rank
+        |  FROM x1
+        |), c2 AS (
+        |  SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS inc
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), d2 AS (
+        |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dsum
+        |  FROM r1 r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+        |), x2 AS (
+        |  SELECT nodes.node, coalesce(c2.inc, 0) + (d2.dsum // nn.n) AS x
+        |  FROM nodes LEFT JOIN c2 USING (node) CROSS JOIN d2 CROSS JOIN nn
+        |), r2 AS (
+        |  SELECT node,
+        |    150000000 + (x // 100) * 85 + ((x % 100) * 85) // 100 AS rank
+        |  FROM x2
+        |), c3 AS (
+        |  SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS inc
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst
+        |), d3 AS (
+        |  SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dsum
+        |  FROM r2 r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+        |), x3 AS (
+        |  SELECT nodes.node, coalesce(c3.inc, 0) + (d3.dsum // nn.n) AS x
+        |  FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN d3 CROSS JOIN nn
+        |)
+        |SELECT node,
+        |  150000000 + (x // 100) * 85 + ((x % 100) * 85) // 100 AS rank_ppb
+        |FROM x3""".stripMargin
   )
 }
