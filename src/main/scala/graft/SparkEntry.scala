@@ -886,6 +886,30 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), col("keyword"),
           round(col("tfidf"), 4).as("tfidf"))),
 
+    // binary token-shard sink round-trip: write word-length token ids
+    // through the GPT-style .bin/.idx sink, read them back, and reduce
+    // to a position-weighted integer checksum. The oracle computes the
+    // same checksum STRAIGHT from SQL with no sink involved — the
+    // hashes agree exactly iff the binary round-trip is faithful.
+    "q_token_shards" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q_token_shards").toString
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        expr("""transform(
+          filter(split(lower(coalesce(text, '')), '[^a-z0-9\']+'),
+                 x -> x != ''),
+          x -> CAST(least(length(x), 65535) AS INT))""").as("tokens"))
+      graft.sources.TokenShards.write(toks, "doc_id", "tokens", out,
+        "u16", numShards = 8)
+      graft.sources.TokenShards.read(s, out)
+        .select(col("seq_id").as("doc_id"),
+          posexplode_outer(col("tokens")).as(Seq("pos", "tok")))
+        .groupBy("doc_id")
+        .agg(count(col("tok")).as("n_tokens"),
+          coalesce(sum((col("pos") + 1).cast("long") * col("tok")
+            .cast("long")), lit(0L)).as("wsum"))
+    }),
+
     // domain-authority PageRank, 3 INTEGER-EXACT iterations (ppb fixed
     // point — long sums are order-independent, so the iterative ranks
     // replay exactly in SQL where floating-point PageRank could not).
@@ -1628,6 +1652,21 @@ object SparkEntry {
         |SELECT doc_id, CAST(rnk AS INT) AS rank, term AS keyword,
         |  round(tfidf, 4) AS tfidf
         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // the sink-free replay of the shard round-trip's checksum — all
+    // integers, so agreement is exact or the sink corrupted a byte
+    "q_token_shards" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')),
+        |      '[^a-z0-9'']+'), x -> x <> '') AS tk
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(list_sum(
+        |    list_transform(tk, (x, i) -> i * least(length(x), 65535))),
+        |    0) AS BIGINT) AS wsum
+        |FROM dd""".stripMargin,
 
     // the Spark loop's recurrence unrolled 3 iterations; every value is
     // a BIGINT (// is DuckDB integer division), so the replay is exact
