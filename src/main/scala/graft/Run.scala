@@ -29,6 +29,7 @@ import graft.sources.CorpusIO
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
+  *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -51,6 +52,12 @@ import graft.sources.CorpusIO
   * range-partitioned rank primitive — NOT orderBy().limit(k), whose
   * global-limit stage would funnel k rows through one task at corpus
   * scale.
+  * `--export-tokens <dir>` ships the kept corpus as GPT-style binary
+  * training shards ([[graft.sources.TokenShards]]): a top
+  * `--export-vocab` (default 60000) whitespace word vocabulary is
+  * counted, broadcast, and each kept doc encodes to u16 token ids in
+  * one narrow pass; `<dir>/vocab` holds the decode table and the run
+  * JSON gains a `token_export` ledger.
   *
   * Incremental crawl updates: `--write-sigs <dir>` stores the kept
   * docs' MinHash signature table (computed on the scrubbed text);
@@ -87,6 +94,16 @@ object Run {
   private[graft] def rowKey128(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column =
     md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
+
+  /** 64-bit sibling of [[rowKey128]] for consumers that need a LONG key
+    * (the token-shard idx stores 8-byte sequence ids). Same null-safe
+    * field framing; the narrower width is acceptable here because a
+    * collision only aliases two idx entries’ labels — nothing joins
+    * back on this key, so it cannot cross-contaminate rows. */
+  private[graft] def rowKey64(cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    xxhash64(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit(""))): _*))
 
   /** Cluster-level resource accounting for long runs (`--task-metrics`):
@@ -651,6 +668,49 @@ object Run {
       }
     }
 
+    // --export-tokens <dir>: the pipeline's last mile — ship the kept
+    // corpus as GPT-style binary training shards (sources.TokenShards).
+    // A whitespace word vocabulary over the SHIPPED text (top
+    // --export-vocab words by count, default 60000; id 0 = UNK, so the
+    // u16 dtype holds any vocab ≤ 65535) is built in one
+    // map-side-reducible count job, broadcast as an id map, and each
+    // kept doc encodes in one narrow pass. seq_id is the content hash
+    // of (url, warc_ts, scrubbed_text) — reproducible across runs; a
+    // corpus that shipped byte-identical pages (only possible with the
+    // dedup stages disabled) repeats ids in the idx, faithfully. The
+    // vocab table lands at <dir>/vocab as (token_id, word, cnt) parquet
+    // for the decode side.
+    var exportJson = ""
+    inPhase(spark, "export_tokens") { a.get("export-tokens").foreach { dir =>
+      val vocabK = a.get("export-vocab").map(_.toInt).getOrElse(60000)
+      require(vocabK >= 1 && vocabK <= 65535,
+        s"--export-vocab must be in [1, 65535] for u16 shards, got $vocabK")
+      val nShards = a.get("export-shards").map(_.toInt).getOrElse(64)
+      val keptDocs = persisted.filter(col("keep"))
+      val vocabRows = graft.analytics.TextAnalysis.vocabulary(
+        keptDocs, "scrubbed_text", minCount = 1L, topK = vocabK).collect()
+      val ids = vocabRows.iterator.zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (i + 1) }.toMap
+      val bcIds = spark.sparkContext.broadcast(ids)
+      val encUdf = udf((t: String) =>
+        if (t == null) Array.empty[Int]
+        else t.split("\\s+").iterator.filter(_.nonEmpty)
+          .map(w => bcIds.value.getOrElse(w, 0)).toArray)
+      val stats = graft.sources.TokenShards.write(
+        keptDocs.select(
+          rowKey64(col("url"), col("warc_ts"), col("scrubbed_text"))
+            .as("seq_id"),
+          encUdf(col("scrubbed_text")).as("tokens")),
+        "seq_id", "tokens", dir, "u16", nShards)
+      spark.createDataFrame(vocabRows.toSeq.zipWithIndex.map { case (r, i) =>
+        (i + 1, r.getString(0), r.getLong(1))
+      }).toDF("token_id", "word", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+      exportJson = s""","token_export":{"sequences":${
+        stats.map(_.sequences).sum},"tokens":${
+        stats.map(_.tokens).sum},"shards":${stats.length},"vocab":${ids.size}}"""
+    } }
+
     val byStage = inPhase(spark, "accounting") {
       persisted.groupBy("drop_stage").count()
         .collect().map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1))
@@ -679,7 +739,7 @@ object Run {
       }
       s""","task_metrics":${l.json}"""
     }.getOrElse("")
-    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}$tmJson}"""
+    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}$exportJson$tmJson}"""
 
     } finally {
       pins.foreach(_.unpersist(false))

@@ -56,6 +56,37 @@ class RunSpec extends SparkSpec {
     assert(hits == 300L, s"kept docs without any seed term: ${300 - hits}")
   }
 
+  test("--export-tokens ships decodable training shards for exactly the kept docs") {
+    val out = dir(); val shardDir = dir() + "/shards"
+    val json = Run.execute(spark, Map(
+      "synth" -> "800", "output" -> out, "repartition" -> "4",
+      "export-tokens" -> shardDir, "export-vocab" -> "5000",
+      "export-shards" -> "4"))
+    assert(json.contains("\"token_export\""), json)
+    val kept = spark.read.parquet(s"$out/kept")
+    val back = graft.sources.TokenShards.read(spark, shardDir)
+    assert(back.count() == kept.count())
+    // per-doc token COUNTS must equal the whitespace word counts of the
+    // shipped text, keyed by the same content hash the export used
+    val expect = kept.select(
+      Run.rowKey64(col("url"), col("warc_ts"), col("scrubbed_text"))
+        .as("seq_id"),
+      size(filter(split(col("scrubbed_text"), "\\s+"),
+        x => length(x) > 0)).cast("long").as("n"))
+    val got = back.select(col("seq_id"), size(col("tokens"))
+      .cast("long").as("n"))
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0)
+    // the vocab decode table round-trips the most frequent word: id 1
+    val vocab = spark.read.parquet(s"$shardDir/vocab")
+    assert(vocab.count() > 0 && vocab.filter(col("token_id") === 1).count() == 1)
+    val topWord = vocab.orderBy(col("cnt").desc, col("word"))
+      .head().getString(1)
+    assert(vocab.filter(col("token_id") === 1).head().getString(1) == topWord)
+    // every emitted token id is inside [0, vocab]
+    val maxId = back.select(max(array_max(col("tokens")))).head().getInt(0)
+    assert(maxId <= vocab.count())
+  }
+
   test("--minhash-salt-hot composes: selective salting is ledger-invariant") {
     // kernel CC-equivalence is pinned in SkewSpec; this pins the CLI
     // plumbing end-to-end — a threshold low enough that the planted
