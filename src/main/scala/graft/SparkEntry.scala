@@ -56,6 +56,18 @@ object SparkEntry {
   // string runs in DuckDB (oracle) and Spark (engine).
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
+  /** Oracle-parity quality score (shared by q_quality_score and the
+    * source-prior queries): length band × 5-stopword vote, 4 dp.
+    */
+  private def qscoreExpr: Column = {
+    val words = size(split(col("text"), "\\s+")).cast("double")
+    val stop = size(filter(split(lower(col("text")), "[^a-z']+"),
+      w => w.isInCollection(Seq("the", "of", "and", "to", "is"))))
+      .cast("double")
+    round(least(lit(1.0), words / 100.0) *
+      (lit(0.5) + least(lit(1.0), stop / 5.0) * 0.5), 4)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A2 partial+final aggregation (domain_statistic.py semantics)
     "q_agg_sum" -> ((s, dir) => t(s, dir, "lineitem")
@@ -286,6 +298,34 @@ object SparkEntry {
       analytics.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
+    // Boilerplate diagnostic: most-repeated word 3-gram shingles with
+    // occurrence + doc-frequency counts (MassiveText duplicated-lines
+    // analog at shingle granularity; deterministic total order)
+    "q_boilerplate" -> ((s, dir) =>
+      analytics.TextAnalysis.boilerplateShingles(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minOccurrences = 2L, topK = 100)),
+
+    // Corpus duplication statistic: fraction of 3-gram occurrences in
+    // shingles seen more than once anywhere (RefinedWeb §3.3 shape)
+    "q_dupgram_stats" -> ((s, dir) =>
+      analytics.TextAnalysis.duplicatedGramStats(t(s, dir, "documents"),
+        "text", n = 3)),
+
+    // Per-group quantile profile (exact percentile = DuckDB quantile_cont
+    // R-7 interpolation; the approx_percentile variant is the scale path)
+    "q_quantile_profile" -> ((s, dir) =>
+      analytics.Ranking.quantileProfile(t(s, dir, "documents"),
+        "lang", "n_chars", Seq(0.5, 0.9, 0.99))),
+
+    // Parquet small-file compaction round-trip: row set is invariant
+    "q_compact" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q_compact").toString
+      sources.CorpusIO.compactParquet(s, s"$dir/documents.parquet", out,
+        targetBytesPerFile = 64L * 1024)
+      s.read.parquet(out)
+    }),
+
     // Corpus profile: per-group column statistics (the pandas-describe
     // surface the reference's notebooks lean on; one partial+final agg)
     "q_corpus_profile" -> ((s, dir) => t(s, dir, "documents")
@@ -407,15 +447,22 @@ object SparkEntry {
     }),
 
     // Quality scoring: length saturation × stopword presence (oracle)
-    "q_quality_score" -> ((s, dir) => {
-      val words = size(split(col("text"), "\\s+")).cast("double")
-      val stop = size(filter(split(lower(col("text")), "[^a-z']+"),
-        w => w.isInCollection(Seq("the", "of", "and", "to", "is"))))
-        .cast("double")
-      t(s, dir, "documents").select(col("doc_id"),
-        round(least(lit(1.0), words / 100.0) *
-          (lit(0.5) + least(lit(1.0), stop / 5.0) * 0.5), 4).as("qscore"))
-    }),
+    "q_quality_score" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), qscoreExpr.as("qscore"))),
+
+    // Domain-level quality prior: per-source doc count + order-independent
+    // decimal mean score + keep flag (mean >= 0.37, >= 10 docs)
+    "q_source_prior" -> ((s, dir) =>
+      analytics.DomainStats.groupPrior(
+        t(s, dir, "documents").withColumn("qscore", qscoreExpr),
+        "source", "qscore", minMean = 0.37, minDocs = 10L)),
+
+    // Apply the prior: keep docs only from sources that pass it
+    "q_source_prior_filter" -> ((s, dir) =>
+      analytics.DomainStats.applyGroupPrior(
+        t(s, dir, "documents").withColumn("qscore", qscoreExpr),
+        "source", "qscore", minMean = 0.37, minDocs = 10L)
+        .select("doc_id", "source")),
 
     // BPE-ish token budget estimate (oracle)
     "q_bpe_estimate" -> ((s, dir) => t(s, dir, "documents")
@@ -1134,6 +1181,39 @@ object SparkEntry {
         |  AS qscore
         |FROM documents""".stripMargin,
 
+    "q_source_prior" ->
+      """WITH q AS (SELECT source,
+        |  round(least(1.0, len(string_split_regex(text, '\s+')) / 100.0) *
+        |  (0.5 + least(1.0,
+        |     len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |       x -> x IN ('the','of','and','to','is'))) / 5.0) * 0.5), 4)
+        |    AS qscore
+        |  FROM documents)
+        |SELECT source, docs, mean_score,
+        |  (docs >= 10 AND mean_score >= 0.37) AS keep
+        |FROM (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(round(sum(CAST(qscore AS DECIMAL(18,4))) / count(*), 4)
+        |          AS DOUBLE) AS mean_score
+        |      FROM q GROUP BY source)""".stripMargin,
+
+    "q_source_prior_filter" ->
+      """WITH q AS (SELECT doc_id, source,
+        |  round(least(1.0, len(string_split_regex(text, '\s+')) / 100.0) *
+        |  (0.5 + least(1.0,
+        |     len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |       x -> x IN ('the','of','and','to','is'))) / 5.0) * 0.5), 4)
+        |    AS qscore
+        |  FROM documents),
+        |ledger AS (SELECT source,
+        |    count(*) AS docs,
+        |    CAST(round(sum(CAST(qscore AS DECIMAL(18,4))) / count(*), 4)
+        |      AS DOUBLE) AS mean_score
+        |  FROM q GROUP BY source)
+        |SELECT doc_id, source FROM q
+        |WHERE source IN (SELECT source FROM ledger
+        |                 WHERE docs >= 10 AND mean_score >= 0.37)"""
+        .stripMargin,
+
     "q_bpe_estimate" ->
       """SELECT doc_id,
         |CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT)
@@ -1533,6 +1613,52 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE length(word) > 0 GROUP BY word)
         |WHERE cnt >= 5 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS shingle
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |        FROM documents)),
+        |per AS (SELECT shingle, doc_id, count(*) AS c
+        |        FROM sh GROUP BY shingle, doc_id)
+        |SELECT shingle, occurrences, doc_freq FROM (
+        |  SELECT shingle, CAST(sum(c) AS BIGINT) AS occurrences,
+        |         CAST(count(*) AS BIGINT) AS doc_freq
+        |  FROM per GROUP BY shingle)
+        |WHERE occurrences >= 2
+        |ORDER BY occurrences DESC, doc_freq DESC, shingle
+        |LIMIT 100""".stripMargin,
+
+    "q_dupgram_stats" ->
+      """WITH sh AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> array_to_string(w[i:i+2], ' '))
+        |    ELSE [] END) AS shingle
+        |  FROM (SELECT regexp_extract_all(text, '\S+') AS w
+        |        FROM documents)),
+        |cnt AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+        |SELECT CAST(sum(c) AS BIGINT) AS total_occurrences,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS dup_occurrences,
+        |  CAST(count(*) AS BIGINT) AS distinct_shingles,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / sum(c), 6) AS dup_fraction
+        |FROM cnt""".stripMargin,
+
+    "q_quantile_profile" ->
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_compact" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_corpus_profile" ->
       """SELECT lang, count(*) AS docs,

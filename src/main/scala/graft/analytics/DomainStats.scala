@@ -48,6 +48,40 @@ object DomainStats {
       .orderBy(col("ratio").desc, col("domain"))
   }
 
+  /** Per-group quality prior: document count and order-independent mean
+    * of a per-document score (decimal accumulation — double sums drift
+    * with partitioning), plus a keep flag gating on both a mean floor and
+    * a minimum sample size (a domain seen twice has no reliable prior).
+    * The domain-level statistical filter CommonCrawl-derived corpora run
+    * before any per-document model scoring: a consistently low-quality
+    * host predicts its unseen pages too.
+    *
+    * 100-TB shape: one partial+final aggregation to an O(#groups) ledger.
+    * At web scale #groups is registrable domains (~10^8) — still ledger-
+    * sized, never corpus-sized, but too big to assume broadcastable:
+    * [[applyGroupPrior]] therefore leaves join-strategy choice to AQE
+    * instead of forcing a broadcast.
+    */
+  def groupPrior(df: DataFrame, groupCol: String, scoreCol: String,
+                 minMean: Double, minDocs: Long = 1L): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"),
+        round(sum(col(scoreCol).cast("decimal(18,4)")) / count(lit(1)), 4)
+          .cast("double").as("mean_score"))
+      .withColumn("keep",
+        col("docs") >= minDocs && col("mean_score") >= minMean)
+
+  /** Apply [[groupPrior]]: keep only rows whose group passes the prior.
+    * Semi-join against the kept-group ledger; AQE picks broadcast when
+    * the ledger is small enough.
+    */
+  def applyGroupPrior(df: DataFrame, groupCol: String, scoreCol: String,
+                      minMean: Double, minDocs: Long = 1L): DataFrame =
+    df.join(
+      groupPrior(df, groupCol, scoreCol, minMean, minDocs)
+        .filter(col("keep")).select(col(groupCol)),
+      Seq(groupCol), "left_semi")
+
   /** Keep rows whose registrable domain is in `domains` — broadcast
     * semi-join for big lists, `isin` for small (filter_by_url.py P8/J2).
     */

@@ -161,4 +161,32 @@ object Ranking {
       .otherwise(rem +
         floor((rank - lit(1L) - rem * (q + lit(1L))) / q).cast("long") + 1L)
   }
+
+  /** Per-group quantile profile of a numeric column — the distribution
+    * summary (p50/p90/p99 of doc length, token count, perplexity…) read
+    * before choosing filter cut-offs. `exact = true` uses Spark's exact
+    * `percentile` (R-7 linear interpolation, matching DuckDB
+    * `quantile_cont` — oracle parity); its per-group sorted buffer is
+    * fine up to ~10^8 rows per group. At full corpus scale pass
+    * `exact = false` for `approx_percentile` (bounded-memory t-digest
+    * sketch, mergeable map-side — the 100-TB path; no SQL oracle, which
+    * is why the driver query pins the exact form).
+    */
+  def quantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                      exact: Boolean = true,
+                      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantileProfile: percentiles must be in [0,1], got $ps")
+    val aggs = ps.map { p =>
+      // name via decimal string, not p*100 (0.99*100 = 98.999… in binary)
+      val name = "p" + (BigDecimal(p.toString) * 100)
+        .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+      val c =
+        if (exact) percentile(col(valueCol), lit(p))
+        else percentile_approx(col(valueCol), lit(p), lit(accuracy))
+      round(c.cast("double"), 4).as(name)
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -108,4 +108,72 @@ object TextAnalysis {
     val ordered = counts.orderBy(col("cnt").desc, col("word"))
     if (topK > 0) ordered.limit(topK) else ordered
   }
+
+  /** All word `n`-gram shingles of a text, repeats INCLUDED — the
+    * occurrence-counting sibling of [[NearDup.shingleSet]] (which
+    * de-duplicates for Jaccard). Pure Column: `regexp_extract_all`
+    * tokens, sliding windows via `transform(sequence(...))`; documents
+    * shorter than `n` words yield the empty list.
+    */
+  def shingleAll(textCol: Column, n: Int): Column = {
+    val words = regexp_extract_all(textCol, lit("\\S+"), lit(0))
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-wide boilerplate report: the most-repeated word `n`-gram
+    * shingles with their total occurrence count and document frequency —
+    * the MassiveText/RefinedWeb "most duplicated lines" diagnostic
+    * (Rae et al. 2021 §A.2; Penedo et al. 2023 §3.3) adapted to shingles
+    * so it also catches templated text that never shares full lines.
+    * Deterministic total order: (occurrences desc, doc_freq desc,
+    * shingle asc) — the top-K cut never depends on partitioning.
+    *
+    * 100-TB shape: two-level aggregation. The first `groupBy(shingle,
+    * doc)` collapses within-doc repeats behind a map-side combine, so the
+    * exchange carries distinct (shingle, doc) pairs, not raw occurrences;
+    * the second `groupBy(shingle)` reduces to vocabulary-of-shingles size
+    * before the final top-K, which Spark plans as TakeOrderedAndProject
+    * (no global sort materialization). Nothing corpus-sized survives
+    * past the first combine.
+    */
+  def boilerplateShingles(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, n: Int = 3,
+                          minOccurrences: Long = 2L,
+                          topK: Int = 100): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("_bp_id"),
+        explode(shingleAll(col(textCol), n)).as("shingle"))
+      .groupBy("shingle", "_bp_id").agg(count(lit(1)).as("_c"))
+      .groupBy("shingle")
+      .agg(sum("_c").as("occurrences"), count(lit(1)).as("doc_freq"))
+      .filter(col("occurrences") >= minOccurrences)
+      .orderBy(col("occurrences").desc, col("doc_freq").desc, col("shingle"))
+      .limit(topK)
+
+  /** Corpus duplication statistic: what fraction of all word `n`-gram
+    * occurrences belong to shingles that occur more than once anywhere in
+    * the corpus (within-doc repeats count — RefinedWeb's
+    * characters-in-duplicated-n-grams semantics, Penedo et al. 2023 §3.3,
+    * at occurrence granularity). One row: total / duplicated occurrence
+    * counts, distinct shingle count, and the duplicated fraction. The
+    * number operators watch to decide whether a span-dedup pass is worth
+    * scheduling on a new crawl slice.
+    *
+    * 100-TB shape: explode → one combined `groupBy(shingle)` count (map-
+    * side combine reduces to shingle-vocabulary size) → a single final
+    * aggregate row. No joins, no window, nothing collected.
+    */
+  def duplicatedGramStats(df: org.apache.spark.sql.DataFrame,
+                          textCol: String,
+                          n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(explode(shingleAll(col(textCol), n)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("_c"))
+      .agg(sum("_c").as("total_occurrences"),
+        sum(when(col("_c") > 1, col("_c")).otherwise(0L))
+          .as("dup_occurrences"),
+        count(lit(1)).as("distinct_shingles"),
+        round(sum(when(col("_c") > 1, col("_c")).otherwise(0L))
+          .cast("double") / sum("_c"), 6).as("dup_fraction"))
 }

@@ -213,6 +213,34 @@ object CorpusIO {
     w.saveAsTable(table)
   }
 
+  /** Small-file compaction for a parquet directory — the maintenance
+    * pass every long-running ingestion needs: streaming sinks,
+    * incremental appends and over-parallel writes leave directories of
+    * KB-scale files whose per-file open/footer cost dominates scans and
+    * whose listing cost explodes the driver at 10^6+ files. Sizes the
+    * output file count from the ACTUAL on-disk bytes (one Hadoop
+    * ContentSummary call — no count() job over the data) and rewrites
+    * with a round-robin repartition so output files land uniformly
+    * target-sized. The row SET is preserved exactly (CorpusIOSpec pin +
+    * the q_compact oracle round-trip); row ORDER is not a property a
+    * parquet directory has. Writes to a NEW directory — the atomic
+    * swap/rename is the caller's deployment concern (object stores
+    * differ on rename semantics). Returns the output file count.
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytesPerFile: Long = 512L * 1024 * 1024): Int = {
+    require(targetBytesPerFile > 0,
+      s"targetBytesPerFile must be positive, got $targetBytesPerFile")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L,
+      (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** F10 filename sanitize (utils.py:22-25 `clean_filename`): keep
     * letters, digits, '.' and '_'; drop everything else. The reference
     * uses Python `str.isalnum`, which is Unicode-aware —

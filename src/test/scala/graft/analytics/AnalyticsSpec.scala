@@ -409,6 +409,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.rollingFingerprint("same words here") ==
       TextAnalysis.rollingFingerprint("same words here"))
   }
+
+  test("boilerplate shingle report counts occurrences and doc frequency") {
+    // "a b c" occurs 3x across 2 docs (twice in doc 1); "b c d" once.
+    val df = Seq(
+      (1L, "a b c a b c d"),   // shingles: a b c, b c a, c a b, a b c, b c d
+      (2L, "a b c x"),         // a b c, b c x
+      (3L, "zz")               // < n words -> no shingles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .boilerplateShingles(df, "doc_id", "text", n = 3,
+        minOccurrences = 2L, topK = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("a b c", 3L, 2L)))
+    // report is a pure function of the row set, not its partitioning
+    val re = TextAnalysis.boilerplateShingles(df.repartition(7), "doc_id",
+      "text", n = 3, minOccurrences = 2L, topK = 10)
+      .as[(String, Long, Long)].collect()
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("duplicated-gram stats match a hand computation") {
+    // total 3-gram occurrences: doc1 has 5, doc2 has 2, doc3 has 0 -> 7.
+    // "a b c" count 3 (duplicated); every other shingle count 1.
+    val df = Seq(
+      (1L, "a b c a b c d"), (2L, "a b c x"), (3L, "zz")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.duplicatedGramStats(df, "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((7L, 3L, 5L, 0.428571)))  // round(3/7, 6)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -776,6 +806,29 @@ class DomainStatsSpec extends SparkSpec {
       .count() == 1)
     assert(DomainStats.excludeDomains(df, "url", Seq("drop.com"))
       .select("url").as[String].head() == "https://keep.com/1")
+  }
+
+  test("group prior gates on mean floor and sample size; filter applies it") {
+    val df = Seq(
+      ("good", 0.9), ("good", 0.7),        // mean 0.8, 2 docs -> keep
+      ("bad", 0.1), ("bad", 0.2),          // mean 0.15 < 0.5  -> drop
+      ("thin", 0.99)                       // 1 doc < minDocs  -> drop
+    ).toDF("src", "score")
+    val ledger = DomainStats.groupPrior(df, "src", "score",
+        minMean = 0.5, minDocs = 2L)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ledger("good") == (("good", 2L, 0.8, true)))
+    assert(ledger("bad") == (("bad", 2L, 0.15, false)))
+    assert(ledger("thin") == (("thin", 1L, 0.99, false)))
+    val kept = DomainStats.applyGroupPrior(df, "src", "score", 0.5, 2L)
+      .select("src").as[String].collect()
+    assert(kept.length == 2 && kept.forall(_ == "good"))
+    // mean is decimal-accumulated: partitioning cannot change the ledger
+    val re = DomainStats.groupPrior(df.repartition(5), "src", "score",
+        minMean = 0.5, minDocs = 2L)
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(re == ledger.values.toSet)
   }
 }
 

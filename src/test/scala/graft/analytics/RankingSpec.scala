@@ -96,6 +96,27 @@ class RankingSpec extends SparkSpec {
       Ranking.rankInGroup(df, Seq("grp"), Seq("score", "id"), "score")
     }
   }
+
+  test("quantileProfile matches R-7 interpolation by hand; approx close") {
+    import spark.implicits._
+    // group a: values 1..5 -> p50 = 3, p90 = 0.9*(5-1)+1 = 4.6
+    // group b: values 10, 20 -> p50 = 15, p90 = 19
+    val df = (Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) ++
+      Seq(("b", 10.0), ("b", 20.0))).toDF("grp", "v")
+    val got = Ranking.quantileProfile(df, "grp", "v", Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, p50, p90) => k -> ((p50, p90)) }.toMap
+    assert(got("a") == ((3.0, 4.6)))
+    assert(got("b") == ((15.0, 19.0)))
+    assert(Ranking.quantileProfile(df, "grp", "v", Seq(0.99))
+      .columns.toSeq == Seq("grp", "p99"))
+    val approx = Ranking.quantileProfile(df, "grp", "v", Seq(0.5),
+      exact = false).as[(String, Double)].collect().toMap
+    assert(math.abs(approx("a") - 3.0) <= 1.0)
+    intercept[IllegalArgumentException] {
+      Ranking.quantileProfile(df, "grp", "v", Seq(1.5))
+    }
+  }
 }
 
 class CcNetSpec extends SparkSpec {

@@ -191,4 +191,32 @@ class CorpusIOSpec extends SparkSpec {
     assert(stages.size >= 2, s"expected multiple drop stages, got $stages")
     result.unpersist()
   }
+
+  test("compactParquet collapses small files, preserves the row set") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = (1 to 2000).map(i => (i.toLong, s"doc body number $i"))
+      .toDF("id", "text")
+    df.repartition(40).write.parquet(s"$dir/small")
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small") == 40)
+    // generous target -> everything fits in one file
+    val n1 = CorpusIO.compactParquet(spark, s"$dir/small",
+      s"$dir/one", 1L << 30)
+    assert(n1 == 1 && parquetFiles(s"$dir/one") == 1)
+    assert(spark.read.parquet(s"$dir/one").as[(Long, String)]
+      .collect().toSet == df.as[(Long, String)].collect().toSet)
+    // tight target -> several files, still the same row set
+    val bytes = new java.io.File(s"$dir/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n2 = CorpusIO.compactParquet(spark, s"$dir/small",
+      s"$dir/few", math.max(1L, bytes / 4))
+    assert(n2 >= 2 && parquetFiles(s"$dir/few") == n2)
+    assert(spark.read.parquet(s"$dir/few").as[(Long, String)]
+      .collect().toSet == df.as[(Long, String)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      CorpusIO.compactParquet(spark, s"$dir/small", s"$dir/bad", 0L)
+    }
+  }
 }
