@@ -131,26 +131,50 @@ object TextAnalysis {
     * Deterministic total order: (occurrences desc, doc_freq desc,
     * shingle asc) — the top-K cut never depends on partitioning.
     *
-    * 100-TB shape: two-level aggregation. The first `groupBy(shingle,
-    * doc)` collapses within-doc repeats behind a map-side combine, so the
-    * exchange carries distinct (shingle, doc) pairs, not raw occurrences;
-    * the second `groupBy(shingle)` reduces to vocabulary-of-shingles size
-    * before the final top-K, which Spark plans as TakeOrderedAndProject
-    * (no global sort materialization). Nothing corpus-sized survives
-    * past the first combine.
+    * 100-TB shape — measured at 2M docs / 200M shingle occurrences
+    * (BENCH.md): exact doc_freq needs a `groupBy(shingle, doc)` whose
+    * keys are ~all distinct (within-doc repeats are rare), so its
+    * map-side combine cannot reduce ROWS — the exchange carries one row
+    * per occurrence. The exact path therefore narrows the WIDTH instead
+    * (doc id → xxhash64 long before the shuffle; doc_freq then counts
+    * distinct 64-bit ids — collision odds n²/2^65 per shingle,
+    * immaterial below ~10^9 docs sharing one shingle). The second
+    * `groupBy(shingle)` reduces to shingle-vocabulary size and the
+    * top-K plans as TakeOrderedAndProject (no global sort). At full
+    * corpus scale pass `approxDocFreq = true`: ONE `groupBy(shingle)`
+    * pass where occurrences count-combines and doc_freq rides an HLL
+    * sketch (`approx_count_distinct`, mergeable map-side) — the
+    * exchange shrinks from per-occurrence to per-distinct-shingle
+    * (measured at 2M docs / 200M occurrences: 776 s naive exact → 595 s
+    * hash-narrowed exact → 242 s single-shuffle approx, identical
+    * occurrence ranking; the gap widens with corpus size). No SQL
+    * oracle for the sketch, which is why the driver query pins the
+    * exact form.
     */
   def boilerplateShingles(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, n: Int = 3,
                           minOccurrences: Long = 2L,
-                          topK: Int = 100): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("_bp_id"),
-        explode(shingleAll(col(textCol), n)).as("shingle"))
-      .groupBy("shingle", "_bp_id").agg(count(lit(1)).as("_c"))
-      .groupBy("shingle")
-      .agg(sum("_c").as("occurrences"), count(lit(1)).as("doc_freq"))
+                          topK: Int = 100,
+                          approxDocFreq: Boolean = false,
+                          rsd: Double = 0.02): org.apache.spark.sql.DataFrame = {
+    val exploded = df.select(col(idCol).as("_bp_id"),
+      explode(shingleAll(col(textCol), n)).as("shingle"))
+    val counts =
+      if (approxDocFreq)
+        exploded.groupBy("shingle")
+          .agg(count(lit(1)).as("occurrences"),
+            approx_count_distinct(col("_bp_id"), rsd).as("doc_freq"))
+      else
+        exploded
+          .groupBy(col("shingle"), xxhash64(col("_bp_id")).as("_d"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy("shingle")
+          .agg(sum("_c").as("occurrences"), count(lit(1)).as("doc_freq"))
+    counts
       .filter(col("occurrences") >= minOccurrences)
       .orderBy(col("occurrences").desc, col("doc_freq").desc, col("shingle"))
       .limit(topK)
+  }
 
   /** Corpus duplication statistic: what fraction of all word `n`-gram
     * occurrences belong to shingles that occur more than once anywhere in

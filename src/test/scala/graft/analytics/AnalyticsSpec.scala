@@ -427,6 +427,11 @@ class TextAnalysisSpec extends SparkSpec {
       "text", n = 3, minOccurrences = 2L, topK = 10)
       .as[(String, Long, Long)].collect()
     assert(re.toSeq == got.toSeq)
+    // the single-shuffle HLL scale path agrees at small cardinality
+    val ap = TextAnalysis.boilerplateShingles(df, "doc_id", "text", n = 3,
+      minOccurrences = 2L, topK = 10, approxDocFreq = true)
+      .as[(String, Long, Long)].collect()
+    assert(ap.toSeq == got.toSeq)
   }
 
   test("duplicated-gram stats match a hand computation") {
