@@ -218,6 +218,17 @@ object Run {
       sys.error("--dsir-target and --dsir-keep must be used together")
     if (a.contains("bm25-terms") != a.contains("bm25-keep"))
       sys.error("--bm25-terms and --bm25-keep must be used together")
+    if (a.contains("minhash-salt-hot")) {
+      // selective salting only exists inside the salted path: without a
+      // bucket count > 1 the threshold would silently no-op, and the skew
+      // mitigation the caller explicitly requested would never run
+      if (a.get("minhash-salt").forall(_.toInt <= 1))
+        sys.error("--minhash-salt-hot requires --minhash-salt <buckets> " +
+          "with buckets > 1")
+      if (a("minhash-salt-hot").toLong <= 1)
+        sys.error("--minhash-salt-hot must be > 1 (a band group of 1 " +
+          "member produces no join work to salt)")
+    }
     val spark = SparkSession.builder()
       .appName("graft-corpus-pipeline")
       .config("spark.sql.adaptive.enabled", "true")

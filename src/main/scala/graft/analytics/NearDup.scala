@@ -183,13 +183,12 @@ object NearDup {
     * `transform(sequence(...))`, de-duplicated with `array_distinct`.
     * Documents shorter than `n` words yield the empty set.
     */
-  def shingleSet(textCol: Column, n: Int): Column = {
-    val words = regexp_extract_all(textCol, lit("\\S+"), lit(0))
-    when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingleSet(textCol: Column, n: Int): Column =
+    // single source of truth for shingle construction: the occurrence
+    // (non-distinct) form lives in TextAnalysis.shingleAll; diverging
+    // tokenizations would silently desynchronize Jaccard decontamination
+    // from the boilerplate/duplication diagnostics
+    array_distinct(TextAnalysis.shingleAll(textCol, n))
 
   /** Exact n-gram Jaccard decontamination against a SMALL reference set:
     * per corpus doc, the max Jaccard similarity of its distinct-shingle

@@ -84,7 +84,10 @@ object Relevance {
     val row = tk.agg(statAggs.head, statAggs.tail: _*).head()
     val n = row.getLong(0)
     require(n > 0, "bm25: empty corpus")
-    val avgdl = row.getDouble(1)
+    // avgdl = 0 (every doc tokenizes empty) would make dl/avgdl = 0/0 =
+    // NaN and poison every score; any positive stand-in keeps the
+    // documented contract — dl is 0 wherever avgdl is, tf is 0, score 0.0
+    val avgdl = { val a = row.getDouble(1); if (a > 0.0) a else 1.0 }
     val idf = terms.indices.map { i =>
       val df = row.getLong(2 + i)
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))

@@ -86,8 +86,15 @@ object Similarity {
     val dv = col(vecCol).cast("array<double>")
     corpus.crossJoin(broadcast(refRow))
       .withColumn("_an", sqrt(dotc(dv, dv)))
+      // zero-norm guard on BOTH sides: 0/0 = NaN, and NaN >= minSim is
+      // TRUE under Spark's NaN-greatest ordering — an all-zero vector
+      // (e.g. the hashed embedding of an empty doc) would flag the whole
+      // corpus contaminated. Incomparable pairs score 0.0, matching the
+      // jaccardAgainst / SemDedup convention.
       .withColumn(simCol, round(array_max(transform(col("_refs"),
-        r => dotc(dv, r("v")) / (col("_an") * r("n")))), 4))
+        r => when(col("_an") > 0.0 && r("n") > 0.0,
+          dotc(dv, r("v")) / (col("_an") * r("n"))).otherwise(lit(0.0)))),
+        4))
       .withColumn(flagCol, col(simCol) >= minSim)
       .drop("_refs", "_an")
   }

@@ -316,8 +316,10 @@ object MinHash {
     * membership exceeds `hotThreshold` are salt-split; every cold group
     * takes the plain star-reduction join. The group-size aggregation is
     * the SAME one the unsalted path already runs (min + count per band
-    * group), so against [[candidateEdges]] the only extra cost is the
-    * hot-key collect (bounded, tiny) and the re-grouping of the hot
+    * group) and is materialized once for its two consumers (hot-key
+    * collect + cold-join build side), so against [[candidateEdges]] the
+    * extra cost is that bounded collect, the one materialization of the
+    * duplicates-sized counts table, and the re-grouping of the hot
     * rows themselves — at 100 TB that is the difference between
     * re-shuffling the whole signature table (full salting, +57% shuffle
     * on the r4 10M stress) and re-shuffling one mega-cluster's rows.
@@ -329,9 +331,14 @@ object MinHash {
                               hotThreshold: Long): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
     require(hotThreshold > 1, "hotThreshold must be > 1")
-    val counts = sigs.groupBy("band_id", "band_hash")
-      .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1)
+    // materialized, because TWO consumers follow — the hot-key collect
+    // action and the cold join's build side. Unmaterialized, the full
+    // groupBy over the corpus-sized sigs would run twice; the counts
+    // table itself is O(duplicate band groups), far smaller than sigs
+    val counts = graft.SparkUtil.materialize(
+      sigs.groupBy("band_id", "band_hash")
+        .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1))
     val hotKeys: Array[Long] = counts
       .filter(col("cnt") > hotThreshold)
       .orderBy(col("cnt").desc, col("band_id"), col("band_hash"))

@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
   *     last-resort mapPartitions case: a byte-exact binary sink has
   *     no declarative form.
   *   - Executors open the destination through the Hadoop FileSystem
-  *     API (fresh `Configuration()` — classpath core-site on a real
-  *     cluster, local FS in tests), the same route the WARC reader
-  *     takes in (CorpusIO.scala:91).
+  *     API with the SESSION's Hadoop configuration (shipped into the
+  *     task closure as key/value pairs — Configuration itself is not
+  *     serializable), so spark.hadoop.* settings like object-store
+  *     credentials reach the shard writes exactly as they reach every
+  *     other sink.
   *   - Token range is validated LOUDLY against the dtype width as it
   *     streams — a u16 overflow fails the task with the offending
   *     seq_id, never wraps silently.
@@ -86,6 +88,19 @@ object TokenShards {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions("shard", "seq_id")
 
+    // ship the SESSION's Hadoop conf to the write tasks as plain pairs
+    // (Configuration is not serializable): a bare new Configuration()
+    // on the executor would drop every spark.hadoop.* session setting —
+    // object-store credentials/endpoints configured via SparkConf would
+    // vanish for the shard writes while the driver-side manifest write
+    // (which uses sparkContext.hadoopConfiguration) kept them
+    val hadoopKv: Array[(String, String)] = {
+      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+
     val stats = prepared.queryExecution.toRdd.mapPartitions { rows =>
       // InternalRow iteration keeps the hot loop allocation-light
       val out = scala.collection.mutable.ArrayBuffer.empty[ShardStat]
@@ -115,8 +130,11 @@ object TokenShards {
         val shard = r.getLong(2)
         if (shard != cur) {
           closeShard()
-          if (fs == null)
-            fs = new Path(dir).getFileSystem(new Configuration())
+          if (fs == null) {
+            val conf = new Configuration(false)
+            hadoopKv.foreach { case (k, v) => conf.set(k, v) }
+            fs = new Path(dir).getFileSystem(conf)
+          }
           bin = new DataOutputStream(new java.io.BufferedOutputStream(
             fs.create(new Path(s"$dir/part-$shard.bin"), true), 1 << 16))
           cur = shard

@@ -100,6 +100,21 @@ class RunSpec extends SparkSpec {
       s"selective salting changed the stage ledger:\n$json0\n$json1")
   }
 
+  test("argv validation: --minhash-salt-hot alone or with value <= 1 " +
+    "fails loudly before any session work") {
+    val noSalt = intercept[RuntimeException] {
+      Run.main(Array("--output", "/tmp/x", "--minhash-salt-hot", "1000"))
+    }
+    assert(noSalt.getMessage.contains("--minhash-salt"),
+      s"error must name the missing flag: ${noSalt.getMessage}")
+    val badVal = intercept[RuntimeException] {
+      Run.main(Array("--output", "/tmp/x", "--minhash-salt", "8",
+        "--minhash-salt-hot", "1"))
+    }
+    assert(badVal.getMessage.contains("--minhash-salt-hot"),
+      s"error must name the offending flag: ${badVal.getMessage}")
+  }
+
   test("--task-metrics reports aggregated task accounting in the JSON line") {
     val out = dir()
     val json = Run.execute(spark, Map(

@@ -44,6 +44,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosineAgainst: zero-norm vectors score 0.0, never NaN-contaminate") {
+    // a zero REF vector must not flag the whole corpus (0/0 = NaN and
+    // NaN >= minSim is true under Spark's NaN-greatest ordering)
+    val corpus = Seq((1L, vec(1, 0, 0)), (2L, vec(0, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val ref = Seq(Tuple1(vec(0, 0, 0)), Tuple1(vec(0, 1, 0)))
+      .toDF("embedding")
+    val got = Similarity
+      .cosineAgainst(corpus, ref, "vec_id", "embedding", minSim = 0.5)
+      .select("vec_id", "max_ref_sim", "is_contaminated")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0.0, false)))  // orthogonal to the only live ref
+    assert(got(1) == ((2L, 0.0, false)))  // zero corpus vector: incomparable
+  }
+
   test("lsh near-pairs recover planted high-similarity pairs") {
     val rng = new java.util.SplittableRandom(5)
     val base = Array.fill(64)(rng.nextGaussian())

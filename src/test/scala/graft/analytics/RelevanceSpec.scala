@@ -168,4 +168,12 @@ class RelevanceSpec extends SparkSpec {
       Relevance.bm25(df.limit(0), "doc_id", "text", terms)
     }
   }
+
+  test("all-empty-token corpus scores 0.0, never NaN (avgdl = 0 guard)") {
+    val df = Seq((1L, ""), (2L, "!!! ???"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Relevance.bm25(df, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 3 && got.values.forall(_ == 0.0), s"got $got")
+  }
 }
