@@ -311,6 +311,19 @@ object SparkEntry {
       analytics.TextAnalysis.duplicatedGramStats(t(s, dir, "documents"),
         "text", n = 3)),
 
+    // Within-doc line dedup (dolma dedupe-paragraphs): synthesize
+    // 5-word lines, replant line 1 at the end, keep first occurrences
+    "q_line_dedup_doc" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nLines = ceil(size(words).cast("double") / 5.0).cast("int")
+      val lines = transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(words, i * 5 + 1, lit(5))))
+      val withDup = concat(lines, slice(lines, 1, 1))
+      t(s, dir, "documents").select(col("doc_id"),
+        dedup.SpanDedup.dedupLinesWithinDoc(concat_ws("\n", withDup))
+          .as("deduped"))
+    }),
+
     // Per-group quantile profile (exact percentile = DuckDB quantile_cont
     // R-7 interpolation; the approx_percentile variant is the scale path)
     "q_quantile_profile" -> ((s, dir) =>
@@ -1649,6 +1662,19 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
         |    / sum(c), 6) AS dup_fraction
         |FROM cnt""".stripMargin,
+
+    "q_line_dedup_doc" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |l AS (SELECT doc_id,
+        |        list_transform(range(0, CAST(ceil(len(words)/5.0) AS INT)),
+        |          i -> array_to_string(words[i*5+1:i*5+5], ' ')) AS lines
+        |      FROM w),
+        |d AS (SELECT doc_id, list_concat(lines, lines[1:1]) AS lns FROM l)
+        |SELECT doc_id, array_to_string(
+        |  list_filter(lns, (x, i) -> list_position(lns, x) = i),
+        |  chr(10)) AS deduped
+        |FROM d""".stripMargin,
 
     "q_quantile_profile" ->
       """SELECT lang,

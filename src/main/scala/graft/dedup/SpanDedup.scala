@@ -180,6 +180,23 @@ object SpanDedup {
       s => graft.text.TextStats.countWords(s) >= minWords,
       "\n")
 
+  /** WITHIN-document line dedup — the dolma `dedupe-paragraphs` /
+    * RefinedWeb intra-doc repetition scrub: keep the FIRST occurrence
+    * of each line inside a document, drop its repeats (templated pages
+    * repeat nav/footer blocks several times in one page). Pure Column —
+    * `array_distinct` preserves first-occurrence order (pinned in
+    * SpanDedupSpec) — so the pass is narrow, zero-shuffle, zero-UDF:
+    * nothing about it changes at any corpus size. The CROSS-document
+    * form (one doc keeps the line corpus-wide) is
+    * [[removeDuplicateLines]]; this one never looks outside the row.
+    * Lines split/rejoin with "\n"; no eligibility floor — within one
+    * document a repeated short line ("home") is just as much template
+    * noise as a long one.
+    */
+  def dedupLinesWithinDoc(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat_ws("\n", array_distinct(split(textCol, "\n", -1)))
+
   /** Per-word FNV-1a then polynomial rolling combine over every SLIDING
     * n-word window — O(words) total, vs O(words × n) for re-hashing
     * each window's characters. Index i = hash of words [i, i+n).

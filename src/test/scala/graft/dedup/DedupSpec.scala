@@ -280,6 +280,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(out2(1L) == s"First doc one. First doc two. $block")
     assert(out2(2L) == "Second doc one. Second doc two.")
   }
+
+  test("within-doc line dedup keeps first occurrences in order; idempotent") {
+    val df = Seq(
+      (1L, "nav bar\nbody text\nnav bar\nfooter\nbody text"),
+      (2L, "only line"),
+      (3L, "a\n\nb\n\na")  // empty lines dedup like any line
+    ).toDF("doc_id", "text")
+    val once = df.select($"doc_id",
+      SpanDedup.dedupLinesWithinDoc($"text").as("t"))
+    val got = once.as[(Long, String)].collect().toMap
+    assert(got(1L) == "nav bar\nbody text\nfooter")
+    assert(got(2L) == "only line")
+    assert(got(3L) == "a\n\nb")
+    // idempotence: a deduped doc passes through unchanged
+    val twice = once.select($"doc_id",
+      SpanDedup.dedupLinesWithinDoc($"t").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == got)
+  }
 }
 
 class MinHashSpec extends SparkSpec {
