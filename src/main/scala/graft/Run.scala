@@ -30,6 +30,7 @@ import graft.sources.CorpusIO
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
   *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
+  *     [--compact-target <bytes>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -218,6 +219,13 @@ object Run {
       sys.error("--dsir-target and --dsir-keep must be used together")
     if (a.contains("bm25-terms") != a.contains("bm25-keep"))
       sys.error("--bm25-terms and --bm25-keep must be used together")
+    if (a.contains("compact-target")) {
+      if (a("compact-target").toLong <= 0)
+        sys.error("--compact-target must be a positive byte count")
+      if (a.get("out-format").exists(_ != "parquet"))
+        sys.error("--compact-target requires --out-format parquet " +
+          "(jsonl sinks are compacted by targetRowsPerFile at write time)")
+    }
     if (a.contains("minhash-salt-hot")) {
       // selective salting only exists inside the salted path: without a
       // bucket count > 1 the threshold would silently no-op, and the skew
@@ -722,6 +730,27 @@ object Run {
         stats.map(_.tokens).sum},"shards":${stats.length},"vocab":${ids.size}}"""
     } }
 
+    // --compact-target <bytes>: post-sink small-file maintenance — rewrite
+    // the kept output into target-sized parquet files (file count derived
+    // from actual on-disk bytes), then swap directories. The rename swap
+    // is atomic on posix/HDFS; object-store deployments should orchestrate
+    // a copy-then-flip around CorpusIO.compactParquet instead.
+    var compactJson = ""
+    a.get("compact-target").foreach { tStr =>
+      inPhase(spark, "compact") {
+        val keptDir = s"$out/kept"
+        val tmpDir = s"$out/_kept_compact"
+        val n = CorpusIO.compactParquet(spark, keptDir, tmpDir, tStr.toLong)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(keptDir), true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
+          new org.apache.hadoop.fs.Path(keptDir)),
+          s"compact: rename $tmpDir -> $keptDir failed")
+        compactJson = s""","compact_files":$n"""
+      }
+    }
+
     val byStage = inPhase(spark, "accounting") {
       persisted.groupBy("drop_stage").count()
         .collect().map(r => Option(r.getString(0)).getOrElse("kept") -> r.getLong(1))
@@ -750,7 +779,7 @@ object Run {
       }
       s""","task_metrics":${l.json}"""
     }.getOrElse("")
-    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}$exportJson$tmJson}"""
+    f"""{"docs_in":$total,"kept":$kept,"wall_sec":$wall%.1f,"docs_per_sec":${total / wall}%.0f,"partitions":${metrics.partitionsProcessed.value},"skew_factor":${metrics.skewFactor}%.2f,"stages":{$stagesJson}$exportJson$compactJson$tmJson}"""
 
     } finally {
       pins.foreach(_.unpersist(false))

@@ -100,6 +100,18 @@ class RunSpec extends SparkSpec {
       s"selective salting changed the stage ledger:\n$json0\n$json1")
   }
 
+  test("--compact-target collapses the kept output, preserving rows") {
+    val out = dir()
+    val json = Run.execute(spark, Map(
+      "synth" -> "2000", "output" -> out, "repartition" -> "8",
+      "compact-target" -> (64L * 1024 * 1024).toString))
+    val files = new java.io.File(s"$out/kept").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, got $files")
+    assert(json.contains("\"compact_files\":1"), json)
+    assert(spark.read.parquet(s"$out/kept").count() == stages(json)("kept"))
+  }
+
   test("argv validation: --minhash-salt-hot alone or with value <= 1 " +
     "fails loudly before any session work") {
     val noSalt = intercept[RuntimeException] {
