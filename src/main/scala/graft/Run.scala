@@ -740,13 +740,25 @@ object Run {
       inPhase(spark, "compact") {
         val keptDir = s"$out/kept"
         val tmpDir = s"$out/_kept_compact"
+        val oldDir = s"$out/_kept_precompact"
         val n = CorpusIO.compactParquet(spark, keptDir, tmpDir, tStr.toLong)
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(keptDir), true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmpDir),
-          new org.apache.hadoop.fs.Path(keptDir)),
-          s"compact: rename $tmpDir -> $keptDir failed")
+        def p(s: String) = new org.apache.hadoop.fs.Path(s)
+        // swap order never leaves the run without a kept/ recoverable in
+        // ONE rename: aside old, install new, only then delete the old.
+        // A crash between the renames strands data only in underscore
+        // dirs Spark readers skip — but the original survives intact at
+        // _kept_precompact; delete-then-rename would have destroyed it
+        fs.delete(p(oldDir), true) // stale leftover from a crashed run
+        require(fs.rename(p(keptDir), p(oldDir)),
+          s"compact: rename $keptDir -> $oldDir failed; output unchanged")
+        if (!fs.rename(p(tmpDir), p(keptDir))) {
+          fs.rename(p(oldDir), p(keptDir)) // roll back, keep the original
+          sys.error(s"compact: rename $tmpDir -> $keptDir failed; " +
+            "original kept/ restored")
+        }
+        fs.delete(p(oldDir), true)
         compactJson = s""","compact_files":$n"""
       }
     }

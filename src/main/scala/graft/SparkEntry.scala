@@ -314,7 +314,11 @@ object SparkEntry {
     // Within-doc line dedup (dolma dedupe-paragraphs): synthesize
     // 5-word lines, replant line 1 at the end, keep first occurrences
     "q_line_dedup_doc" -> ((s, dir) => {
-      val words = split(col("text"), " ")
+      // words from a WHITESPACE-class split of coalesced text: no word
+      // can embed a newline and null text behaves like empty on both
+      // engines, so rejoining lines with \n and re-splitting inside
+      // dedupLinesWithinDoc is exactly the oracle's element-wise dedup
+      val words = split(coalesce(col("text"), lit("")), "\\s+")
       val nLines = ceil(size(words).cast("double") / 5.0).cast("int")
       val lines = transform(sequence(lit(0), nLines - 1),
         i => concat_ws(" ", slice(words, i * 5 + 1, lit(5))))
@@ -1664,7 +1668,8 @@ object SparkEntry {
         |FROM cnt""".stripMargin,
 
     "q_line_dedup_doc" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+      """WITH w AS (SELECT doc_id,
+        |             string_split_regex(coalesce(text, ''), '\s+') AS words
         |           FROM documents),
         |l AS (SELECT doc_id,
         |        list_transform(range(0, CAST(ceil(len(words)/5.0) AS INT)),

@@ -93,12 +93,17 @@ object Relevance {
       math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     }
 
-    // scoring pass: narrow projection, summed in term order
+    // scoring pass: narrow projection, summed in term order. The tf = 0
+    // short-circuit is semantic, not just cosmetic: at b = 1 an
+    // empty-token doc has denominator tf + k1*(dl/avgdl) = 0, so the
+    // unguarded ratio is 0/0 = NaN even with avgdl itself guarded
     val dl = col("_dl").cast("double")
     val score = terms.zip(idf).map { case (t, w) =>
       val tf = size(filter(col("_tk"), x => x === lit(t))).cast("double")
-      lit(w) * tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+      when(tf > 0.0,
+        lit(w) * tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl))))
+        .otherwise(lit(0.0))
     }.reduce(_ + _)
 
     tk.select(col(idCol), score.as("bm25"))

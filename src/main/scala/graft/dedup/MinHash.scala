@@ -345,7 +345,16 @@ object MinHash {
       .limit(MaxHotBandKeys)
       .select(xxhash64(col("band_id"), col("band_hash")))
       .collect().map(_.getLong(0))
-    if (hotKeys.isEmpty) return candidateEdges(sigs)
+    if (hotKeys.isEmpty)
+      // no hot groups (the common defensive-flag case): the star
+      // reduction IS candidateEdges' join, built on the counts table
+      // already materialized above — calling candidateEdges(sigs) here
+      // would recompute the identical corpus-wide aggregation from
+      // scratch and strand the materialized blocks
+      return sigs.join(counts.drop("cnt"), Seq("band_id", "band_hash"))
+        .filter(col("id") =!= col("dst"))
+        .select(col("id").as("src"), col("dst"))
+        .distinct()
     val keyHash = xxhash64(col("band_id"), col("band_hash"))
     val isHot = keyHash.isInCollection(hotKeys)
     // cold groups: star edges exactly as candidateEdges

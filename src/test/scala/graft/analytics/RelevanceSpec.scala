@@ -176,4 +176,14 @@ class RelevanceSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got.size == 3 && got.values.forall(_ == 0.0), s"got $got")
   }
+
+  test("b = 1.0: an empty-token doc in a live corpus scores 0.0, not NaN") {
+    // denom = tf + k1*(dl/avgdl) = 0 for the empty doc at full length
+    // normalization — only the tf > 0 short-circuit keeps this finite
+    val df = Seq((1L, "spark shuffle"), (2L, "!!!"))
+      .toDF("doc_id", "text")
+    val got = Relevance.bm25(df, "doc_id", "text", Seq("spark"), b = 1.0)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.0 && got(2L) == 0.0, s"got $got")
+  }
 }
