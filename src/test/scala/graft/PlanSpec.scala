@@ -202,4 +202,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"global sort in dedup:\n$plan")
   }
+
+  test("boilerplate top-K plans as TakeOrderedAndProject, never a " +
+    "global sort materialization") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (approx <- Seq(false, true)) {
+      val rep = analytics.TextAnalysis.boilerplateShingles(
+        docs, "doc_id", "text", n = 3, minOccurrences = 2L, topK = 10,
+        approxDocFreq = approx)
+      val plan = planOf(rep)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"approx=$approx top-K not TakeOrdered:\n$plan")
+      assert(!plan.contains("rangepartitioning"),
+        s"approx=$approx global sort crept in:\n$plan")
+      // the approx path must be a SINGLE aggregation (one exchange pair
+      // fewer than exact's two-level form)
+      if (approx) {
+        val nAgg = "HashAggregate".r.findAllIn(plan).size
+        assert(nAgg <= 3, s"approx path over-aggregates ($nAgg):\n$plan")
+      }
+    }
+  }
 }
