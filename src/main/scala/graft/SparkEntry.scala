@@ -711,6 +711,30 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // URL pattern blocklist: drop crawl-trap shapes (tracking queries,
+    // port-decorated hosts) via one fused RE2-compatible alternation
+    "q_url_pattern_filter" -> ((s, dir) => {
+      val d = col("doc_id")
+      val urls = t(s, dir, "documents").select(d).withColumn("url", concat(
+        when(d % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(d % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("example.com")),
+        when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (d % 100).cast("string"),
+        when(d % 7 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 100).cast("string")))
+          .otherwise(lit(""))))
+      analytics.DomainStats.excludeUrlPatterns(urls, "url",
+        Seq("[?&]utm_", ":443/"))
+    }),
+
+    // Mirror detection: same page text under >= 2 distinct sources
+    // (20-char prefixes stand in for page bodies on the word-soup corpus)
+    "q_mirror_report" -> ((s, dir) =>
+      analytics.DomainStats.mirrorReport(
+        t(s, dir, "documents")
+          .withColumn("page_text", substring(col("text"), 1, 20)),
+        "doc_id", "page_text", "source", minDomains = 2L, topK = 100)),
+
     // Per-benchmark-doc contamination overlap report (eval hygiene):
     // for each src4 (benchmark) doc, the fraction of its distinct
     // 4-grams appearing anywhere in the rest of the corpus — the
@@ -1352,6 +1376,35 @@ object SparkEntry {
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_url_pattern_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+        |        ELSE 'example.com' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 7 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+        |        ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT doc_id, url FROM u
+        |WHERE NOT regexp_matches(url,
+        |  '(?:[?&]utm_)|(?::443/)')""".stripMargin,
+
+    "q_mirror_report" ->
+      """WITH per AS (
+        |  SELECT md5(left(text, 20)) AS text_md5, source,
+        |         count(*) AS c, min(doc_id) AS m
+        |  FROM documents GROUP BY md5(left(text, 20)), source)
+        |SELECT text_md5, copies, n_domains, example_id FROM (
+        |  SELECT text_md5, CAST(sum(c) AS BIGINT) AS copies,
+        |         CAST(count(*) AS BIGINT) AS n_domains,
+        |         CAST(min(m) AS BIGINT) AS example_id
+        |  FROM per GROUP BY text_md5)
+        |WHERE n_domains >= 2
+        |ORDER BY n_domains DESC, copies DESC, text_md5
+        |LIMIT 100""".stripMargin,
 
     "q_contamination_report" ->
       """WITH w AS (SELECT doc_id, source,

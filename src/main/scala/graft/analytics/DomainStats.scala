@@ -82,6 +82,54 @@ object DomainStats {
         .filter(col("keep")).select(col(groupCol)),
       Seq(groupCol), "left_semi")
 
+  /** Mirror/aggregator detection: texts that appear under SEVERAL
+    * distinct domains — syndicated articles, scraper mirrors, parked-
+    * domain templates. Training corpora de-bias these before sampling
+    * (MinHash catches the near-dup PAIRS; this report names the
+    * worst-mirrored CONTENT with its spread). Returns `(text_md5,
+    * copies, n_domains, example_id)` in the deterministic total order
+    * (n_domains desc, copies desc, text_md5).
+    *
+    * 100-TB shape: md5 computes map-side, so the first `groupBy(md5,
+    * domain)` exchange carries (16-byte-hex, domain) pairs — never
+    * text — and collapses per-domain repeats behind its combine; the
+    * second `groupBy(md5)` reduces to mirrored-content size and the
+    * top-K plans as TakeOrderedAndProject. Exact distinct-domain
+    * counting via the two-level form, not countDistinct's expand.
+    */
+  def mirrorReport(df: DataFrame, idCol: String, textCol: String,
+                   domainCol: String, minDomains: Long = 2L,
+                   topK: Int = 100): DataFrame =
+    df.select(md5(col(textCol)).as("text_md5"), col(domainCol).as("_dom"),
+        col(idCol).as("_mid"))
+      .groupBy("text_md5", "_dom")
+      .agg(count(lit(1)).as("_c"), min("_mid").as("_m"))
+      .groupBy("text_md5")
+      .agg(sum("_c").as("copies"), count(lit(1)).as("n_domains"),
+        min("_m").as("example_id"))
+      .filter(col("n_domains") >= minDomains)
+      .orderBy(col("n_domains").desc, col("copies").desc, col("text_md5"))
+      .limit(topK)
+
+  /** URL PATTERN blocklist — the path/query-shape sibling of the domain
+    * blocklist: drop URLs matching ANY of the regex patterns (calendar
+    * pages, session-id queries, tag/search listings, tracking params —
+    * the crawl-trap shapes a domain list cannot express). Patterns fuse
+    * into one alternation compiled once per task; the filter is a
+    * narrow codegen'd pass. Keep patterns RE2-compatible so the same
+    * strings drive Spark and any RE2-based replay.
+    */
+  def excludeUrlPatterns(df: DataFrame, urlCol: String,
+                         patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "excludeUrlPatterns: empty pattern list")
+    require(patterns.size <= 10000,
+      s"excludeUrlPatterns: ${patterns.size} patterns — fuse upstream " +
+        "or precompute a match column; a megabyte-scale regex stops " +
+        "being a compiled filter")
+    val fused = patterns.mkString("(?:", ")|(?:", ")")
+    df.filter(!col(urlCol).rlike(fused))
+  }
+
   /** Keep rows whose registrable domain is in `domains` — broadcast
     * semi-join for big lists, `isin` for small (filter_by_url.py P8/J2).
     */

@@ -850,6 +850,41 @@ class DomainStatsSpec extends SparkSpec {
       .as[(String, Long, Double, Boolean)].collect().toSet
     assert(re == ledger.values.toSet)
   }
+
+  test("mirrorReport names texts spread across domains, keep-min example") {
+    val df = Seq(
+      (10L, "same article body", "a.com"),
+      (7L, "same article body", "b.com"),   // min id for the mirrored text
+      (3L, "same article body", "a.com"),   // repeat on a.com: copies only
+      (4L, "unique text", "a.com"),
+      (5L, "two copies one domain", "c.com"),
+      (6L, "two copies one domain", "c.com") // 1 domain -> not a mirror
+    ).toDF("doc_id", "page_text", "dom")
+    val got = DomainStats.mirrorReport(df, "doc_id", "page_text", "dom")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (h, copies, nDom, ex) = got.head
+    assert(copies == 3L && nDom == 2L && ex == 3L, s"got ${got.head}")
+    // partitioning-invariant
+    val re = DomainStats.mirrorReport(df.repartition(5), "doc_id",
+      "page_text", "dom").as[(String, Long, Long, Long)].collect()
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("excludeUrlPatterns drops any-match, keeps the rest; loud guards") {
+    val df = Seq(
+      "https://ok.com/article",
+      "https://ok.com/feed?utm_source=x",   // tracking query
+      "https://trap.com/tag/cats",          // listing page
+      "https://ok.com/tagged"               // 'tagged' must NOT match /tag/
+    ).toDF("url")
+    val kept = DomainStats.excludeUrlPatterns(df, "url",
+      Seq("[?&]utm_", "/tag/")).as[String].collect().toSet
+    assert(kept == Set("https://ok.com/article", "https://ok.com/tagged"))
+    intercept[IllegalArgumentException] {
+      DomainStats.excludeUrlPatterns(df, "url", Nil)
+    }
+  }
 }
 
 class SnapshotsSpec extends SparkSpec {
