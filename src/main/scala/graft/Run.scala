@@ -29,6 +29,7 @@ import graft.sources.CorpusIO
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
+  *     [--fix-mojibake] [--keep-latest] [--robots-respect]
   *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
   *     [--compact-target <bytes>]
   *
@@ -199,7 +200,8 @@ object Run {
       args(i) match {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
             | "--extract-html" | "--url-dedup" | "--task-metrics"
-            | "--pii-extended" | "--signals") =>
+            | "--pii-extended" | "--signals" | "--fix-mojibake"
+            | "--keep-latest" | "--robots-respect") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -289,13 +291,32 @@ object Run {
     // untouched; see CorpusPipeline.extractText)
     val extracted =
       if (a.contains("extract-html")) CorpusPipeline.extractText(raw) else raw
+    // --fix-mojibake: repair cp1252-through-UTF-8 encoding damage BEFORE
+    // any scoring or dedup — damaged and clean copies of a page must
+    // collapse, and heuristics must see the intended characters. The
+    // repair is conservative (byte-identical passthrough unless both
+    // transcodings are exact), so clean corpora are unaffected.
+    val demojibaked =
+      if (a.contains("fix-mojibake"))
+        extracted.withColumn("text",
+          graft.text.Mojibake.fixUdf(col("text")))
+      else extracted
+    // --keep-latest: crawl-revisit resolution — collapse each url to its
+    // newest fetch (one map-side-combinable max_by aggregation, no sort)
+    // before canonical-URL dedup and scoring. The churn audit column is
+    // dropped: downstream stages expect the Page shape.
+    val latestKept =
+      if (a.contains("keep-latest"))
+        graft.dedup.ExactDedup.keepLatest(demojibaked, Seq("url"), "warc_ts")
+          .drop("n_revisions")
+      else demojibaked
     // --url-dedup: canonical-URL keep-first (earliest warc_ts wins) on
     // the raw crawl, before any scoring work is spent on URL variants
     val urlDeduped =
       if (a.contains("url-dedup"))
-        graft.dedup.ExactDedup.urlDedup(extracted, "url",
+        graft.dedup.ExactDedup.urlDedup(latestKept, "url",
           Seq("warc_ts", "url"))
-      else extracted
+      else latestKept
     // --ref-sigs: gate incoming pages against a prior run's stored
     // signature snapshot before any scoring work is spent on them.
     // markAgainst's join-back needs a UNIQUE id and urls recur across
@@ -335,6 +356,9 @@ object Run {
         .map(p => graft.analytics.DomainStats.loadBlocklist(
           p, spark.sparkContext.hadoopConfiguration))
         .getOrElse(Set.empty),
+      // --robots-respect: honor <meta name=robots> noindex/none under a
+      // 0_robots_noindex audit stage (off = reference label parity)
+      respectRobots = a.contains("robots-respect"),
       // --lineage also makes the DEDUP phase resumable: the MinHash
       // signature table and cluster map commit under the output dir, so
       // a kill during CC on a long run no longer redoes the corpus-wide

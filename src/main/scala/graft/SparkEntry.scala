@@ -463,6 +463,26 @@ object SparkEntry {
         hits(Seq("der", "die", "das", "und", "ein")).as("de_hits"))
     }),
 
+    // Unicode script profile + dominant-script routing label over a
+    // deterministic multi-script fixture (the driver text is all-ASCII,
+    // so per-lang script suffixes are planted identically on both sides;
+    // `script` classifies the SUFFIX alone so labels actually vary)
+    "q_script_profile" -> ((s, dir) => {
+      val d = col("doc_id")
+      val sfx = concat(
+        when(d % 5 === 0, lit(" 中文处理网页")).otherwise(lit("")),
+        when(d % 5 === 1, lit(" кириллица текст")).otherwise(lit("")),
+        when(d % 5 === 2, lit(" ひらがな カタカナ")).otherwise(lit("")),
+        when(d % 5 === 3, lit(" العربية ١٢٣")).otherwise(lit("")),
+        when(d % 3 === 0, lit(" 4213")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(d, concat(col("text"), sfx).as("mx"), sfx.as("sfx"))
+        .select(col("doc_id"),
+          analytics.TextAnalysis.scriptProfile(col("mx")).as("sp"),
+          analytics.TextAnalysis.dominantScript(col("sfx")).as("script"))
+        .select(col("doc_id"), col("sp.*"), col("script"))
+    }),
+
     // Quality scoring: length saturation × stopword presence (oracle)
     "q_quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), qscoreExpr.as("qscore"))),
@@ -711,6 +731,13 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // Crawl-revisit resolution: latest row per user_id (events is the
+    // driver table with real recurring keys + timestamps) via ONE max_by
+    // aggregation — no per-group sort, map-side combinable
+    "q_keep_latest" -> ((s, dir) => ExactDedup.keepLatest(
+      t(s, dir, "events").select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), "ts", Seq("event_id"))),
+
     // URL pattern blocklist: drop crawl-trap shapes (tracking queries,
     // port-decorated hosts) via one fused RE2-compatible alternation
     "q_url_pattern_filter" -> ((s, dir) => {
@@ -806,6 +833,46 @@ object SparkEntry {
           col("text"),
           lit("</p><nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav></body></html>")))
           .as("extracted"))
+    }),
+
+    // Encoding-damage detection + repair over planted mojibake (UTF-8
+    // seen through cp1252): the oracle recomputes the damage signal with
+    // the same signature regex and emits the CLEAN construction as the
+    // expected repair — so fix() must exactly invert the byte damage,
+    // including the doubly-corrupted variant (two repair rounds)
+    "q_mojibake" -> ((s, dir) => {
+      val d = col("doc_id")
+      val corrupted = concat(col("text"),
+        when(d % 4 === 0, lit(" Ã©tÃ© naÃ¯ve cafÃ©")).otherwise(lit("")),
+        when(d % 4 === 1, lit(" â€˜itâ€™sâ€¦ â‚¬100")).otherwise(lit("")),
+        when(d % 4 === 2, lit(" ÃƒÂ©ÃƒÂ©")).otherwise(lit("")))
+      t(s, dir, "documents").select(d,
+        graft.text.Mojibake.signatureChars(corrupted).as("sig_chars"),
+        graft.text.Mojibake.fixUdf(corrupted).as("fixed"))
+    }),
+
+    // Robots meta directives over planted tag variants (attribute order,
+    // quote style, case, unquoted values, a decoy non-robots meta) —
+    // the crawl-compliance gate, as two RE2 regexp passes both engines run
+    "q_robots_meta" -> ((s, dir) => {
+      val d = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(d % 7 === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+          .otherwise(lit("")),
+        when(d % 7 === 1, lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
+          .otherwise(lit("")),
+        when(d % 7 === 2, lit("<meta content=\"none\" name=\"robots\">"))
+          .otherwise(lit("")),
+        when(d % 7 === 3, lit("<meta name=robots content=noindex,nofollow>"))
+          .otherwise(lit("")),
+        when(d % 7 === 4,
+          lit("<meta name=\"viewport\" content=\"width=1\">" +
+            "<meta name=\"robots\" content=\"index, follow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      t(s, dir, "documents").select(d,
+        graft.text.HtmlExtract.robotsNoindex(html).as("noindex"),
+        graft.text.HtmlExtract.robotsNofollow(html).as("nofollow"))
     }),
 
     // F11 sentence-aware truncation (utils.py:39-50) — oracle-checked
@@ -1213,6 +1280,51 @@ object SparkEntry {
         |  x -> x IN ('der','die','das','und','ein'))) AS INT) AS de_hits
         |FROM documents""".stripMargin,
 
+    "q_script_profile" ->
+      """WITH m AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 5 = 0 THEN ' 中文处理网页' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 1 THEN ' кириллица текст' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 2 THEN ' ひらがな カタカナ' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 3 THEN ' العربية ١٢٣' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' 4213' ELSE '' END) AS sfx,
+        |  text FROM documents),
+        |c AS (SELECT doc_id, text || sfx AS mx, sfx FROM m),
+        |k AS (SELECT doc_id,
+        |  length(mx) AS n,
+        |  length(mx) - length(regexp_replace(mx, '[\p{Latin}]+', '', 'g')) AS cl,
+        |  length(mx) - length(regexp_replace(mx, '[\p{Cyrillic}]+', '', 'g')) AS cc,
+        |  length(mx) - length(regexp_replace(mx, '[\p{Han}]+', '', 'g')) AS ch,
+        |  length(mx) - length(regexp_replace(mx, '[\p{Hiragana}\p{Katakana}]+', '', 'g')) AS ck,
+        |  length(mx) - length(regexp_replace(mx, '[\p{Arabic}]+', '', 'g')) AS ca,
+        |  length(mx) - length(regexp_replace(mx, '[0-9]+', '', 'g')) AS cd,
+        |  length(mx) - length(regexp_replace(mx, '[ \t\n\r]+', '', 'g')) AS cs,
+        |  length(sfx) - length(regexp_replace(sfx, '[\p{Latin}]+', '', 'g')) AS sl,
+        |  length(sfx) - length(regexp_replace(sfx, '[\p{Cyrillic}]+', '', 'g')) AS sc,
+        |  length(sfx) - length(regexp_replace(sfx, '[\p{Han}]+', '', 'g')) AS sh,
+        |  length(sfx) - length(regexp_replace(sfx, '[\p{Hiragana}\p{Katakana}]+', '', 'g')) AS sk,
+        |  length(sfx) - length(regexp_replace(sfx, '[\p{Arabic}]+', '', 'g')) AS sa
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN round(1.0 * cl / n, 4) ELSE 0.0 END AS frac_latin,
+        |  CASE WHEN n > 0 THEN round(1.0 * cc / n, 4) ELSE 0.0 END AS frac_cyrillic,
+        |  CASE WHEN n > 0 THEN round(1.0 * ch / n, 4) ELSE 0.0 END AS frac_han,
+        |  CASE WHEN n > 0 THEN round(1.0 * ck / n, 4) ELSE 0.0 END AS frac_kana,
+        |  CASE WHEN n > 0 THEN round(1.0 * ca / n, 4) ELSE 0.0 END AS frac_arabic,
+        |  CASE WHEN n > 0 THEN round(1.0 * cd / n, 4) ELSE 0.0 END AS frac_digit,
+        |  CASE WHEN n > 0 THEN round(1.0 * cs / n, 4) ELSE 0.0 END AS frac_space,
+        |  CASE WHEN n > 0 THEN round(1.0 *
+        |    (n - cl - cc - ch - ck - ca - cd - cs) / n, 4)
+        |    ELSE 0.0 END AS frac_other,
+        |  CASE WHEN sl > 0 AND sl >= sc AND sl >= sh AND sl >= sk AND sl >= sa
+        |         THEN 'latin'
+        |       WHEN sc > 0 AND sc >= sh AND sc >= sk AND sc >= sa
+        |         THEN 'cyrillic'
+        |       WHEN sh > 0 AND sh >= sk AND sh >= sa THEN 'han'
+        |       WHEN sk > 0 AND sk >= sa THEN 'kana'
+        |       WHEN sa > 0 THEN 'arabic'
+        |       ELSE 'und' END AS script
+        |FROM k""".stripMargin,
+
     "q_quality_score" ->
       """SELECT doc_id,
         |round(least(1.0, len(string_split_regex(text, '\s+')) / 100.0) *
@@ -1377,6 +1489,14 @@ object SparkEntry {
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
 
+    "q_keep_latest" ->
+      """SELECT user_id, ts, event_id, event_type, n_revisions FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         count(*) OVER (PARTITION BY user_id) AS n_revisions,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
     "q_url_pattern_filter" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
@@ -1512,6 +1632,49 @@ object SparkEntry {
         |        ELSE (a * 31 + x) % 18446744073709551616::HUGEINT END
         |    ) AS h
         |  FROM documents)""".stripMargin,
+
+    "q_mojibake" ->
+      """WITH m AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ' Ã©tÃ© naÃ¯ve cafÃ©' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN ' â€˜itâ€™sâ€¦ â‚¬100' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 2 THEN ' ÃƒÂ©ÃƒÂ©' ELSE '' END) AS corrupted,
+        |  text ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ' été naïve café' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN ' ‘it’s… €100' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 2 THEN ' éé' ELSE '' END) AS clean
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(corrupted) - length(regexp_replace(corrupted,
+        |    '[Â-ô][€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ¡-¿]', '', 'g'))
+        |    AS INT) AS sig_chars,
+        |  clean AS fixed
+        |FROM m""".stripMargin,
+
+    "q_robots_meta" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head>' ||
+        |  (CASE WHEN doc_id % 7 = 0
+        |    THEN '<meta name="robots" content="noindex, follow">' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 1
+        |    THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 2
+        |    THEN '<meta content="none" name="robots">' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 3
+        |    THEN '<meta name=robots content=noindex,nofollow>' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 4
+        |    THEN '<meta name="viewport" content="width=1">' ||
+        |         '<meta name="robots" content="index, follow">' ELSE '' END) ||
+        |  '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_extract(regexp_extract(html,
+        |    '(?i)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*["'']?([^"''>]*)', 1) AS rc
+        |  FROM h)
+        |SELECT doc_id,
+        |  regexp_matches(rc, '(?i)(^|[\s,])(noindex|none)([\s,]|$)') AS noindex,
+        |  regexp_matches(rc, '(?i)(^|[\s,])(nofollow|none)([\s,]|$)') AS nofollow
+        |FROM c""".stripMargin,
 
     "q_domain_count" ->
       """SELECT split_part('https://docs.example.com/' ||

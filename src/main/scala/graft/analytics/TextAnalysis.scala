@@ -123,6 +123,73 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Character classes for [[scriptProfile]]: name → Java regex character
+    * class. Scripts use the Unicode Script property (`IsLatin` etc. in
+    * Java; the DuckDB oracle replays them as RE2 `\p{Latin}` — the same
+    * property, different spelling), digits/space are explicit ASCII
+    * classes so both engines match identical char sets.
+    */
+  private val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[\\p{IsLatin}]+",
+    "cyrillic" -> "[\\p{IsCyrillic}]+",
+    "han" -> "[\\p{IsHan}]+",
+    "kana" -> "[\\p{IsHiragana}\\p{IsKatakana}]+",
+    "arabic" -> "[\\p{IsArabic}]+",
+    "digit" -> "[0-9]+",
+    "space" -> "[ \\t\\n\\r]+")
+
+  /** Unicode script profile: per-document fraction of characters in each
+    * major script class (latin / cyrillic / han / kana / arabic / ascii
+    * digits / whitespace / other) — the cheap screen that routes documents
+    * to script-appropriate handling (CJK tokenization, RTL, langid
+    * prefilter) and flags encoding damage (abnormal `frac_other`).
+    * Scripts are disjoint by the Unicode Script property, so `other` is
+    * the exact remainder (punctuation, symbols, unlisted scripts).
+    *
+    * Pure narrow projection — each class costs one linear
+    * `regexp_replace` scan, zero UDFs, zero shuffles; at 100 TB this
+    * rides the same whole-stage-codegen pass as the rest of the signal
+    * vector. Fractions are round(count/chars, 4); the empty/null document
+    * profiles to all-zero.
+    */
+  def scriptProfile(textCol: Column): Column = {
+    val len = length(textCol)
+    val counts = ScriptClasses.map { case (name, pat) =>
+      name -> (len - length(regexp_replace(textCol, pat, "")))
+    }
+    val listed = counts.map(_._2).reduce(_ + _)
+    val all = counts :+ ("other" -> (len - listed))
+    val fracs = all.map { case (name, cnt) =>
+      when(len > 0, round(cnt.cast("double") / len.cast("double"), 4))
+        .otherwise(0.0).as(s"frac_$name")
+    }
+    struct(fracs: _*)
+  }
+
+  /** Dominant script label: argmax over [[scriptProfile]]'s script classes
+    * (digit/space/other excluded — they are not scripts), ties resolved by
+    * the fixed class order, 'und' when no script character appears. A
+    * deterministic when-chain of >= comparisons, so a SQL oracle replays
+    * it as the same CASE chain — no engine-specific argmax semantics.
+    */
+  def dominantScript(textCol: Column): Column = {
+    val scripts = ScriptClasses.filterNot { case (n, _) =>
+      n == "digit" || n == "space" }
+    val counts = scripts.map { case (name, pat) =>
+      name -> (length(textCol) - length(regexp_replace(textCol, pat, "")))
+    }
+    // first-max-wins: class i is dominant iff cnt_i > 0 and cnt_i >= every
+    // LATER class count (an earlier class with the same count already won)
+    val exprs = counts.zipWithIndex.map { case ((name, cnt), i) =>
+      val geAllLater = counts.drop(i + 1).map(_._2)
+        .foldLeft(lit(true))((a, c) => a && cnt >= c)
+      (cnt > 0 && geAllLater, lit(name))
+    }
+    exprs.reverse.foldLeft(lit("und")) { case (acc, (cond, name)) =>
+      when(cond, name).otherwise(acc)
+    }
+  }
+
   /** Corpus-wide boilerplate report: the most-repeated word `n`-gram
     * shingles with their total occurrence count and document frequency —
     * the MassiveText/RefinedWeb "most duplicated lines" diagnostic

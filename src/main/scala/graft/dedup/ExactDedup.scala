@@ -104,6 +104,60 @@ object ExactDedup {
     dedup(df.withColumn(c, canonUdf(col(urlCol))), Seq(c), orderCols).drop(c)
   }
 
+  /** Crawl-revisit resolution: keep the LATEST revision of each page.
+    *
+    * Common-Crawl-style inputs carry the same url across snapshots
+    * (the very case [[markById]]'s uniqueness check guards against);
+    * before training-data selection a corpus normally collapses each url
+    * to its newest fetch. The keep-first window form would sort every
+    * group; this form is ONE hash aggregation — `max_by` of the full row
+    * over the revision order — so revision groups combine map-side and
+    * the shuffle carries one candidate row per (key, map partition)
+    * instead of every revision. At 100 TB with 10-20 revisits per url
+    * that is the difference between shuffling the corpus and shuffling
+    * ~1/15th of it, with no sort anywhere.
+    *
+    * Survivor choice is deterministic and total: the order key is
+    * (tsCol, tieCols..., xxhash64(all non-key columns)) compared
+    * lexicographically, so even rows tying on timestamp and explicit
+    * tie-breakers resolve by content hash (rows identical in every
+    * column are interchangeable, so a hash tie is harmless). A null
+    * timestamp sorts below every non-null one — a row with unknown fetch
+    * time never shadows a dated revision. Payload columns ride inside
+    * `max_by`'s value struct and are never compared, so non-orderable
+    * types (maps) are fine outside the key/ts/tie columns; map-typed
+    * columns are also excluded from the content hash (Spark forbids
+    * hashing maps — equal maps can hash differently), so rows differing
+    * ONLY in a map column tie, harmlessly up to map ordering.
+    *
+    * Output: the surviving rows in the original column order plus
+    * `n_revisions` (group size — the crawl-churn audit column).
+    */
+  def keepLatest(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keepLatest: keyCols must be non-empty")
+    val others = df.columns.filterNot(keyCols.contains).toSeq
+    require(others.contains(tsCol), s"keepLatest: unknown ts column $tsCol")
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType     => false
+      case a: ArrayType   => hashable(a.elementType)
+      case s: StructType  => s.fields.forall(f => hashable(f.dataType))
+      case _              => true
+    }
+    val hashCols = df.schema.fields
+      .filter(f => others.contains(f.name) && hashable(f.dataType))
+      .map(f => col(f.name)).toSeq
+    val contentHash = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
+    val ord = struct((tsCol +: tieCols).map(col) :+ contentHash: _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), ord).as("__best"),
+        count(lit(1)).as("n_revisions"))
+      .select(df.columns.map(c =>
+        if (keyCols.contains(c)) col(c) else col(s"__best.$c").as(c))
+        :+ col("n_revisions"): _*)
+  }
+
   /** Bloom-prefiltered decontamination against a `seen` corpus — the
     * memory-bounded form of the reference's sharded Bloom-service dedup
     * (/root/reference/utils/dedup_dataset.py:37-191,

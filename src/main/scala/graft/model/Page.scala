@@ -48,6 +48,10 @@ object DropStage {
     * reference label parity.
     */
   val UrlFilter   = "0_url_filter"
+  /** Robots meta opt-out (`noindex`/`none`) — crawl compliance, north-rule
+    * extension; off by default (PipelineConfig.respectRobots).
+    */
+  val Robots      = "0_robots_noindex"
   val NonEnglish  = "1_non_english"
   val GopherRep   = "2_gopher_repetition"
   val GopherQual  = "3_gopher_quality"
@@ -56,6 +60,6 @@ object DropStage {
   val ExactDup    = "6_exact_dup"
   val MinhashDup  = "7_minhash_dup"
   val Perplexity  = "8_perplexity"
-  val all: Seq[String] = Seq(UrlFilter, NonEnglish, GopherRep, GopherQual,
-    C4, FineWeb, ExactDup, MinhashDup, Perplexity)
+  val all: Seq[String] = Seq(UrlFilter, Robots, NonEnglish, GopherRep,
+    GopherQual, C4, FineWeb, ExactDup, MinhashDup, Perplexity)
 }

@@ -47,6 +47,12 @@ case class PipelineConfig(
     // the executed stack). Broadcast to executors as a hash set — scales
     // to multi-million-entry category lists without plan blowup.
     urlBlocklist: Set[String] = Set.empty,
+    // Honor `<meta name=robots content=noindex|none>` — the publisher's
+    // indexing opt-out (C4/CCNet-style crawl compliance). Off by default
+    // (reference-run parity: the reference stack has no robots stage).
+    // Checked against the raw html payload in stage 0, short-circuiting
+    // langid + heuristics like the URL blocklist.
+    respectRobots: Boolean = false,
     keepLanguages: Set[String] = Set("en"),  // 1_local:54-55 languages=['en']
     minLangProb: Double = 0.65,
     // MinHash-LSH: sha1/64-bit, 14 buckets x 8 hashes, 5-gram shingles

@@ -181,23 +181,35 @@ object CorpusPipeline {
         blockedUdf(col("url"))
       }
 
+    // stage 0b (opt-in): robots meta opt-out — a codegen'd regexp pair
+    // over the raw html payload (HtmlExtract.robotsNoindex), no UDF, no
+    // exchange; shares the URL filter's short-circuit position
+    val robotsBlockedCol: org.apache.spark.sql.Column =
+      if (!cfg.respectRobots) lit(false)
+      else coalesce(
+        graft.text.HtmlExtract.robotsNoindex(col("html").cast("string")),
+        lit(false))
+
     val base = pages.withColumn("_urlBlocked", urlBlockedCol)
+      .withColumn("_robotsBlocked", robotsBlockedCol)
+    val preBlocked = col("_urlBlocked") || col("_robotsBlocked")
     val scored = withLangId(base, models.lang, metrics = metrics,
-        gate = if (cfg.urlBlocklist.isEmpty) None
-               else Some(!col("_urlBlocked")))
+        gate = if (cfg.urlBlocklist.isEmpty && !cfg.respectRobots) None
+               else Some(!preBlocked))
       .withColumn("_langFail",
         !col("lang_pred").isin(keepLangs: _*) ||
           col("lang_prob") < cfg.minLangProb)
       // reference short-circuit semantics, enforced as compute savings
-      // too: a doc dropped by the URL filter or langid never runs the
-      // heuristic analyze pass (codegen evaluates the `when` branch
-      // lazily). On real Common-Crawl mixes where most docs fail langid,
-      // this skips the most expensive per-doc function for the majority
-      // of the corpus.
+      // too: a doc dropped by the URL filter, robots opt-out or langid
+      // never runs the heuristic analyze pass (codegen evaluates the
+      // `when` branch lazily). On real Common-Crawl mixes where most docs
+      // fail langid, this skips the most expensive per-doc function for
+      // the majority of the corpus.
       .withColumn("_h",
-        when(!col("_urlBlocked") && !col("_langFail"), analyzeUdf(col("text"))))
+        when(!preBlocked && !col("_langFail"), analyzeUdf(col("text"))))
       .withColumn("drop_stage",
         when(col("_urlBlocked"), lit(DropStage.UrlFilter))
+          .when(col("_robotsBlocked"), lit(DropStage.Robots))
           .when(col("_langFail"), lit(DropStage.NonEnglish))
           .otherwise(col("_h.drop_stage")))
       .withColumn("scrubbed_text",

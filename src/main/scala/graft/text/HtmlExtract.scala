@@ -23,6 +23,42 @@ import scala.collection.mutable.ArrayBuffer
   */
 object HtmlExtract {
 
+  /** Robots meta directives — the crawl-compliance gate a responsible
+    * web corpus runs before keeping a page: `<meta name="robots">`
+    * carrying `noindex`/`none` means the publisher opted the page out of
+    * indexing (C4 and CCNet-style corpora honor it; see also RFC 9309's
+    * html meta companion). Pure Column expressions — two RE2-compatible
+    * regexp passes (find the first robots meta tag, then its `content`
+    * attribute), so the oracle replays the identical patterns in DuckDB
+    * and the scan stays inside whole-stage codegen: no UDF, no parse
+    * tree, no shuffle. Handles attribute-order variance (content before
+    * name), quote style (double/single/none) and case. First robots tag
+    * wins when a page carries several (browser behavior is union; the
+    * conservative caller can OR over [[robotsNoindex]] of a pre-split
+    * head if that matters — one tag is the overwhelmingly common case).
+    */
+  private val MetaRobotsPat =
+    "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b[^>]*>"
+  private val ContentAttrPat = "(?i)\\bcontent\\s*=\\s*[\"']?([^\"'>]*)"
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{coalesce, lit, regexp_extract}
+
+  /** The `content` value of the first robots meta tag ('' when absent). */
+  def robotsContent(htmlCol: Column): Column =
+    regexp_extract(regexp_extract(htmlCol, MetaRobotsPat, 0),
+      ContentAttrPat, 1)
+
+  private def directive(htmlCol: Column, token: String): Column =
+    coalesce(robotsContent(htmlCol)
+      .rlike(s"(?i)(^|[\\s,])($token|none)([\\s,]|$$)"), lit(false))
+
+  /** True when the page opted out of indexing (noindex or none). */
+  def robotsNoindex(htmlCol: Column): Column = directive(htmlCol, "noindex")
+
+  /** True when the page opted out of link following (nofollow or none). */
+  def robotsNofollow(htmlCol: Column): Column = directive(htmlCol, "nofollow")
+
   /** Content of these elements is skipped entirely. `nav`/`aside` are
     * structural boilerplate by definition (readability heuristic).
     */

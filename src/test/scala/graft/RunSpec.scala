@@ -17,6 +17,79 @@ class RunSpec extends SparkSpec {
       json.substring(json.indexOf("\"stages\"")))
       .map(m => m.group(1) -> m.group(2).toLong).toMap
 
+  test("--fix-mojibake/--keep-latest/--robots-respect: repair, revisit " +
+       "collapse and compliance audit compose; off = untouched") {
+    val in = dir() + "/in"; val out = dir(); val outPlain = dir()
+    import spark.implicits._
+    def doc(i: Int) = Synth.cleanDoc(Synth.rngFor(47, i), Synth.EnVocab, 8)
+    def corrupt(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    val normal = (1 to 40).map { i =>
+      (s"https://ok$i.example.com/p/$i", Synth.tsOf(i),
+        Array.empty[Byte], doc(i), "en")
+    }
+    // mojibake page: the accented tail garbles without repair (ASCII
+    // passes through corrupt() unchanged, so the doc stays keepable
+    // either way — the assertion is on the scrubbed bytes)
+    val moji = Seq(("https://moji.example.com/1", Synth.tsOf(100),
+      Array.empty[Byte],
+      corrupt(doc(100) + " visit the café étage today."), "en"))
+    // one url fetched three times; only the NEWEST revision is keepable
+    val revisits = Seq(
+      ("https://revisit.example.com/p", Synth.tsOf(200),
+        Array.empty[Byte], "junk", "en"),
+      ("https://revisit.example.com/p", Synth.tsOf(202),
+        Array.empty[Byte], doc(202), "en"),
+      ("https://revisit.example.com/p", Synth.tsOf(201),
+        Array.empty[Byte], "junk again", "en"))
+    // clean text but the page opted out via robots meta
+    val robots = Seq(("https://optout.example.com/1", Synth.tsOf(300),
+      "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>"
+        .getBytes("UTF-8"), doc(300), "en"))
+    (normal ++ moji ++ revisits ++ robots)
+      .toDF("url", "warc_ts", "html", "text", "lang").write.parquet(in)
+
+    val json = Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> out, "fix-mojibake" -> "true", "keep-latest" -> "true",
+      "robots-respect" -> "true"))
+    val kept = spark.read.parquet(s"$out/kept").cache()
+    val removed = spark.read.parquet(s"$out/removed").cache()
+    // mojibake page repaired: the kept bytes carry the intended chars
+    val mojiKept = kept.filter(col("url") === "https://moji.example.com/1")
+    assert(mojiKept.count() == 1, "mojibake doc must be kept")
+    assert(mojiKept.filter(col("scrubbed_text").contains("café étage"))
+      .count() == 1, "scrubbed text must carry the REPAIRED characters")
+    // revisit collapsed to ONE row total, and it is the newest (kept)
+    val revKept = kept.filter(col("url") === "https://revisit.example.com/p")
+    val revRemoved = removed
+      .filter(col("url") === "https://revisit.example.com/p")
+    assert(revKept.count() == 1 && revRemoved.count() == 0,
+      "keep-latest must collapse revisions to the newest fetch")
+    assert(revKept.select("warc_ts").head().getTimestamp(0) ==
+      Synth.tsOf(202))
+    // robots opt-out lands in its own audit stage
+    assert(removed.filter(col("url") === "https://optout.example.com/1" &&
+      col("drop_stage") === "0_robots_noindex").count() == 1)
+    assert(stages(json).getOrElse("0_robots_noindex", 0L) == 1L)
+    kept.unpersist(); removed.unpersist()
+
+    // without the flags: revisions all flow through, mojibake damage
+    // survives to the scrubbed bytes, the robots page is kept
+    // (reference parity)
+    Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> outPlain))
+    val keptP = spark.read.parquet(s"$outPlain/kept")
+    val removedP = spark.read.parquet(s"$outPlain/removed")
+    assert(keptP.filter(col("url") === "https://optout.example.com/1")
+      .count() == 1)
+    assert(keptP.filter(col("url") === "https://moji.example.com/1" &&
+      col("scrubbed_text").contains("cafÃ©")).count() == 1,
+      "without --fix-mojibake the damage must flow through untouched")
+    assert(keptP.filter(col("url") === "https://revisit.example.com/p")
+      .count() +
+      removedP.filter(col("url") === "https://revisit.example.com/p")
+        .count() == 3)
+  }
+
   test("full composition: url-dedup, span rewrites, dsir selection") {
     val out = dir()
     val json = Run.execute(spark, Map(

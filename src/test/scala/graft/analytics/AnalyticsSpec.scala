@@ -459,6 +459,36 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().head
     assert(got == ((7L, 3L, 5L, 0.428571)))  // round(3/7, 6)
   }
+
+  test("script profile: hand-computed fractions, disjoint classes, empty doc") {
+    // "ab 中文 я1!" = 10 chars: latin 2, han 2, cyrillic 1, digit 1,
+    // space 3, other(!) 1
+    val df = Seq("ab 中文 я1 !", "", "中文").toDF("text")
+    val rows = df.select(TextAnalysis.scriptProfile($"text").as("p"))
+      .select("p.*")
+      .as[(Double, Double, Double, Double, Double, Double, Double, Double)]
+      .collect()
+    val (fl, fc, fh, fk, fa, fd, fs, fo) = rows(0)
+    assert(fl == 0.2 && fh == 0.2 && fc == 0.1 && fd == 0.1 &&
+      fs == 0.3 && fo == 0.1 && fk == 0.0 && fa == 0.0)
+    assert(rows(1) == ((0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(rows(2)._3 == 1.0) // pure han
+    // fractions sum to 1 on a non-empty doc (classes are disjoint)
+    assert(math.abs(fl + fc + fh + fk + fa + fd + fs + fo - 1.0) < 1e-9)
+  }
+
+  test("dominant script: argmax with first-class tie break and und fallback") {
+    val df = Seq(
+      ("mostly latin текст", "latin"),        // latin 12 > cyrillic 5
+      ("я 中文中文", "han"),                   // han 4 > cyrillic 1
+      ("ひらがな العربية蛋", "arabic"),         // arabic 7 > kana 4 > han 1
+      ("中文 かな", "han"),                    // tie 2-2 → first class order
+      ("123 !?", "und")                       // no script chars at all
+    ).toDF("text", "expected")
+    df.select(TextAnalysis.dominantScript($"text").as("got"), $"expected")
+      .as[(String, String)].collect()
+      .foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

@@ -135,6 +135,55 @@ class ExactDedupSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(h == expected)
   }
+
+  test("keepLatest keeps the newest revision per url with revision counts") {
+    val df = Seq(
+      ("u1", 10L, "old"), ("u1", 30L, "newest"), ("u1", 20L, "mid"),
+      ("u2", 5L, "only"),
+      ("u3", 7L, "a"), ("u3", 7L, "b") // ts tie → content hash breaks it
+    ).toDF("url", "ts", "text")
+    val out = ExactDedup.keepLatest(df, Seq("url"), "ts")
+      .select("url", "text", "n_revisions")
+      .as[(String, String, Long)].collect()
+      .map { case (u, t, n) => u -> (t, n) }.toMap
+    assert(out("u1") == ("newest", 3L))
+    assert(out("u2") == ("only", 1L))
+    assert(out("u3")._2 == 2L)
+    assert(out.size == 3)
+  }
+
+  test("keepLatest explicit tie columns decide before the content hash") {
+    val df = Seq(
+      ("u", 1L, 2L, "keep: higher fetch_id"), ("u", 1L, 1L, "drop")
+    ).toDF("url", "ts", "fetch_id", "text")
+    val kept = ExactDedup.keepLatest(df, Seq("url"), "ts", Seq("fetch_id"))
+      .select("text").as[String].head()
+    assert(kept == "keep: higher fetch_id")
+  }
+
+  test("keepLatest is invariant under repartitioning and preserves column order") {
+    val df = (0 until 500).map { i =>
+      (s"u${i % 40}", (i * 131 % 97).toLong, s"rev $i", i)
+    }.toDF("url", "ts", "text", "extra")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ExactDedup.keepLatest(d, Seq("url"), "ts")
+        .collect().map(_.toString).sorted.toSeq
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13, $"extra"))
+    assert(a == b)
+    assert(ExactDedup.keepLatest(df, Seq("url"), "ts").columns.toSeq ==
+      Seq("url", "ts", "text", "extra", "n_revisions"))
+  }
+
+  test("keepLatest: null timestamp never shadows a dated revision; map payload ok") {
+    val df = Seq(
+      ("u1", Some(5L), "dated"), ("u1", None, "undated")
+    ).toDF("url", "ts", "text")
+      .withColumn("meta", map(lit("k"), col("text")))
+    val kept = ExactDedup.keepLatest(df, Seq("url"), "ts")
+    assert(kept.select("text").as[String].head() == "dated")
+    assert(kept.select(col("meta")("k")).as[String].head() == "dated")
+  }
 }
 
 class SpanDedupSpec extends SparkSpec {

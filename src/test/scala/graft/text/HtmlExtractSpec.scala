@@ -94,3 +94,33 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(HtmlExtract.extract(html) == "spaced out words across lines")
   }
 }
+
+class RobotsMetaSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def flags(html: String): (Boolean, Boolean) =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.robotsNoindex($"h"), HtmlExtract.robotsNofollow($"h"))
+      .as[(Boolean, Boolean)].head()
+
+  test("robots meta: quote styles, attribute order, case, none, decoys") {
+    assert(flags("""<meta name="robots" content="noindex, follow">""") ==
+      ((true, false)))
+    assert(flags("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>") ==
+      ((false, true)))
+    // content attribute BEFORE name; 'none' implies both
+    assert(flags("""<meta content="none" name="robots">""") == ((true, true)))
+    // unquoted attribute values
+    assert(flags("<meta name=robots content=noindex,nofollow>") ==
+      ((true, true)))
+    // a robots token inside another meta's content is not a directive
+    assert(flags("""<meta name="description" content="noindex talk">""") ==
+      ((false, false)))
+    // substring tokens don't count: 'nofollowup' is not 'nofollow'
+    assert(flags("""<meta name="robots" content="nofollowup">""") ==
+      ((false, false)))
+    assert(flags("<html><body>no head at all</body></html>") ==
+      ((false, false)))
+    assert(flags(null.asInstanceOf[String]) == ((false, false)))
+  }
+}
