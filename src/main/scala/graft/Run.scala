@@ -302,13 +302,20 @@ object Run {
           graft.text.Mojibake.fixUdf(col("text")))
       else extracted
     // --keep-latest: crawl-revisit resolution — collapse each url to its
-    // newest fetch (one map-side-combinable max_by aggregation, no sort)
-    // before canonical-URL dedup and scoring. The churn audit column is
-    // dropped: downstream stages expect the Page shape.
+    // newest fetch before canonical-URL dedup and scoring, via the
+    // narrow-agg + join-back form (keepLatestById over a synthesized
+    // 128-bit row key, the --ref-sigs precedent): corpus-width rows
+    // cross one AQE-planned exchange, nothing sorts. Byte-identical
+    // full-duplicate rows share the row key and all survive here — the
+    // exact-dedup stage downstream collapses them. The churn audit
+    // column is dropped: downstream stages expect the Page shape.
     val latestKept =
       if (a.contains("keep-latest"))
-        graft.dedup.ExactDedup.keepLatest(demojibaked, Seq("url"), "warc_ts")
-          .drop("n_revisions")
+        graft.dedup.ExactDedup.keepLatestById(
+          demojibaked.withColumn("_kl_id",
+            rowKey128(col("url"), col("warc_ts"), col("text"))),
+          Seq("url"), "warc_ts", "_kl_id", idIsUnique = Some(true))
+          .drop("_kl_id", "n_revisions")
       else demojibaked
     // --url-dedup: canonical-URL keep-first (earliest warc_ts wins) on
     // the raw crawl, before any scoring work is spent on URL variants

@@ -111,11 +111,15 @@ object ExactDedup {
     * before training-data selection a corpus normally collapses each url
     * to its newest fetch. The keep-first window form would sort every
     * group; this form is ONE hash aggregation — `max_by` of the full row
-    * over the revision order — so revision groups combine map-side and
-    * the shuffle carries one candidate row per (key, map partition)
-    * instead of every revision. At 100 TB with 10-20 revisits per url
-    * that is the difference between shuffling the corpus and shuffling
-    * ~1/15th of it, with no sort anywhere.
+    * over the revision order — with no sort anywhere. Its map-side
+    * combine only pays when a url's revisions co-reside in map
+    * partitions (snapshot-bucketed or url-clustered inputs); on a
+    * randomly-distributed crawl the full payload rides the aggregation
+    * hash table for nothing (measured ~4× slower than even the window
+    * sort at 10M×512 B — RevisitBench, BENCH.md), so rows with a unique
+    * id should prefer [[keepLatestById]], the narrow-agg + join-back
+    * form that moves corpus-width data through exactly one AQE-planned
+    * exchange.
     *
     * Survivor choice is deterministic and total: the order key is
     * (tsCol, tieCols..., xxhash64(all non-key columns)) compared
@@ -156,6 +160,48 @@ object ExactDedup {
       .select(df.columns.map(c =>
         if (keyCols.contains(c)) col(c) else col(s"__best.$c").as(c))
         :+ col("n_revisions"): _*)
+  }
+
+  /** [[keepLatest]] for rows with a unique (non-null) id column — the
+    * shape that actually wins at corpus scale. The one-pass `max_by`
+    * above hauls the full page payload through the aggregation hash
+    * table, and map-side combine only helps when a url's revisions
+    * co-reside in map partitions — on a randomly-distributed crawl they
+    * don't (measured at 10M×512 B: the wide `max_by` is ~4× SLOWER than
+    * even the window sort; RevisitBench / BENCH.md). This form instead
+    * aggregates a NARROW projection — (key, ord, id), ~60 B/row — to one
+    * winning id per key, then inner-joins the winner-id set back to the
+    * full rows: the corpus-width data crosses the exchange exactly once
+    * (the AQE-planned join), nothing corpus-wide sorts, and the narrow
+    * agg is the only extra pass. Appending `idCol` to the order struct
+    * makes the order total without hashing anything.
+    *
+    * Same contract as [[markById]]: `idCol` must be unique and non-null —
+    * verified with one cheap narrow aggregation unless the caller passes
+    * `idIsUnique = Some(true)`; on violation this falls back to
+    * [[keepLatest]], which is always correct.
+    */
+  def keepLatestById(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                     idCol: String,
+                     tieCols: Seq[String] = Nil,
+                     idIsUnique: Option[Boolean] = None): DataFrame = {
+    require(keyCols.nonEmpty, "keepLatestById: keyCols must be non-empty")
+    val unique = idIsUnique.getOrElse {
+      val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+        countDistinct(col(idCol)).as("nd")).head()
+      u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+    }
+    if (!unique) return keepLatest(df, keyCols, tsCol, tieCols)
+    val ord = struct(((tsCol +: tieCols) :+ idCol).map(col): _*)
+    val winners = df
+      .select(keyCols.map(col) :+ ord.as("__ord") :+
+        col(idCol).as("__keep_id"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__keep_id"), col("__ord")).as("__keep_id"),
+        count(lit(1)).as("n_revisions"))
+      .select("__keep_id", "n_revisions")
+    df.join(winners, df(idCol) === winners("__keep_id"), "inner")
+      .drop("__keep_id")
   }
 
   /** Bloom-prefiltered decontamination against a `seen` corpus — the

@@ -175,6 +175,25 @@ class ExactDedupSpec extends SparkSpec {
       Seq("url", "ts", "text", "extra", "n_revisions"))
   }
 
+  test("keepLatestById matches keepLatest; non-unique id falls back windowed") {
+    val df = (0 until 500).map { i =>
+      (s"u${i % 40}", (i * 131 % 97).toLong, s"rev $i", i)
+    }.toDF("url", "ts", "text", "extra")
+    // same total order on both paths: (ts, extra) — extra is unique, so
+    // the content-hash tail of keepLatest's order is never consulted
+    val wide = ExactDedup.keepLatest(df, Seq("url"), "ts", Seq("extra"))
+      .collect().map(_.toString).sorted.toSeq
+    val narrow = ExactDedup.keepLatestById(df, Seq("url"), "ts", "extra")
+      .select("url", "ts", "text", "extra", "n_revisions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(narrow == wide)
+    // id column with duplicates → falls back to the wide form, still right
+    val dupId = df.withColumn("badid", col("extra") % 7)
+    val fb = ExactDedup.keepLatestById(dupId, Seq("url"), "ts", "badid",
+      tieCols = Seq("extra"))
+    assert(fb.columns.contains("n_revisions") && fb.count() == 40)
+  }
+
   test("keepLatest: null timestamp never shadows a dated revision; map payload ok") {
     val df = Seq(
       ("u1", Some(5L), "dated"), ("u1", None, "undated")
