@@ -875,6 +875,49 @@ object SparkEntry {
         graft.text.HtmlExtract.robotsNofollow(html).as("nofollow"))
     }),
 
+    // Head harvest: title / meta description / declared charset over
+    // planted head variants (charset both as <meta charset> and the
+    // http-equiv form; description with flipped attribute order)
+    "q_head_harvest" -> ((s, dir) => {
+      val d = col("doc_id")
+      val html = concat(lit("<html><head>"),
+        when(d % 3 === 0, lit("<meta charset=\"UTF-8\">"))
+          .otherwise(lit("")),
+        when(d % 3 === 1, lit("<META http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=ISO-8859-1\">")).otherwise(lit("")),
+        when(d % 5 === 0, concat(lit("<meta name=\"description\" " +
+          "content=\"A doc about "), col("source"), lit("\">")))
+          .otherwise(lit("")),
+        when(d % 5 === 1, lit("<meta content='short desc' name='description'>"))
+          .otherwise(lit("")),
+        when(d % 2 === 0, concat(lit("<title> Doc "), d.cast("string"),
+          lit(" of "), col("source"), lit(" </title>"))).otherwise(lit("")),
+        lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
+      t(s, dir, "documents").select(d,
+        graft.text.HtmlExtract.title(html).as("title"),
+        graft.text.HtmlExtract.metaDescription(html).as("meta_description"),
+        graft.text.HtmlExtract.declaredCharset(html).as("declared_charset"))
+    }),
+
+    // Charset-aware byte decoding (WHATWG sniff order: BOM > declared >
+    // utf-8 > cp1252): bytes are constructed by ENCODING a known string
+    // per variant — utf-8 plain, declared latin-1, BOM'd utf-16le, and
+    // undeclared latin-1 (the utf-8-strict-fails → cp1252 fallback path)
+    // — and the oracle emits the clean construction, so decode() must
+    // exactly invert each encoding
+    "q_charset_decode" -> ((s, dir) => {
+      val d = col("doc_id")
+      val accented = concat(col("text"), lit(" café"))
+      val bytes = when(d % 4 === 0, encode(accented, "UTF-8"))
+        .when(d % 4 === 1, encode(accented, "ISO-8859-1"))
+        .when(d % 4 === 2, concat(lit(Array(0xFF.toByte, 0xFE.toByte)),
+          encode(col("text"), "UTF-16LE")))
+        .otherwise(encode(accented, "ISO-8859-1"))
+      val declared = when(d % 4 === 1, lit("iso-8859-1")).otherwise(lit(""))
+      t(s, dir, "documents").select(d,
+        graft.text.CharsetDecode.decodeUdf(bytes, declared).as("decoded"))
+    }),
+
     // F11 sentence-aware truncation (utils.py:39-50) — oracle-checked
     // since r3 (exact for the unpunctuated fixture; see oracleSql note)
     "q_truncate" -> ((s, dir) => {
@@ -1632,6 +1675,41 @@ object SparkEntry {
         |        ELSE (a * 31 + x) % 18446744073709551616::HUGEINT END
         |    ) AS h
         |  FROM documents)""".stripMargin,
+
+    "q_head_harvest" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head>' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '<meta charset="UTF-8">'
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 1 THEN '<META http-equiv="Content-Type" ' ||
+        |        'content="text/html; charset=ISO-8859-1">' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0
+        |    THEN '<meta name="description" content="A doc about ' ||
+        |         source || '">' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 1
+        |    THEN '<meta content=''short desc'' name=''description''>'
+        |    ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |    THEN '<title> Doc ' || CAST(doc_id AS VARCHAR) || ' of ' ||
+        |         source || ' </title>' ELSE '' END) ||
+        |  '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1))
+        |    AS title,
+        |  regexp_extract(regexp_extract(html,
+        |    '(?i)<meta\b[^>]*\bname\s*=\s*["'']?description["'']?[^>]*>', 0),
+        |    '(?i)\bcontent\s*=\s*["'']?([^"''>]*)', 1) AS meta_description,
+        |  lower(regexp_extract(html,
+        |    '(?i)<meta\s[^>]*charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1))
+        |    AS declared_charset
+        |FROM h""".stripMargin,
+
+    "q_charset_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 2 THEN text
+        |       ELSE text || ' café' END AS decoded
+        |FROM documents""".stripMargin,
 
     "q_mojibake" ->
       """WITH m AS (SELECT doc_id, text ||

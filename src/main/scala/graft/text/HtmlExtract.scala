@@ -59,6 +59,41 @@ object HtmlExtract {
   /** True when the page opted out of link following (nofollow or none). */
   def robotsNofollow(htmlCol: Column): Column = directive(htmlCol, "nofollow")
 
+  // ---- head harvest: title / meta description / declared charset ------
+  // The metadata columns a corpus keeps alongside extracted text (search
+  // indexing, dedup keys, snippet display). Same design as the robots
+  // pair: RE2-compatible regexps, codegen'd Columns, oracle-replayable.
+
+  private val TitlePat = "(?i)<title[^>]*>([^<]*)</title>"
+  private val MetaDescPat =
+    "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?description[\"']?[^>]*>"
+  /** Matches both `<meta charset=utf-8>` and the http-equiv form's
+    * `content="text/html; charset=iso-8859-1"` — any `charset=` token
+    * inside a meta tag.
+    */
+  private val MetaCharsetPat =
+    "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+
+  /** First `<title>` text, whitespace-trimmed, '' when absent. Raw
+    * (entity decoding is the body extractor's job; titles keyed for
+    * dedup/search want stable bytes).
+    */
+  def title(htmlCol: Column): Column = {
+    import org.apache.spark.sql.functions.trim
+    trim(regexp_extract(htmlCol, TitlePat, 1))
+  }
+
+  /** `content` of the first `<meta name=description>`, '' when absent. */
+  def metaDescription(htmlCol: Column): Column =
+    regexp_extract(regexp_extract(htmlCol, MetaDescPat, 0),
+      ContentAttrPat, 1)
+
+  /** The page's declared charset label, lowercased, '' when undeclared. */
+  def declaredCharset(htmlCol: Column): Column = {
+    import org.apache.spark.sql.functions.lower
+    lower(regexp_extract(htmlCol, MetaCharsetPat, 1))
+  }
+
   /** Content of these elements is skipped entirely. `nav`/`aside` are
     * structural boilerplate by definition (readability heuristic).
     */

@@ -123,4 +123,22 @@ class RobotsMetaSpec extends graft.SparkSpec {
       ((false, false)))
     assert(flags(null.asInstanceOf[String]) == ((false, false)))
   }
+
+  test("head harvest: title trim, description attribute order, charset forms") {
+    def harvest(html: String): (String, String, String) =
+      Seq(html).toDF("h").select(HtmlExtract.title($"h"),
+        HtmlExtract.metaDescription($"h"), HtmlExtract.declaredCharset($"h"))
+        .as[(String, String, String)].head()
+    assert(harvest("<head><title>  Spaced Title  </title>" +
+      "<meta name=\"description\" content=\"a desc here\">" +
+      "<meta charset=\"UTF-8\"></head>") ==
+      (("Spaced Title", "a desc here", "utf-8")))
+    // attribute order flipped; http-equiv charset form; single quotes
+    assert(harvest("<head><meta content='flipped' name='description'>" +
+      "<META http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head>") ==
+      (("", "flipped", "iso-8859-1")))
+    // absent everything → empty strings, not nulls
+    assert(harvest("<body>nothing in the head</body>") == (("", "", "")))
+  }
 }
