@@ -296,10 +296,15 @@ object Run {
     // collapse, and heuristics must see the intended characters. The
     // repair is conservative (byte-identical passthrough unless both
     // transcodings are exact), so clean corpora are unaffected.
+    // The repair UDF only runs on rows the codegen'd signature detector
+    // flags (damage is the rare case; clean rows stay in the fused
+    // projection and never pay the UDF's transcode attempt).
     val demojibaked =
       if (a.contains("fix-mojibake"))
         extracted.withColumn("text",
-          graft.text.Mojibake.fixUdf(col("text")))
+          when(graft.text.Mojibake.signatureChars(col("text")) > 0,
+            graft.text.Mojibake.fixUdf(col("text")))
+            .otherwise(col("text")))
       else extracted
     // --keep-latest: crawl-revisit resolution — collapse each url to its
     // newest fetch before canonical-URL dedup and scoring, via the

@@ -487,6 +487,13 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), qscoreExpr.as("qscore"))),
 
+    // Source-diversity report: Shannon entropy (bits + normalized),
+    // Simpson concentration, hottest-group share — decimal-accumulated,
+    // shuffle-order-independent (dataset-card composition numbers)
+    "q_source_diversity" -> ((s, dir) =>
+      analytics.DomainStats.diversityReport(t(s, dir, "documents"),
+        "source")),
+
     // Domain-level quality prior: per-source doc count + order-independent
     // decimal mean score + keep flag (mean >= 0.37, >= 10 docs)
     "q_source_prior" -> ((s, dir) =>
@@ -580,6 +587,20 @@ object SparkEntry {
         .select(col("doc_id"),
           (col("rn") <= (col("cnt") * 0.8).cast("int")).as("is_train"))
     }),
+
+    // Leakage-safe grouped split: every row of a source lands in the
+    // same split (md5-bucket arithmetic, engine-portable, no shuffle)
+    "q_grouped_split" -> ((s, dir) =>
+      analytics.Sampling.groupedSplit(t(s, dir, "documents"), "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split")),
+
+    // DEFLATE compression-ratio quality signal (rows-only: DEFLATE has
+    // no SQL form; order-relation pins live in TextAnalysisSpec)
+    "q_compression_ratio" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        analytics.TextAnalysis.compressionRatioUdf(col("text"))
+          .as("compression_ratio"))),
 
     // P5 min-length filter (filter_by_len.py:11-35)
     "q_min_len_filter" -> ((s, dir) => t(s, dir, "documents")
@@ -1377,6 +1398,24 @@ object SparkEntry {
         |  AS qscore
         |FROM documents""".stripMargin,
 
+    "q_source_diversity" ->
+      """WITH c AS (SELECT source, count(*) AS c FROM documents
+        |           GROUP BY source),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS g,
+        |  sum(CAST(c * ln(c) AS DECIMAL(38,12))) AS clnc,
+        |  sum(CAST(c * c AS DECIMAL(38,0))) AS c2,
+        |  max(c) AS maxc FROM c)
+        |SELECT n AS n_docs, g AS n_groups,
+        |  greatest(0.0, round((ln(n) - CAST(clnc AS DOUBLE) / n) / ln(2), 6))
+        |    AS entropy_bits,
+        |  greatest(0.0, round(CASE WHEN g > 1
+        |    THEN (ln(n) - CAST(clnc AS DOUBLE) / n) / ln(g)
+        |    ELSE 0.0 END, 6)) AS norm_entropy,
+        |  round(CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+        |    AS simpson,
+        |  round(CAST(maxc AS DOUBLE) / n, 6) AS top_share
+        |FROM a""".stripMargin,
+
     "q_source_prior" ->
       """WITH q AS (SELECT source,
         |  round(least(1.0, len(string_split_regex(text, '\s+')) / 100.0) *
@@ -2026,6 +2065,16 @@ object SparkEntry {
         |            AS INT) AS judge_score
         |        FROM documents)
         |  GROUP BY lang, judge_score)""".stripMargin,
+
+    "q_grouped_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN b < 800000 THEN 'train'
+        |       WHEN b < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        ('0x' || substr(md5('graft|' || source), 1, 8))::BIGINT
+        |          % 1000000 AS b
+        |      FROM documents)""".stripMargin,
 
     "q_train_split" ->
       """SELECT doc_id,

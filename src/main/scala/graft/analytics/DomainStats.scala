@@ -111,6 +111,52 @@ object DomainStats {
       .orderBy(col("n_domains").desc, col("copies").desc, col("text_md5"))
       .limit(topK)
 
+  /** Source-diversity report — the release-audit number next to the
+    * per-language datasheet: how concentrated is the corpus over its
+    * domains/sources? One row: doc and group counts, Shannon entropy in
+    * bits with its normalized form (H / log2(groups) ∈ [0,1]), the
+    * Simpson concentration index (Σp² — the probability two random docs
+    * share a group), and the hottest group's share. Dataset cards report
+    * exactly these (Gebru et al. 2021 §3.2 composition questions).
+    *
+    * Determinism at scale: entropy uses the algebraic form
+    * H = ln N − (Σ c·ln c)/N, so the only float-sum is Σ c·ln c — each
+    * group's contribution is computed per group (deterministic) and
+    * accumulated as decimal(38,12), which is shuffle-order-independent
+    * (the q_corpus_datasheet discipline); Σc² is exact integer decimal.
+    * Plan shape: one `groupBy(group)` count (map-side combine to
+    * O(groups)) + one O(groups) final aggregate. No window, no collect.
+    */
+  def diversityReport(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+    counts.agg(
+      sum("c").as("_n"),
+      count(lit(1)).as("n_groups"),
+      sum((col("c").cast("double") * log(col("c").cast("double")))
+        .cast("decimal(38,12)")).as("_clnc"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("_c2"),
+      max("c").as("_maxc"))
+    .select(
+      col("_n").as("n_docs"),
+      col("n_groups"),
+      // greatest(0, ·): entropy is non-negative by theory; float residue
+      // of the decimal accumulation could otherwise land at -0.0/-1e-16,
+      // which hash-compares differently across engines
+      greatest(lit(0.0), round((log(col("_n").cast("double")) -
+        col("_clnc").cast("double") / col("_n").cast("double")) /
+        lit(math.log(2.0)), 6)).as("entropy_bits"),
+      greatest(lit(0.0), round(when(col("n_groups") > 1,
+        (log(col("_n").cast("double")) -
+          col("_clnc").cast("double") / col("_n").cast("double")) /
+          log(col("n_groups").cast("double"))).otherwise(0.0), 6))
+        .as("norm_entropy"),
+      round(col("_c2").cast("double") /
+        (col("_n").cast("double") * col("_n").cast("double")), 6)
+        .as("simpson"),
+      round(col("_maxc").cast("double") / col("_n").cast("double"), 6)
+        .as("top_share"))
+  }
+
   /** URL PATTERN blocklist — the path/query-shape sibling of the domain
     * blocklist: drop URLs matching ANY of the regex patterns (calendar
     * pages, session-id queries, tag/search listings, tracking params —

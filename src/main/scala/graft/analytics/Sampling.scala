@@ -96,6 +96,48 @@ object Sampling {
       ranked.filter(!col(tr)).drop(rn, cn, tr))
   }
 
+  /** Leakage-safe grouped split: every row of a GROUP (registrable
+    * domain, source site, dedup-cluster id) lands in the SAME split —
+    * the assignment the row-level [[trainValSplit]] cannot give. This is
+    * the split that keeps near-duplicates from straddling train/test:
+    * template pages, mirrored articles and re-crawls live on the same
+    * domain, so a row-hash split leaks them across the boundary and
+    * inflates eval scores (the contamination failure mode benchmarks
+    * decontaminate against).
+    *
+    * Assignment is pure column arithmetic, engine-portable (the DSIR
+    * md5-bucket discipline): bucket = first-8-hex-digits of
+    * md5(salt|group) as an unsigned int mod 10^6, split by cumulative
+    * integer cutoffs — no window, no shuffle, no model state; a DuckDB
+    * oracle replays it exactly. Null groups hash the salt alone (one
+    * consistent split). Realized fractions converge on requested ones at
+    * the rate group-count allows — a corpus of 3 domains can only split
+    * 3 ways, which is the point.
+    */
+  def groupedSplit(df: DataFrame, groupCol: String,
+                   fractions: Seq[(String, Double)],
+                   salt: String = "graft",
+                   splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty, "groupedSplit: empty fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      "groupedSplit: duplicate split names")
+    require(fractions.forall(_._2 > 0), "groupedSplit: fractions must be > 0")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"groupedSplit: fractions must sum to 1, got $total")
+    val buckets = 1000000L
+    val b = conv(substring(
+      md5(concat_ws("|", lit(salt), col(groupCol).cast("string"))), 1, 8),
+      16, 10).cast("long") % buckets
+    val cutoffs = fractions.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * buckets).toLong)
+    val chain = fractions.init.zip(cutoffs).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
+        when(b < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, chain)
+  }
+
   /** Corpus balancing: cap documents per registrable domain (the
     * training-mix guard against a single crawl domain dominating the
     * corpus). A composition: derive eTLD+1, then [[stratifiedQuota]]

@@ -90,6 +90,34 @@ object TextAnalysis {
 
   val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
 
+  /** DEFLATE compression ratio (compressed/original bytes) — the entropy
+    * proxy several public pipelines gate on (e.g. Dolma's document
+    * filters): machine-generated boilerplate, keyword stuffing and
+    * repeated templates compress far below natural prose (~0.3-0.4 for
+    * English text; near-duplicated spam can reach < 0.1), while already-
+    * compressed or random content sits near or above 1. One bounded
+    * Deflater per call at level 6, raw mode (no zlib header bias on
+    * short docs); empty/null → 1.0 (no evidence of anything). Rows-only
+    * by nature — DEFLATE has no SQL form; spec pins order relations
+    * (repetitive << prose << random) rather than exact bytes, which may
+    * legitimately drift across zlib versions.
+    */
+  def compressionRatio(s: String): Double = {
+    if (s == null || s.isEmpty) return 1.0
+    val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      math.rint(out.toDouble / in.length * 10000) / 10000
+    } finally d.end()
+  }
+
+  val compressionRatioUdf = udf((s: String) => compressionRatio(s))
+
   /** Corpus vocabulary builder — the tokenizer-training / vocab-pruning
     * prep pass every training-data pipeline needs: whitespace words →
     * global counts → frequency floor → deterministic top-k. One explode

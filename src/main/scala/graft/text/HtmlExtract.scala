@@ -215,12 +215,32 @@ object HtmlExtract {
   /** UTF-8 decode (malformed bytes replaced) then [[extract]] — the WARC
     * payload surface (`html` binary column).
     */
+  /** Raw-bytes form, charset-aware (late r5): previously a lenient UTF-8
+    * decode that silently replaced every latin-1/cp1252 byte with U+FFFD;
+    * now the WHATWG-style chain ([[CharsetDecode.decode]]) — BOM >
+    * declared meta label (sniffed from an ISO-8859-1 probe of the head,
+    * which is byte-transparent so the ASCII meta tag is always readable)
+    * > strict UTF-8 > windows-1252. Valid-UTF-8 pages decode exactly as
+    * before.
+    */
   def extractFromBytes(html: Array[Byte], minWords: Int = 3,
                        maxLinkDensity: Double = 0.5): String = {
     if (html == null) return ""
-    extract(new String(html, java.nio.charset.StandardCharsets.UTF_8),
+    val probe = new String(html, 0, math.min(html.length, 4096),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    extract(CharsetDecode.decode(html, declaredCharsetOf(probe)),
       minWords, maxLinkDensity)
   }
+
+  private lazy val MetaCharsetRe = MetaCharsetPat.r
+
+  /** Plain-String form of [[declaredCharset]] (for executor-side code
+    * that already holds the document; same pattern, same semantics).
+    */
+  def declaredCharsetOf(html: String): String =
+    if (html == null) ""
+    else MetaCharsetRe.findFirstMatchIn(html)
+      .map(_.group(1).toLowerCase(java.util.Locale.ROOT)).getOrElse("")
 
   /** Decode the entity starting at `i` (html(i) == '&'). Returns the
     * decoded string and the next scan index; an unrecognized or

@@ -460,6 +460,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((7L, 3L, 5L, 0.428571)))  // round(3/7, 6)
   }
 
+  test("compression ratio orders repetitive < prose < random; edge cases") {
+    val repetitive = "spam link " * 200
+    val prose = Synth.cleanDoc(Synth.rngFor(9, 1), Synth.EnVocab, 12)
+    val rnd = new scala.util.Random(3)
+    val random = (0 until 2000).map(_ => (rnd.nextInt(94) + 33).toChar).mkString
+    val r1 = TextAnalysis.compressionRatio(repetitive)
+    val r2 = TextAnalysis.compressionRatio(prose)
+    val r3 = TextAnalysis.compressionRatio(random)
+    assert(r1 < r2 && r2 < r3, s"expected $r1 < $r2 < $r3")
+    assert(r1 < 0.1, s"heavy repetition should compress hard, got $r1")
+    assert(r3 > 0.7, s"random printable text barely compresses, got $r3")
+    assert(TextAnalysis.compressionRatio("") == 1.0)
+    assert(TextAnalysis.compressionRatio(null) == 1.0)
+  }
+
   test("script profile: hand-computed fractions, disjoint classes, empty doc") {
     // "ab 中文 я1!" = 10 chars: latin 2, han 2, cyrillic 1, digit 1,
     // space 3, other(!) 1
@@ -524,6 +539,40 @@ class MultimodalSpec extends SparkSpec {
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
+
+  test("groupedSplit: group cohesion, determinism, fraction convergence") {
+    val df = (0 until 5000).map(i => (i.toLong, s"domain${i % 1000}"))
+      .toDF("id", "dom")
+    val out = Sampling.groupedSplit(df, "dom",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    // every row of a group carries the same split
+    assert(out.groupBy("dom")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // realized fractions converge at 1000 groups (±5 points)
+    val frac = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(frac("train") / 5000.0 - 0.8) < 0.05, s"got $frac")
+    assert(frac.keySet == Set("train", "val", "test"))
+    // partitioning-invariant and salt-sensitive
+    val re = Sampling.groupedSplit(df.repartition(13), "dom",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(re.orderBy("id").select("split").as[String].collect().toSeq ==
+      out.orderBy("id").select("split").as[String].collect().toSeq)
+    val salted = Sampling.groupedSplit(df, "dom",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "other")
+      .select(col("id"), col("split").as("salted_split"))
+    val moved = out.select("id", "split").join(salted, Seq("id"))
+      .filter(col("split") =!= col("salted_split")).count()
+    assert(moved > 0, "a different salt must reassign some groups")
+    out.unpersist()
+    // single fraction degenerates to a constant label
+    assert(Sampling.groupedSplit(df, "dom", Seq("all" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq == Seq("all"))
+    // invalid fractions are loud
+    intercept[IllegalArgumentException] {
+      Sampling.groupedSplit(df, "dom", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 
   lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
 
@@ -840,6 +889,28 @@ class DomainStatsSpec extends SparkSpec {
       "https://example.com/z").toDF("url")
     val got = DomainStats.domainCounts(df, "url").as[(String, Long)].collect().toMap
     assert(got == Map("bbc.co.uk" -> 2L, "example.com" -> 1L))
+  }
+
+  test("diversity report matches hand computation; partitioning-invariant") {
+    // groups of 6 and 2: N=8, H = ln8 - (6ln6 + 2ln2)/8 nats
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b")).toDF("g")
+    def report(d: org.apache.spark.sql.DataFrame) =
+      DomainStats.diversityReport(d, "g")
+        .as[(Long, Long, Double, Double, Double, Double)].head()
+    val (n, k, hBits, hNorm, simpson, top) = report(df)
+    val hNats = math.log(8) - (6 * math.log(6) + 2 * math.log(2)) / 8.0
+    assert(n == 8L && k == 2L)
+    assert(hBits == math.rint(hNats / math.log(2) * 1e6) / 1e6)
+    assert(hNorm == math.rint(hNats / math.log(2) * 1e6) / 1e6) // log2(2)=1
+    assert(simpson == (36 + 4) / 64.0)
+    assert(top == 0.75)
+    assert(report(df.repartition(7)) == ((n, k, hBits, hNorm, simpson, top)))
+    // degenerate single group: zero entropy, full concentration
+    // (field-wise primitive compares: a -0.0 from float residue must
+    // still pass, and boxed Double.equals(-0.0, 0.0) would not)
+    val (n1, k1, h1, hn1, s1, t1) = report(Seq("x", "x", "x").toDF("g"))
+    assert(n1 == 3L && k1 == 1L && h1 == 0.0 && hn1 == 0.0 &&
+      s1 == 1.0 && t1 == 1.0)
   }
 
   test("ratio join computes guarded ratios") {

@@ -93,6 +93,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     val html = "<p>  spaced    out\n\n words   across lines  </p>"
     assert(HtmlExtract.extract(html) == "spaced out words across lines")
   }
+
+  test("extractFromBytes honors declared charset, BOM, and utf-8 default") {
+    val latinPage = "<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body><p>un café très agréable aujourd'hui</p></body></html>"
+    assert(HtmlExtract.extractFromBytes(latinPage.getBytes("ISO-8859-1"))
+      == "un café très agréable aujourd'hui")
+    val utf16 = "<p>unicode déclarée page body here</p>"
+    assert(HtmlExtract.extractFromBytes(
+      Array(0xFF.toByte, 0xFE.toByte) ++ utf16.getBytes("UTF-16LE"))
+      == "unicode déclarée page body here")
+    // plain valid utf-8 decodes exactly as before
+    val utf8 = "<p>ordinary page with é accents kept intact</p>"
+    assert(HtmlExtract.extractFromBytes(utf8.getBytes("UTF-8"))
+      == "ordinary page with é accents kept intact")
+    // undeclared latin-1 bytes: utf-8 fails -> cp1252 fallback, not U+FFFD
+    val bare = "<p>bare café latin page body</p>".getBytes("ISO-8859-1")
+    assert(HtmlExtract.extractFromBytes(bare) == "bare café latin page body")
+  }
 }
 
 class RobotsMetaSpec extends graft.SparkSpec {
