@@ -184,10 +184,14 @@ object CorpusPipeline {
     // stage 0b (opt-in): robots meta opt-out — a codegen'd regexp pair
     // over the raw html payload (HtmlExtract.robotsNoindex), no UDF, no
     // exchange; shares the URL filter's short-circuit position
+    // the regexp pair scans only the first 16 KB: robots meta lives in
+    // the <head> (browsers honor it nowhere else), and on real ~100 KB
+    // pages a full-payload scan would cost ~10× for nothing
     val robotsBlockedCol: org.apache.spark.sql.Column =
       if (!cfg.respectRobots) lit(false)
       else coalesce(
-        graft.text.HtmlExtract.robotsNoindex(col("html").cast("string")),
+        graft.text.HtmlExtract.robotsNoindex(
+          substring(col("html").cast("string"), 1, 16384)),
         lit(false))
 
     val base = pages.withColumn("_urlBlocked", urlBlockedCol)
