@@ -752,6 +752,41 @@ object SparkEntry {
         .select("doc_id", "url")
     }),
 
+    // Per-source PII exposure audit over planted emails/IPs (RE2-safe
+    // patterns — the scrub's lookbehind IP form is deliberately not used
+    // so the oracle replays the exact counts)
+    "q_pii_report" -> ((s, dir) => {
+      val d = col("doc_id")
+      val planted = t(s, dir, "documents").withColumn("t2", concat(col("text"),
+        when(d % 11 === 0, lit(" contact bob@site.example.org now"))
+          .otherwise(lit("")),
+        when(d % 13 === 0, lit(" from 10.1.2.3 and 192.168.7.9"))
+          .otherwise(lit("")),
+        when(d % 17 === 0, lit(" mail alice@mail.example.net"))
+          .otherwise(lit(""))))
+      filters.Pii.auditReport(planted, "t2", "source", Seq(
+        "email" -> EmailPat,
+        "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"))
+    }),
+
+    // Lexical URL features (DCLM-style spam signals from the string
+    // alone) over the same messy URL construction as q_url_dedup
+    "q_url_features" -> ((s, dir) => {
+      val d = col("doc_id")
+      val urls = t(s, dir, "documents").select(d).withColumn("url", concat(
+        when(d % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(d % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("example.com")),
+        when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (d % 100).cast("string"),
+        when(d % 4 === 0, lit("/")).otherwise(lit("")),
+        when(d % 7 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 100).cast("string")))
+          .otherwise(lit("")),
+        when(d % 11 === 0, lit("#sec")).otherwise(lit(""))))
+      urls.select(d, graft.text.UrlNorm.urlFeatures(col("url")).as("f"))
+        .select(col("doc_id"), col("f.*"))
+    }),
+
     // Crawl-revisit resolution: latest row per user_id (events is the
     // driver table with real recurring keys + timestamps) via ONE max_by
     // aggregation — no per-group sort, map-side combinable
@@ -1570,6 +1605,69 @@ object SparkEntry {
         |    (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END) AS canon
         |  FROM c4)
         |QUALIFY row_number() OVER (PARTITION BY canon ORDER BY doc_id) = 1""".stripMargin,
+
+    "q_pii_report" ->
+      """WITH m AS (SELECT source, text ||
+        |  (CASE WHEN doc_id % 11 = 0
+        |    THEN ' contact bob@site.example.org now' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 13 = 0
+        |    THEN ' from 10.1.2.3 and 192.168.7.9' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 17 = 0
+        |    THEN ' mail alice@mail.example.net' ELSE '' END) AS t2
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  count(*) FILTER (regexp_matches(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_docs,
+        |  CAST(sum(len(regexp_extract_all(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |    AS email_mentions,
+        |  count(*) FILTER (regexp_matches(t2,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ipv4_docs,
+        |  CAST(sum(len(regexp_extract_all(t2,
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT)
+        |    AS ipv4_mentions
+        |FROM m GROUP BY source""".stripMargin,
+
+    "q_url_features" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+        |        ELSE 'example.com' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0
+        |        THEN '?utm_source=feed&id=' || CAST(doc_id % 100 AS VARCHAR)
+        |        ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  split_part(CASE WHEN length(split_part(url, '://', 2)) > 0
+        |                  THEN split_part(url, '://', 2) ELSE url END,
+        |             '#', 1) AS rest FROM u),
+        |c AS (SELECT doc_id, url, rest,
+        |  split_part(rest, '/', 1) AS hostport FROM p),
+        |e AS (SELECT doc_id, url, hostport,
+        |  split_part(substr(rest, length(hostport) + 1), '?', 1) AS path,
+        |  split_part(substr(rest, length(hostport) + 1), '?', 2) AS query,
+        |  split_part(hostport, ':', 1) AS host FROM c)
+        |SELECT doc_id,
+        |  CAST(length(path) AS INT) AS path_len,
+        |  CAST(length(path) - length(regexp_replace(path, '/', '', 'g'))
+        |    AS INT) AS path_depth,
+        |  CAST(length(query) AS INT) AS query_len,
+        |  CAST(CASE WHEN length(query) = 0 THEN 0
+        |    ELSE length(query) - length(regexp_replace(query, '&', '', 'g'))
+        |         + 1 END AS INT) AS n_params,
+        |  CAST(length(host) AS INT) AS host_len,
+        |  CASE WHEN length(host) > 0
+        |    THEN round(1.0 * (length(host) -
+        |      length(regexp_replace(host, '[0-9]', '', 'g'))) / length(host),
+        |      4)
+        |    ELSE 0.0 END AS host_digit_frac,
+        |  strpos(hostport, ':') > 0 AS has_port,
+        |  starts_with(lower(url), 'https://') AS is_https
+        |FROM e""".stripMargin,
 
     "q_keep_latest" ->
       """SELECT user_id, ts, event_id, event_type, n_revisions FROM (

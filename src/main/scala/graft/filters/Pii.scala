@@ -28,6 +28,32 @@ object Pii {
 
   private val defaultToxicRe = toxicRe(DefaultToxicWords)
 
+  /** Per-group PII exposure audit — the release-audit ledger a corpus
+    * publishes alongside the scrub (how much PII did each source carry
+    * BEFORE scrubbing; which domains need policy review): per group,
+    * total docs and, per named pattern, the affected-doc count and total
+    * mention count. One partial+final aggregation to an O(groups ×
+    * patterns) ledger; the rlike/regexp_count pair stays codegen'd, no
+    * UDF. Pass engine-portable (RE2) patterns when an external replay
+    * must reproduce the numbers — the scrub's own lookbehind-based
+    * [[Ipv4Re]] is deliberately NOT the default here.
+    */
+  def auditReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  groupCol: String,
+                  patterns: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(patterns.nonEmpty, "auditReport: no patterns")
+    val aggs = patterns.flatMap { case (name, pat) =>
+      Seq(
+        count(when(col(textCol).rlike(pat), 1)).as(s"${name}_docs"),
+        sum(regexp_count(col(textCol), lit(pat)).cast("long"))
+          .as(s"${name}_mentions"))
+    }
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"), aggs: _*)
+  }
+
   /** True if the dotted-quad is a valid, globally routable IPv4 address
     * (mirrors Python `ipaddress.is_global` for the common ranges).
     */

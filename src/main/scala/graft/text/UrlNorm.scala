@@ -100,4 +100,42 @@ object UrlNorm {
       }
     auth + path + query
   }
+
+  /** Lexical URL features — the DCLM/spam-classifier signal block
+    * computed from the URL STRING alone (no fetch): path depth/length,
+    * query length and parameter count, host length and digit fraction
+    * (dotted-quad and DGA-style hosts score high), explicit port, and
+    * https. Pure Column string arithmetic with engine-portable pieces
+    * (split_part / regexp_replace / length), so a DuckDB oracle replays it
+    * exactly; one narrow codegen'd projection, no UDF. Fragments are cut
+    * before query parsing (they are client-side). Expects scheme-ful
+    * URLs (crawl records have them); a schemeless string is treated as
+    * host-first.
+    */
+  def urlFeatures(urlCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val afterScheme = split_part(urlCol, lit("://"), lit(2))
+    val rest0 = when(length(afterScheme) > 0, afterScheme).otherwise(urlCol)
+    val rest = split_part(rest0, lit("#"), lit(1))
+    val hostPort = split_part(rest, lit("/"), lit(1))
+    val pathQ = rest.substr(length(hostPort) + 1, length(rest))
+    val path = split_part(pathQ, lit("?"), lit(1))
+    val query = split_part(pathQ, lit("?"), lit(2))
+    val host = split_part(hostPort, lit(":"), lit(1))
+    val hostDigits = length(host) - length(regexp_replace(host, "[0-9]", ""))
+    struct(
+      length(path).as("path_len"),
+      (length(path) - length(regexp_replace(path, "/", ""))).as("path_depth"),
+      length(query).as("query_len"),
+      when(length(query) === 0, 0)
+        .otherwise(length(query) - length(regexp_replace(query, "&", "")) + 1)
+        .as("n_params"),
+      length(host).as("host_len"),
+      when(length(host) > 0,
+        round(hostDigits.cast("double") / length(host).cast("double"), 4))
+        .otherwise(0.0).as("host_digit_frac"),
+      (instr(hostPort, ":") > 0).as("has_port"),
+      lower(urlCol).startsWith("https://").as("is_https"))
+  }
 }

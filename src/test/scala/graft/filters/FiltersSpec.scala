@@ -351,3 +351,26 @@ class PerplexitySpec extends AnyFunSuite {
     assert(p > 1.0 && p.isFinite)
   }
 }
+
+class PiiAuditSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("audit report counts affected docs and mentions per group") {
+    val df = Seq(
+      ("s1", "clean text with nothing"),
+      ("s1", "write a@b.com and c@d.org today"),   // 1 doc, 2 emails
+      ("s1", "ping 10.0.0.1 twice: 10.0.0.1"),     // 1 doc, 2 ips
+      ("s2", "mail x@y.net from 172.16.31.10")         // both in one doc
+    ).toDF("src", "t")
+    val got = graft.filters.Pii.auditReport(df, "t", "src", Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("s1") == ((3L, 1L, 2L, 1L, 2L)))
+    assert(got("s2") == ((1L, 1L, 1L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.filters.Pii.auditReport(df, "t", "src", Nil)
+    }
+  }
+}

@@ -466,3 +466,29 @@ class BpeSparkSpec extends graft.SparkSpec {
     assert(counted(0L) == expectEven && counted(1L) == expectOdd)
   }
 }
+
+class UrlFeaturesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def feats(url: String) =
+    Seq(url).toDF("u").select(UrlNorm.urlFeatures($"u").as("f"))
+      .select("f.*")
+      .as[(Int, Int, Int, Int, Int, Double, Boolean, Boolean)].head()
+
+  test("url features: hand-computed on representative shapes") {
+    // (path_len, path_depth, query_len, n_params, host_len,
+    //  host_digit_frac, has_port, is_https)
+    assert(feats("https://example.com/a/b/c?x=1&y=2#frag") ==
+      ((6, 3, 7, 2, 11, 0.0, false, true)))
+    assert(feats("HTTP://www.example.com:8080/") ==
+      ((1, 1, 0, 0, 15, 0.0, true, false)))
+    // dotted-quad host: digit fraction high; no path at all
+    assert(feats("http://192.168.0.1") ==
+      ((0, 0, 0, 0, 11, round(8.0 / 11, 4), false, false)))
+    // schemeless: treated host-first
+    assert(feats("example.org/x") == ((2, 1, 0, 0, 11, 0.0, false, false)))
+  }
+
+  private def round(v: Double, dp: Int): Double =
+    BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
