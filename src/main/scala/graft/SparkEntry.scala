@@ -907,6 +907,54 @@ object SparkEntry {
         graft.text.Mojibake.fixUdf(corrupted).as("fixed"))
     }),
 
+    // robots.txt parsing: planted per-variant files (comments, empty
+    // Disallow, agent groups, wildcards) → exploded rule lists; the
+    // oracle emits the expected parse, so parse() must invert the
+    // construction including the skip rules
+    "q_robots_rules" -> ((s, dir) => {
+      val d = col("doc_id")
+      val content = when(d % 4 === 0,
+        lit("User-agent: *\nDisallow: /private/   # staff\nAllow: /private/ok/\n"))
+        .when(d % 4 === 1,
+          lit("User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow:\n"))
+        .when(d % 4 === 2,
+          lit("# policy\nUser-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*\n"))
+        .otherwise(lit(""))
+      val hosts = t(s, dir, "documents").select(d, content.as("content"))
+      graft.text.RobotsTxt.rulesTable(hosts, "doc_id", "content")
+        .select(col("doc_id"),
+          posexplode(col("robots_rules")).as(Seq("idx", "rule")))
+        .select(col("doc_id"), col("idx"),
+          (substring(col("rule"), 1, 1) === "A").as("allow"),
+          substring(col("rule"), 2, 100000).as("pattern"))
+    }),
+
+    // robots.txt application: per-host rules joined to constructed urls,
+    // RFC 9309 longest-match decision; the oracle hand-encodes the
+    // expected verdict for every (host-variant, path-variant) pair
+    "q_robots_allowed" -> ((s, dir) => {
+      val d = col("doc_id")
+      val content = when(col("h") === 0,
+        lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"))
+        .when(col("h") === 1,
+          lit("User-agent: graftbot\nDisallow: /\nUser-agent: *\nDisallow:\n"))
+        .when(col("h") === 2,
+          lit("User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*\n"))
+        .otherwise(lit(""))
+      val hosts = t(s, dir, "documents").select((d % 4).as("h")).distinct()
+        .withColumn("content", content)
+      val rules = graft.text.RobotsTxt.rulesTable(hosts, "h", "content")
+      val urls = t(s, dir, "documents").select(d, concat(
+        lit("https://h"), (d % 4).cast("string"), lit(".example.com"),
+        when(d % 5 === 0, lit("/private/x"))
+          .when(d % 5 === 1, lit("/private/ok/y"))
+          .when(d % 5 === 2, lit("/docs/file.pdf"))
+          .when(d % 5 === 3, lit("/tmp123"))
+          .otherwise(lit("/public/z"))).as("url"))
+      graft.text.RobotsTxt.markAllowed(urls, "url", d % 4, rules, "h")
+        .select("doc_id", "allowed")
+    }),
+
     // Robots meta directives over planted tag variants (attribute order,
     // quote style, case, unquoted values, a decoy non-robots meta) —
     // the crawl-compliance gate, as two RE2 regexp passes both engines run
@@ -1864,6 +1912,25 @@ object SparkEntry {
         |    AS INT) AS sig_chars,
         |  clean AS fixed
         |FROM m""".stripMargin,
+
+    "q_robots_rules" ->
+      """SELECT doc_id, 0 AS idx, false AS allow, '/private/' AS pattern
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, 1, true, '/private/ok/'
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, 0, false, '/*.pdf$'
+        |FROM documents WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, 1, false, '/tmp*'
+        |FROM documents WHERE doc_id % 4 = 2""".stripMargin,
+
+    "q_robots_allowed" ->
+      """SELECT doc_id,
+        |  NOT ((doc_id % 4 = 0 AND doc_id % 5 = 0)
+        |    OR (doc_id % 4 = 2 AND doc_id % 5 IN (2, 3))) AS allowed
+        |FROM documents""".stripMargin,
 
     "q_robots_meta" ->
       """WITH h AS (SELECT doc_id,
