@@ -30,6 +30,7 @@ import graft.sources.CorpusIO
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
   *     [--fix-mojibake] [--keep-latest] [--robots-respect]
+  *     [--robots-txt <dir> [--robots-agent <token>]]
   *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
   *     [--compact-target <bytes>]
   *
@@ -329,6 +330,21 @@ object Run {
         graft.dedup.ExactDedup.urlDedup(latestKept, "url",
           Seq("warc_ts", "url"))
       else latestKept
+    // --robots-txt <dir>: crawl-compliance pre-filter — parquet of
+    // (host, content) robots.txt files; pages a host disallowed for our
+    // agent are dropped before any scoring work, like --url-dedup's
+    // silent pre-stage (the publisher asked not to be indexed at all,
+    // so an audit sink of their content would defeat the point)
+    val robotsGated = a.get("robots-txt") match {
+      case Some(dir) =>
+        val rules = graft.text.RobotsTxt.rulesTable(
+          spark.read.parquet(dir), "host", "content",
+          agent = a.getOrElse("robots-agent", "*"))
+        graft.text.RobotsTxt.markAllowed(urlDeduped, "url",
+          split_part(col("url"), lit("/"), lit(3)), rules, "host")
+          .filter(col("allowed")).drop("allowed")
+      case None => urlDeduped
+    }
     // --ref-sigs: gate incoming pages against a prior run's stored
     // signature snapshot before any scoring work is spent on them.
     // markAgainst's join-back needs a UNIQUE id and urls recur across
@@ -338,10 +354,10 @@ object Run {
       case Some(dir) =>
         val rid = rowKey128(col("url"), col("warc_ts"), col("text"))
         graft.dedup.MinHash.dedupAgainst(
-          urlDeduped.withColumn("_ref_id", rid), "_ref_id", "text",
+          robotsGated.withColumn("_ref_id", rid), "_ref_id", "text",
           spark.read.parquet(dir))
           .drop("_ref_id")
-      case None => urlDeduped
+      case None => robotsGated
     }
     val pages = a.get("repartition") match {
       case Some(n) => refGated.repartition(n.toInt)

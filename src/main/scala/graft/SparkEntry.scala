@@ -487,6 +487,13 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), qscoreExpr.as("qscore"))),
 
+    // Own-language stopword fraction (CCNet-style per-language quality
+    // signal; languages without a table → null, not 0)
+    "q_stopword_frac" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        analytics.TextAnalysis.stopwordFrac(col("text"), col("lang"))
+          .as("stopword_frac"))),
+
     // Source-diversity report: Shannon entropy (bits + normalized),
     // Simpson concentration, hottest-group share — decimal-accumulated,
     // shuffle-order-independent (dataset-card composition numbers)
@@ -1480,6 +1487,31 @@ object SparkEntry {
         |       x -> x IN ('the','of','and','to','is'))) / 5.0) * 0.5), 4)
         |  AS qscore
         |FROM documents""".stripMargin,
+
+    "q_stopword_frac" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |  list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |    x -> length(x) > 0) AS ws FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE lang
+        |    WHEN 'de' THEN CASE WHEN len(ws) > 0
+        |      THEN round(1.0 * len(list_filter(ws, x -> x IN
+        |        ('der','die','und','das','ist','mit','ein','nicht','von','zu')
+        |        )) / len(ws), 4) ELSE 0.0 END
+        |    WHEN 'en' THEN CASE WHEN len(ws) > 0
+        |      THEN round(1.0 * len(list_filter(ws, x -> x IN
+        |        ('the','of','and','to','in','is','that','it','was','for')
+        |        )) / len(ws), 4) ELSE 0.0 END
+        |    WHEN 'es' THEN CASE WHEN len(ws) > 0
+        |      THEN round(1.0 * len(list_filter(ws, x -> x IN
+        |        ('el','la','los','las','es','para','con','que','una','por')
+        |        )) / len(ws), 4) ELSE 0.0 END
+        |    WHEN 'fr' THEN CASE WHEN len(ws) > 0
+        |      THEN round(1.0 * len(list_filter(ws, x -> x IN
+        |        ('le','la','les','des','est','dans','pour','que','une','sur')
+        |        )) / len(ws), 4) ELSE 0.0 END
+        |    ELSE NULL END AS stopword_frac
+        |FROM w""".stripMargin,
 
     "q_source_diversity" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents

@@ -90,6 +90,45 @@ object TextAnalysis {
 
   val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
 
+  /** Per-language stopword tables for [[stopwordFrac]] — the CCNet-style
+    * own-language generalization of Gopher's English-only stop-word
+    * check (Wenzek et al. 2020 use per-language resources throughout;
+    * Rae et al. 2021 §A1.1 defines the English rule). Ten highest-
+    * frequency function words per language; extend per deployment.
+    */
+  val StopwordTables: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it",
+      "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "ein",
+      "nicht", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour",
+      "que", "une", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "es", "para", "con",
+      "que", "una", "por"))
+
+  /** Own-language stopword fraction: the quality signal computed against
+    * the DOCUMENT'S language's function words, not English's — an
+    * English stop-list scores every non-English page as "low quality",
+    * which is a language filter in disguise, not a quality filter.
+    * Languages without a table yield null (signal unavailable ≠ 0).
+    * Pure Column when-chain over the tables (codegen'd, SQL-replayable);
+    * at a 100+-language deployment swap the chain for a broadcast-map
+    * UDF — the plan-literal form is for table sets this size.
+    */
+  def stopwordFrac(textCol: Column, langCol: Column,
+                   tables: Map[String, Seq[String]] = StopwordTables): Column = {
+    val ws = split(lower(textCol), "[^a-z']+")
+    val words = size(filter(ws, w => length(w) > 0))
+    def frac(list: Seq[String]): Column = {
+      val hits = size(filter(ws, w => w.isInCollection(list)))
+      when(words > 0,
+        round(hits.cast("double") / words.cast("double"), 4)).otherwise(0.0)
+    }
+    tables.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+      case (acc, (lang, list)) => when(langCol === lang, frac(list)).otherwise(acc)
+    }
+  }
+
   /** DEFLATE compression ratio (compressed/original bytes) — the entropy
     * proxy several public pipelines gate on (e.g. Dolma's document
     * filters): machine-generated boilerplate, keyword stuffing and

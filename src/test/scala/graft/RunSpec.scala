@@ -90,6 +90,33 @@ class RunSpec extends SparkSpec {
         .count() == 3)
   }
 
+  test("--robots-txt: disallowed pages drop pre-score; ruleless hosts flow") {
+    val in = dir() + "/in"; val rb = dir() + "/robots"; val out = dir()
+    import spark.implicits._
+    def doc(i: Int) = Synth.cleanDoc(Synth.rngFor(53, i), Synth.EnVocab, 8)
+    val rows = (1 to 30).map { i =>
+      val host = if (i % 3 == 0) "blocked.example.com" else s"open$i.example.com"
+      val path = if (i % 3 == 0) s"/private/$i" else s"/p/$i"
+      // a few junk docs on OPEN hosts so removed/ is non-empty (an
+      // all-kept run writes no removed parquet to read back)
+      val text = if (i % 10 == 1) "junk" else doc(i)
+      (s"https://$host$path", Synth.tsOf(i), Array.empty[Byte], text, "en")
+    }
+    rows.toDF("url", "warc_ts", "html", "text", "lang").write.parquet(in)
+    Seq(("blocked.example.com", "User-agent: *\nDisallow: /private/\n"))
+      .toDF("host", "content").write.parquet(rb)
+    val json = Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> out, "robots-txt" -> rb))
+    val all = spark.read.parquet(s"$out/kept").select("url").as[String]
+      .collect().toSet ++
+      spark.read.parquet(s"$out/removed").select("url").as[String]
+        .collect().toSet
+    assert(!all.exists(_.contains("blocked.example.com")),
+      "disallowed pages must be gone before scoring")
+    assert(all.exists(_.contains("open1.example.com")))
+    assert(json.contains("\"docs_in\":20"), s"pre-filter count wrong: $json")
+  }
+
   test("full composition: url-dedup, span rewrites, dsir selection") {
     val out = dir()
     val json = Run.execute(spark, Map(

@@ -460,6 +460,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((7L, 3L, 5L, 0.428571)))  // round(3/7, 6)
   }
 
+  test("own-language stopword fraction; untabled language yields null") {
+    val df = Seq(
+      ("the cat of the house", "en"),     // 3 stopwords / 5 words
+      ("der hund und die katze", "de"),   // 3 / 5
+      ("the cat of the house", "de"),     // en words under de list: 0 / 5
+      ("some words here", "zh"),          // no zh table -> null
+      ("", "en")                          // empty -> 0.0
+    ).toDF("text", "lang")
+    val got = df.select(
+      TextAnalysis.stopwordFrac($"text", $"lang").as("f"))
+      .as[Option[Double]].collect()
+    assert(got(0).contains(0.6) && got(1).contains(0.6))
+    assert(got(2).contains(0.0))
+    assert(got(3).isEmpty)
+    assert(got(4).contains(0.0))
+  }
+
   test("compression ratio orders repetitive < prose < random; edge cases") {
     val repetitive = "spam link " * 200
     val prose = Synth.cleanDoc(Synth.rngFor(9, 1), Synth.EnVocab, 12)
