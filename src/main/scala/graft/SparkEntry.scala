@@ -494,6 +494,14 @@ object SparkEntry {
         analytics.TextAnalysis.stopwordFrac(col("text"), col("lang"))
           .as("stopword_frac"))),
 
+    // Readability + lexical-diversity screen (Flesch ease, FK grade,
+    // hapax fraction) — one narrow codegen projection per doc
+    "q_readability" -> ((s, dir) => {
+      val sigs = analytics.TextAnalysis.readabilitySignals(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: sigs.map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // Source-diversity report: Shannon entropy (bits + normalized),
     // Simpson concentration, hottest-group share — decimal-accumulated,
     // shuffle-order-independent (dataset-card composition numbers)
@@ -1161,6 +1169,17 @@ object SparkEntry {
         .select(col("doc_id"), round(ppl(col("text")), 4).as("perplexity"))
     }),
 
+    // Full-corpus distributed KN training (every token counted via one
+    // word-count-shaped aggregation, not a bounded sample), then scoring.
+    // Rows-only: learned LM state, same ledger class as q_perplexity.
+    "q_perplexity_corpus" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = graft.filters.KneserNeyLM.trainDistributed(d, "text")
+      val bc = s.sparkContext.broadcast(lm)
+      val ppl = udf(graft.filters.KneserNeyLM.perplexityFn(bc))
+      d.select(col("doc_id"), round(ppl(col("text")), 4).as("perplexity"))
+    }),
+
     // CCNet per-language LMs: each doc scored against its OWN language's
     // Kneser-Ney model (Wenzek et al. §3.3 — one KenLM per language;
     // a single global LM conflates fluency with language frequency).
@@ -1512,6 +1531,35 @@ object SparkEntry {
         |        )) / len(ws), 4) ELSE 0.0 END
         |    ELSE NULL END AS stopword_frac
         |FROM w""".stripMargin,
+
+    "q_readability" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '') AS words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS n_sentences,
+        |  len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_sentences, n_syllables,
+        |  len(words) AS nw,
+        |  list_transform(words, x -> lower(x)) AS lws
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(n_sentences AS INT) AS n_sentences,
+        |  CAST(n_syllables AS INT) AS n_syllables,
+        |  round(nw / CAST(n_sentences AS DOUBLE), 4) AS words_per_sentence,
+        |  round(n_syllables / CAST(nullif(nw, 0) AS DOUBLE), 4)
+        |    AS syllables_per_word,
+        |  round(206.835 - 1.015 * (nw / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (n_syllables / CAST(nullif(nw, 0) AS DOUBLE)), 4)
+        |    AS flesch_ease,
+        |  round(0.39 * (nw / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (n_syllables / CAST(nullif(nw, 0) AS DOUBLE))
+        |    - 15.59, 4) AS fk_grade,
+        |  round(len(list_filter(list_distinct(lws),
+        |      w -> len(list_filter(lws, x -> x = w)) = 1))
+        |    / CAST(nullif(nw, 0) AS DOUBLE), 4) AS hapax_frac
+        |FROM p""".stripMargin,
 
     "q_source_diversity" ->
       """WITH c AS (SELECT source, count(*) AS c FROM documents

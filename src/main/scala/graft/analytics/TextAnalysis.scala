@@ -129,6 +129,50 @@ object TextAnalysis {
     }
   }
 
+  /** Readability signals (Flesch 1948; Kincaid et al. 1975) plus hapax
+    * fraction — the classic cheap proxies education-targeted corpus
+    * filters screen on before spending classifier inference. Syllables
+    * are approximated as vowel-group runs directly on the RAW text with
+    * a case-folded character class (no `lower()` call: Java and
+    * SQL-engine lowercasing disagree on expanding mappings like U+0130,
+    * and the regex class sidesteps the divergence entirely). Sentences
+    * are terminator runs `[.!?]+`, floored at 1 so a fragment without
+    * punctuation is one sentence, not a division by zero. All pure
+    * Column expressions — one narrow codegen projection, no shuffle.
+    *
+    * `hapax_frac` (words occurring exactly once / total words) is the
+    * lexical-diversity complement of quality_signals' type-token ratio:
+    * template spam repeats its vocabulary, so its hapax fraction
+    * collapses even when raw TTR stays moderate. The nested
+    * distinct×occurrence scan is O(distinct × words) per row — bounded
+    * by document length, never by corpus size.
+    */
+  def readabilitySignals(text: Column): Seq[(String, Column)] = {
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    val nWords = size(words)
+    val nSentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+    val nSyllables =
+      size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0)))
+    val wps = nWords.cast("double") / nSentences.cast("double")
+    val spw = when(nWords > 0,
+      nSyllables.cast("double") / nWords.cast("double"))
+    val lw = transform(words, w => lower(w))
+    val hapax = size(filter(array_distinct(lw),
+      w => size(filter(lw, x => x === w)) === 1))
+    Seq(
+      "n_sentences" -> nSentences,
+      "n_syllables" -> nSyllables,
+      "words_per_sentence" -> round(wps, 4),
+      "syllables_per_word" -> round(spw, 4),
+      "flesch_ease" -> round(lit(206.835) - lit(1.015) * wps
+        - lit(84.6) * spw, 4),
+      "fk_grade" -> round(lit(0.39) * wps + lit(11.8) * spw
+        - lit(15.59), 4),
+      "hapax_frac" -> when(nWords > 0,
+        round(hapax.cast("double") / nWords.cast("double"), 4)))
+  }
+
   /** DEFLATE compression ratio (compressed/original bytes) — the entropy
     * proxy several public pipelines gate on (e.g. Dolma's document
     * filters): machine-generated boilerplate, keyword stuffing and

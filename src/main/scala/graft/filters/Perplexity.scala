@@ -247,6 +247,105 @@ object KneserNeyLM {
     }
 
   /** Count-based training from an iterator of documents. Deterministic. */
+  /** Full-corpus distributed KN training — the scale path past
+    * [[trainPerLang]]'s bounded per-language samples. `train` and
+    * `trainPerLang` cap what the model SEES (a deterministic sample);
+    * this trains on every token of the input with one corpus-wide
+    * count aggregation and bounds only what the DRIVER HOLDS:
+    *
+    *  - one pass emits `(w1, w2)` bigram rows plus `(w, null)` unigram
+    *    rows per token; `groupBy(w1, w2).count` is the canonical
+    *    word-count shape — map-side partial aggregation shrinks the
+    *    shuffle to per-partition-distinct pairs, so the exchange
+    *    carries counts, never text;
+    *  - `maxVocab` keeps the top-V unigrams (count desc, word asc —
+    *    deterministic ties) and folds the tail to `<unk>` by
+    *    RE-AGGREGATING THE COUNT TABLE, not re-scanning the corpus:
+    *    summing remapped counts is exactly counting the remapped token
+    *    stream, so the second pass runs over the (already small)
+    *    aggregate;
+    *  - `minCount` prunes bigrams rarer than the floor (they fall back
+    *    to the continuation distribution at scoring time, which is what
+    *    KN backoff is for); unigrams are never pruned — they are the
+    *    c(w1) denominators;
+    *  - a loud `require` on the final collected row count replaces the
+    *    silent OOM: at web scale you SET maxVocab/minCount, and the
+    *    guard tells you when you forgot.
+    *
+    * With `maxVocab = 0, minCount = 1` the collected tables equal
+    * [[train]]'s in-JVM tables row for row (PerplexitySpec pins
+    * score-identity), so the distributed path is a drop-in for the
+    * sampled one wherever the corpus no longer fits a sample.
+    */
+  def trainDistributed(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       discount: Double = 0.75, maxVocab: Int = 0,
+                       minCount: Long = 1L,
+                       maxCollectedRows: Long = 4000000L): KneserNeyLM = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, udf}
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocab >= 0,
+      s"maxVocab must be >= 0 (0 = unbounded), got $maxVocab")
+    val pairs = df.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val tok = new KneserNeyLM(Map.empty, Map.empty, Map.empty,
+          Map.empty, 1L)
+        it.flatMap { t =>
+          val toks = "<s>" +: tok.tokenize(if (t == null) "" else t)
+          toks.iterator.map(w => (w, null: String)) ++
+            (1 until toks.length).iterator
+              .map(i => (toks(i - 1), toks(i)))
+        }
+      }.toDF("w1", "w2")
+    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val bounded =
+      if (maxVocab == 0) counts
+      else {
+        // `counts` feeds two jobs (top-V, then the remap re-agg) — worth
+        // one scoped persist exactly like the CC loop's reused frames;
+        // released below once `pruned` has materialized through it
+        counts.persist()
+        val keep = counts.filter(col("w2").isNull)
+          .orderBy(col("c").desc, col("w1").asc).limit(maxVocab)
+          .select("w1").as[String].collect().toSet + "<s>"
+        val bc = spark.sparkContext.broadcast(keep)
+        val remap = udf((w: String) =>
+          if (w == null || bc.value(w)) w else "<unk>")
+        counts.select(remap(col("w1")).as("w1"),
+            remap(col("w2")).as("w2"), col("c"))
+          .groupBy("w1", "w2").agg(sum(col("c")).as("c"))
+      }
+    val pruned = bounded.filter(col("w2").isNull || col("c") >= minCount)
+      .select(col("w1"), col("w2"), col("c").cast("long").as("c"))
+      .persist()
+    val nRows = pruned.count() // materializes the cache for the collect
+    if (maxVocab > 0) counts.unpersist(blocking = false)
+    require(nRows <= maxCollectedRows,
+      s"trainDistributed: $nRows count rows exceed maxCollectedRows=" +
+        s"$maxCollectedRows — raise minCount or lower maxVocab (or raise " +
+        "the cap if the driver can hold the model)")
+    val rows = pruned.collect()
+    pruned.unpersist(blocking = false)
+    val uni = mutable.HashMap.empty[String, Long]
+    val bi = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]
+    rows.foreach { r =>
+      if (r.isNullAt(1)) uni.update(r.getString(0), r.getLong(2))
+      else bi.getOrElseUpdate(r.getString(0), mutable.HashMap.empty)
+        .update(r.getString(1), r.getLong(2))
+    }
+    val cl = mutable.HashMap.empty[String, Int]
+    val cr = mutable.HashMap.empty[String, Int]
+    var nBigrams = 0L
+    bi.foreach { case (w1, sub) =>
+      cl.update(w1, sub.size)
+      nBigrams += sub.size
+      sub.keysIterator.foreach(w2 => cr.update(w2, cr.getOrElse(w2, 0) + 1))
+    }
+    new KneserNeyLM(uni.toMap, bi.view.mapValues(_.toMap).toMap,
+      cl.toMap, cr.toMap, math.max(nBigrams, 1L), discount)
+  }
+
   def train(docs: IterableOnce[String], discount: Double = 0.75): KneserNeyLM = {
     val uni = mutable.HashMap.empty[String, Long]
     val bi = mutable.HashMap.empty[String, mutable.HashMap[String, Long]]

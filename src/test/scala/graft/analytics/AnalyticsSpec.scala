@@ -477,6 +477,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4).contains(0.0))
   }
 
+  test("readability signals: hand-computed Flesch/FK/hapax; empty-doc nulls") {
+    val df = Seq(
+      ("The cat sat. It ran!", 1),  // 5 w, 2 s, 5 syl, all hapax
+      ("the the the", 2),           // 3 w, 1 s (floor), 0 hapax
+      ("", 3)                       // 0 words -> null spw/flesch/fk/hapax
+    ).toDF("text", "i")
+    val sigs = TextAnalysis.readabilitySignals($"text")
+    val got = df.orderBy("i").select(
+      sigs.map { case (n, c) => c.as(n) }: _*).collect()
+    assert(got(0).getInt(0) == 2 && got(0).getInt(1) == 5)
+    assert(got(0).getDouble(2) == 2.5 && got(0).getDouble(3) == 1.0)
+    assert(got(0).getDouble(4) == 119.6975)  // 206.835 - 2.5375 - 84.6
+    assert(got(0).getDouble(5) == -2.815)    // 0.975 + 11.8 - 15.59
+    assert(got(0).getDouble(6) == 1.0)
+    assert(got(1).getInt(0) == 1)            // no terminator -> 1 sentence
+    assert(got(1).getDouble(2) == 3.0 && got(1).getDouble(6) == 0.0)
+    assert(got(2).getDouble(2) == 0.0)       // 0 words / floored sentence
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4) && got(2).isNullAt(5)
+      && got(2).isNullAt(6))
+  }
+
   test("compression ratio orders repetitive < prose < random; edge cases") {
     val repetitive = "spam link " * 200
     val prose = Synth.cleanDoc(Synth.rngFor(9, 1), Synth.EnVocab, 12)

@@ -352,6 +352,69 @@ class PerplexitySpec extends AnyFunSuite {
   }
 }
 
+class DistributedPerplexitySpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def doc(vocab: Seq[String], seed: Long, n: Int) = {
+    val r = new java.util.SplittableRandom(seed)
+    (1 to n).map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+  }
+  private val enV = Seq("the", "of", "and", "river", "stone", "valley",
+    "light", "is", "under", "old")
+  private lazy val texts: Seq[String] =
+    (1 to 400).map(i => doc(enV, i, 25)) :+ null
+  private lazy val corpus = texts.toDF("text")
+
+  test("unbounded distributed training is table-identical to in-JVM train") {
+    val dist = KneserNeyLM.trainDistributed(corpus, "text")
+    val local = KneserNeyLM.train(texts.map(t => if (t == null) "" else t))
+    assert(dist.unigram == local.unigram)
+    assert(dist.bigramByW1 == local.bigramByW1)
+    assert(dist.contLeft == local.contLeft)
+    assert(dist.contRight == local.contRight)
+    assert(dist.bigramTypes == local.bigramTypes)
+    val probe = doc(enV, 99999L, 20)
+    assert(dist.perplexity(probe) == local.perplexity(probe))
+  }
+
+  test("model is invariant to input partitioning") {
+    val a = KneserNeyLM.trainDistributed(corpus, "text")
+    val b = KneserNeyLM.trainDistributed(corpus.repartition(13), "text")
+    assert(a.unigram == b.unigram && a.bigramByW1 == b.bigramByW1)
+  }
+
+  test("maxVocab folds the tail to <unk> conserving total counts") {
+    val full = KneserNeyLM.trainDistributed(corpus, "text")
+    val capped = KneserNeyLM.trainDistributed(corpus, "text", maxVocab = 5)
+    // vocab = top-5 + forced <s> + the fold target
+    assert(capped.unigram.keySet.size <= 7)
+    assert(capped.unigram.keySet.contains("<s>"))
+    assert(capped.unigram.contains("<unk>"))
+    assert(capped.unigram.values.sum == full.unigram.values.sum)
+    assert(capped.bigramByW1.values.map(_.values.sum).sum ==
+      full.bigramByW1.values.map(_.values.sum).sum)
+    val probe = doc(enV, 4242L, 20)
+    assert(capped.perplexity(probe).isFinite && capped.perplexity(probe) > 1)
+  }
+
+  test("minCount prunes rare bigrams but never unigram denominators") {
+    val full = KneserNeyLM.trainDistributed(corpus, "text")
+    val floor = full.bigramByW1.values.flatMap(_.values).min + 1
+    val pruned = KneserNeyLM.trainDistributed(corpus, "text",
+      minCount = floor)
+    assert(pruned.unigram == full.unigram)
+    assert(pruned.bigramByW1.values.flatMap(_.values).forall(_ >= floor))
+    assert(pruned.bigramTypes < full.bigramTypes)
+  }
+
+  test("collected-rows guard is loud") {
+    val e = intercept[IllegalArgumentException] {
+      KneserNeyLM.trainDistributed(corpus, "text", maxCollectedRows = 10L)
+    }
+    assert(e.getMessage.contains("maxCollectedRows"))
+  }
+}
+
 class PiiAuditSpec extends graft.SparkSpec {
   import spark.implicits._
 
