@@ -25,7 +25,7 @@ import graft.sources.CorpusIO
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--bm25-terms <t1,t2,..> --bm25-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
+  *     [--shuffle-salt <s>] [--ppl-per-lang <n>] [--ppl-corpus <maxVocab>]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
@@ -596,6 +596,30 @@ object Run {
           .unionByName(base.filter(!col("keep")))
     } }
 
+    // --ppl-corpus <maxVocab>: full-corpus KN re-scoring — train ONE
+    // model on EVERY kept token (trainDistributed's word-count-shaped
+    // aggregation; maxVocab folds the unigram tail to <unk>, 0 =
+    // unbounded) and restamp kept docs' perplexity with it. The
+    // alternative restamp policy to --ppl-per-lang: per-language models
+    // measure fluency within a language, the corpus model measures
+    // typicality against the whole kept distribution — choose one.
+    val corpusScored = inPhase(spark, "ppl_corpus") {
+      a.get("ppl-corpus") match {
+      case None => perLangScored
+      case Some(vStr) =>
+        require(!a.contains("ppl-per-lang"),
+          "--ppl-corpus and --ppl-per-lang are alternative perplexity " +
+            "restamp policies — pass at most one")
+        val base = pin(perLangScored)
+        val kept = base.filter(col("keep"))
+        val lm = graft.filters.KneserNeyLM.trainDistributed(
+          kept, "scrubbed_text", maxVocab = vStr.toInt)
+        val bc = spark.sparkContext.broadcast(lm)
+        val f = udf(graft.filters.KneserNeyLM.perplexityFn(bc))
+        kept.withColumn("perplexity", f(col("scrubbed_text")))
+          .unionByName(base.filter(!col("keep")))
+    } }
+
     // --ppl-buckets <k>: stamp kept docs with their CCNet-style
     // per-language perplexity tile ([[graft.filters.CcNet]] — `head` is
     // the most-fluent third for k=3), grouped by the PREDICTED language
@@ -610,9 +634,9 @@ object Run {
       case None =>
         require(!a.contains("ppl-keep"),
           "--ppl-keep requires --ppl-buckets")
-        perLangScored
+        corpusScored
       case Some(kStr) =>
-        val base = pin(perLangScored)
+        val base = pin(corpusScored)
         // tiebreak on the synthesized 128-bit row key, not the raw text:
         // the rank's range shuffle sorts on its order columns, and a
         // 32-char hex key moves through that exchange where the full
@@ -715,11 +739,17 @@ object Run {
     // re-threshold without re-reading the corpus). One narrow zero-UDF
     // projection over the shipped text; dropped docs (null scrubbed
     // text) carry null signals.
+    val readability =
+      graft.analytics.TextAnalysis.readabilitySignals(col("scrubbed_text"))
     val signalNames =
-      graft.analytics.QualitySignals.signals(col("scrubbed_text")).map(_._1)
+      graft.analytics.QualitySignals.signals(col("scrubbed_text")).map(_._1) ++
+        readability.map(_._1)
     val signaled =
       if (a.contains("signals"))
-        graft.analytics.QualitySignals.withSignals(shuffled, "scrubbed_text")
+        readability.foldLeft(graft.analytics.QualitySignals
+            .withSignals(shuffled, "scrubbed_text")) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
       else shuffled
     val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
       "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++

@@ -150,8 +150,10 @@ object TextAnalysis {
   def readabilitySignals(text: Column): Seq[(String, Column)] = {
     val words = filter(split(text, "\\s+"), w => w =!= "")
     val nWords = size(words)
-    val nSentences = greatest(
-      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+    // isNotNull gate: greatest(null, 1) would resurrect a 1 for null
+    // text, and dropped docs must carry null signals across the board
+    val nSentences = when(text.isNotNull, greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1)))
     val nSyllables =
       size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0)))
     val wps = nWords.cast("double") / nSentences.cast("double")

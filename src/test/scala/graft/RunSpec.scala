@@ -369,6 +369,34 @@ class RunSpec extends SparkSpec {
       .count() == 0, "dropped docs' scores must be untouched")
   }
 
+  test("--ppl-corpus restamps kept docs from the full-corpus LM; " +
+       "mutually exclusive with --ppl-per-lang") {
+    val outA = dir(); val outB = dir()
+    Run.execute(spark, Map("synth" -> "1000", "output" -> outA))
+    Run.execute(spark, Map("synth" -> "1000", "output" -> outB,
+      "ppl-corpus" -> "0"))
+    val a = spark.read.parquet(s"$outA/kept")
+      .select(col("url"), col("perplexity").as("ppl_global"))
+    val b = spark.read.parquet(s"$outB/kept")
+      .select(col("url"), col("perplexity").as("ppl_corpus"))
+    val j = a.join(b, Seq("url"), "full").cache()
+    // re-scoring never changes WHICH docs ship, only their score
+    assert(j.filter(col("ppl_global").isNull || col("ppl_corpus").isNull)
+      .count() == 0, "kept sets must be identical")
+    // the corpus model is trained on the kept corpus itself, so scores
+    // must differ from the synthetic global LM's
+    assert(j.filter(col("ppl_global") =!= col("ppl_corpus")).count() > 0)
+    // self-trained typicality: finite sane scores on every kept doc
+    assert(b.filter(col("ppl_corpus") <= 1.0 ||
+      col("ppl_corpus").isNaN).count() == 0)
+    j.unpersist()
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "200", "output" -> dir(),
+        "ppl-corpus" -> "0", "ppl-per-lang" -> "100"))
+    }
+    assert(e.getMessage.contains("alternative"))
+  }
+
   test("--pii-extended scrubs phones/cards on kept docs only; --signals " +
        "publishes the quality-signal vector") {
     val in = dir() + "/in"; val out = dir(); val outPlain = dir()
@@ -395,6 +423,9 @@ class RunSpec extends SparkSpec {
     // signal columns ship, populated on kept docs
     assert(kept.filter(col("stopword_frac").isNull ||
       col("n_words") <= 0).count() == 0)
+    // readability block rides the same flag, populated on kept docs
+    assert(kept.filter(col("fk_grade").isNull || col("flesch_ease").isNull
+      || col("hapax_frac").isNull || col("n_sentences") < 1).count() == 0)
     kept.unpersist()
     // without the flag the default reference-parity chain leaves both
     Run.execute(spark, Map("input" -> in, "format" -> "parquet",
