@@ -287,18 +287,33 @@ object KneserNeyLM {
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(maxVocab >= 0,
       s"maxVocab must be >= 0 (0 = unbounded), got $maxVocab")
+    // Emission is one `("<s>", null)` marker per doc plus the bigram
+    // stream — NOT a unigram row per token. Every token position i >= 1
+    // is exactly one bigram's w2, so uni(w) for w != "<s>" re-derives
+    // from the (already aggregated, small) bigram table as
+    // `groupBy(w2).sum(c)`, and uni("<s>") is the marker count (which
+    // also covers zero-token docs). This halves the emitted tuple
+    // volume of the only corpus-sized stage; "<s>" cannot collide with
+    // a real token (the tokenizer's alphabet is [a-z0-9'], so literal
+    // "<s>" in text tokenizes to "s").
     val pairs = df.select(col(textCol).cast("string")).as[String]
       .mapPartitions { it =>
         val tok = new KneserNeyLM(Map.empty, Map.empty, Map.empty,
           Map.empty, 1L)
         it.flatMap { t =>
           val toks = "<s>" +: tok.tokenize(if (t == null) "" else t)
-          toks.iterator.map(w => (w, null: String)) ++
+          Iterator.single(("<s>", null: String)) ++
             (1 until toks.length).iterator
               .map(i => (toks(i - 1), toks(i)))
         }
       }.toDF("w1", "w2")
-    val counts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val grouped = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val biCounts = grouped.filter(col("w2").isNotNull)
+    val counts = grouped.filter(col("w2").isNull) // the <s> marker row
+      .unionByName(biCounts.groupBy(col("w2").as("w1"))
+        .agg(sum(col("c")).as("c"))
+        .select(col("w1"), lit(null).cast("string").as("w2"), col("c")))
+      .unionByName(biCounts)
     val bounded =
       if (maxVocab == 0) counts
       else {
