@@ -337,11 +337,13 @@ object Run {
     // so an audit sink of their content would defeat the point)
     val robotsGated = a.get("robots-txt") match {
       case Some(dir) =>
+        // hostnames are case-insensitive (RFC 4343) — lower both join
+        // sides so a mixed-case crawl url still meets its rules row
         val rules = graft.text.RobotsTxt.rulesTable(
-          spark.read.parquet(dir), "host", "content",
-          agent = a.getOrElse("robots-agent", "*"))
+          spark.read.parquet(dir).withColumn("host", lower(col("host"))),
+          "host", "content", agent = a.getOrElse("robots-agent", "*"))
         graft.text.RobotsTxt.markAllowed(urlDeduped, "url",
-          split_part(col("url"), lit("/"), lit(3)), rules, "host")
+          lower(split_part(col("url"), lit("/"), lit(3))), rules, "host")
           .filter(col("allowed")).drop("allowed")
       case None => urlDeduped
     }

@@ -95,7 +95,12 @@ class RunSpec extends SparkSpec {
     import spark.implicits._
     def doc(i: Int) = Synth.cleanDoc(Synth.rngFor(53, i), Synth.EnVocab, 8)
     val rows = (1 to 30).map { i =>
-      val host = if (i % 3 == 0) "blocked.example.com" else s"open$i.example.com"
+      // one mixed-case variant: hostnames are case-insensitive and the
+      // gate must still meet the lowercase rules row
+      val host =
+        if (i == 6) "Blocked.Example.COM"
+        else if (i % 3 == 0) "blocked.example.com"
+        else s"open$i.example.com"
       val path = if (i % 3 == 0) s"/private/$i" else s"/p/$i"
       // a few junk docs on OPEN hosts so removed/ is non-empty (an
       // all-kept run writes no removed parquet to read back)
@@ -111,7 +116,7 @@ class RunSpec extends SparkSpec {
       .collect().toSet ++
       spark.read.parquet(s"$out/removed").select("url").as[String]
         .collect().toSet
-    assert(!all.exists(_.contains("blocked.example.com")),
+    assert(!all.exists(_.toLowerCase.contains("blocked.example.com")),
       "disallowed pages must be gone before scoring")
     assert(all.exists(_.contains("open1.example.com")))
     assert(json.contains("\"docs_in\":20"), s"pre-filter count wrong: $json")
