@@ -25,7 +25,8 @@ import graft.sources.CorpusIO
   *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
   *     [--bm25-terms <t1,t2,..> --bm25-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>] [--ppl-per-lang <n>] [--ppl-corpus <maxVocab>]
+  *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
+  *     [--ppl-corpus <maxVocab>[,<minCount>[,<maxRows>]]]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>]
   *     [--pii-extended] [--signals]
@@ -266,6 +267,12 @@ object Run {
       pins += df
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // argv cross-checks BEFORE any job launches: a run passing both
+    // restamp policies must die here, not after --ppl-per-lang has
+    // already trained a corpus-wide model
+    require(!(a.contains("ppl-corpus") && a.contains("ppl-per-lang")),
+      "--ppl-corpus and --ppl-per-lang are alternative perplexity " +
+        "restamp policies — pass at most one")
     val taskMetrics =
       if (a.contains("task-metrics")) {
         val l = new TaskMetricsListener
@@ -338,12 +345,31 @@ object Run {
     val robotsGated = a.get("robots-txt") match {
       case Some(dir) =>
         // hostnames are case-insensitive (RFC 4343) — lower both join
-        // sides so a mixed-case crawl url still meets its rules row
+        // sides so a mixed-case crawl url still meets its rules row.
+        // The rules table is then MERGED to one row per host: duplicate
+        // host rows (crawl snapshots, case variants collapsing under
+        // lower()) would otherwise fan every page of that host out to N
+        // rows through the left join. Rule-set union is the right merge:
+        // the RFC 9309 decision (longest match wins, Allow wins ties)
+        // is order-independent over the rule SET, and sort_array keeps
+        // the stored column deterministic anyway.
         val rules = graft.text.RobotsTxt.rulesTable(
-          spark.read.parquet(dir).withColumn("host", lower(col("host"))),
-          "host", "content", agent = a.getOrElse("robots-agent", "*"))
+            spark.read.parquet(dir).withColumn("host", lower(col("host"))),
+            "host", "content", agent = a.getOrElse("robots-agent", "*"))
+          .groupBy("host")
+          .agg(sort_array(array_distinct(flatten(
+            collect_list(col("robots_rules"))))).as("robots_rules"))
+        // robots rules key on the HOST, not the full authority: strip
+        // userinfo and port (a page on blocked.example.com:8080 must
+        // still meet blocked.example.com's rules — the port variant
+        // would otherwise fail the compliance gate silently OPEN).
+        // Bracketed IPv6 literals keep their brackets, ports outside
+        // them are stripped.
+        val authority = split_part(col("url"), lit("/"), lit(3))
+        val hostExpr = lower(regexp_extract(authority,
+          "^(?:[^@/\\[\\]]*@)?(\\[[^\\]]*\\]|[^:]*)", 1))
         graft.text.RobotsTxt.markAllowed(urlDeduped, "url",
-          lower(split_part(col("url"), lit("/"), lit(3))), rules, "host")
+          hostExpr, rules, "host")
           .filter(col("allowed")).drop("allowed")
       case None => urlDeduped
     }
@@ -609,13 +635,20 @@ object Run {
       a.get("ppl-corpus") match {
       case None => perLangScored
       case Some(vStr) =>
-        require(!a.contains("ppl-per-lang"),
-          "--ppl-corpus and --ppl-per-lang are alternative perplexity " +
-            "restamp policies — pass at most one")
+        // <maxVocab>[,<minCount>[,<maxCollectedRows>]] — all three of
+        // trainDistributed's scale knobs reach the CLI, because the loud
+        // collected-rows guard's documented remedies ("raise minCount…
+        // or raise the cap") must be applicable without a code change
+        val parts = vStr.split(",").map(_.trim)
+        require(parts.length >= 1 && parts.length <= 3,
+          "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]]")
         val base = pin(perLangScored)
         val kept = base.filter(col("keep"))
         val lm = graft.filters.KneserNeyLM.trainDistributed(
-          kept, "scrubbed_text", maxVocab = vStr.toInt)
+          kept, "scrubbed_text", maxVocab = parts(0).toInt,
+          minCount = parts.lift(1).map(_.toLong).getOrElse(1L),
+          maxCollectedRows =
+            parts.lift(2).map(_.toLong).getOrElse(4000000L))
         val bc = spark.sparkContext.broadcast(lm)
         val f = udf(graft.filters.KneserNeyLM.perplexityFn(bc))
         kept.withColumn("perplexity", f(col("scrubbed_text")))

@@ -1509,7 +1509,7 @@ object SparkEntry {
 
     "q_stopword_frac" ->
       """WITH w AS (SELECT doc_id, lang,
-        |  list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+        |  list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z'']+'),
         |    x -> length(x) > 0) AS ws FROM documents)
         |SELECT doc_id, lang,
         |  CASE lang
@@ -1536,13 +1536,14 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\s+'),
         |    x -> x <> '') AS words,
-        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-        |    AS n_sentences,
+        |  CASE WHEN text IS NULL THEN NULL
+        |    ELSE greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    END AS n_sentences,
         |  len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
         |  FROM documents),
         |p AS (SELECT doc_id, n_sentences, n_syllables,
         |  len(words) AS nw,
-        |  list_transform(words, x -> lower(x)) AS lws
+        |  list_transform(words, x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS lws
         |  FROM s)
         |SELECT doc_id,
         |  CAST(n_sentences AS INT) AS n_sentences,

@@ -115,9 +115,22 @@ object TextAnalysis {
     * at a 100+-language deployment swap the chain for a broadcast-map
     * UDF — the plan-literal form is for table sets this size.
     */
+  /** ASCII-only case fold. Used instead of `lower()` wherever the value
+    * must replay bit-for-bit in another SQL engine: Java (Spark) and
+    * utf8proc (DuckDB) disagree on expanding/special Unicode lowercase
+    * mappings (U+0130 et al.), while `translate` over the 26 ASCII
+    * letters is defined identically everywhere. Non-ASCII letters pass
+    * through unfolded — for the heuristic signals below they act as
+    * word-boundary/identity characters consistently in both engines.
+    */
+  private val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+  private def asciiFoldCol(c: Column): Column =
+    translate(c, AsciiUpper, AsciiLower)
+
   def stopwordFrac(textCol: Column, langCol: Column,
                    tables: Map[String, Seq[String]] = StopwordTables): Column = {
-    val ws = split(lower(textCol), "[^a-z']+")
+    val ws = split(asciiFoldCol(textCol), "[^a-z']+")
     val words = size(filter(ws, w => length(w) > 0))
     def frac(list: Seq[String]): Column = {
       val hits = size(filter(ws, w => w.isInCollection(list)))
@@ -159,7 +172,7 @@ object TextAnalysis {
     val wps = nWords.cast("double") / nSentences.cast("double")
     val spw = when(nWords > 0,
       nSyllables.cast("double") / nWords.cast("double"))
-    val lw = transform(words, w => lower(w))
+    val lw = transform(words, w => asciiFoldCol(w))
     val hapax = size(filter(array_distinct(lw),
       w => size(filter(lw, x => x === w)) === 1))
     Seq(

@@ -321,7 +321,10 @@ object KneserNeyLM {
         // one scoped persist exactly like the CC loop's reused frames;
         // released below once `pruned` has materialized through it
         counts.persist()
-        val keep = counts.filter(col("w2").isNull)
+        // "<s>" is force-kept below, so it must not occupy one of the V
+        // slots — its count is nDocs, which outranks the V-th word on
+        // any real corpus and would silently fold that word to <unk>
+        val keep = counts.filter(col("w2").isNull && col("w1") =!= "<s>")
           .orderBy(col("c").desc, col("w1").asc).limit(maxVocab)
           .select("w1").as[String].collect().toSet + "<s>"
         val bc = spark.sparkContext.broadcast(keep)

@@ -97,8 +97,12 @@ class RunSpec extends SparkSpec {
     val rows = (1 to 30).map { i =>
       // one mixed-case variant: hostnames are case-insensitive and the
       // gate must still meet the lowercase rules row
+      // case variant (hostnames are case-insensitive) and a port
+      // variant (rules key on the host, not the authority — the port
+      // must not fail the gate open)
       val host =
         if (i == 6) "Blocked.Example.COM"
+        else if (i == 9) "blocked.example.com:8443"
         else if (i % 3 == 0) "blocked.example.com"
         else s"open$i.example.com"
       val path = if (i % 3 == 0) s"/private/$i" else s"/p/$i"
@@ -108,7 +112,13 @@ class RunSpec extends SparkSpec {
       (s"https://$host$path", Synth.tsOf(i), Array.empty[Byte], text, "en")
     }
     rows.toDF("url", "warc_ts", "html", "text", "lang").write.parquet(in)
-    Seq(("blocked.example.com", "User-agent: *\nDisallow: /private/\n"))
+    // duplicate rules rows for one host (crawl snapshots + a case
+    // variant): the gate must merge them, not fan pages out 3x —
+    // the docs_in pin below catches any multiplication
+    Seq(
+      ("blocked.example.com", "User-agent: *\nDisallow: /private/\n"),
+      ("blocked.example.com", "User-agent: *\nDisallow: /private/\n"),
+      ("Blocked.example.com", "User-agent: *\nDisallow: /legacy/\n"))
       .toDF("host", "content").write.parquet(rb)
     val json = Run.execute(spark, Map("input" -> in, "format" -> "parquet",
       "output" -> out, "robots-txt" -> rb))
