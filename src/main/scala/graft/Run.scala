@@ -294,11 +294,33 @@ object Run {
       case (None, Some(n)) => Synth.pages(spark, n.toLong)
       case _ => sys.error("one of --input <dir> or --synth <N> is required")
     }
+    // Input-schema tolerance: real crawl dumps routinely lack the
+    // OPTIONAL columns of the canonical page shape (declared lang, raw
+    // html payload, fetch timestamp). Fill those with typed nulls —
+    // loudly, on stderr, so a mis-pointed input is noticed — and fail
+    // fast on the required ones (url, text): every downstream key
+    // coalesces null fields by construction (rowKey128) and the
+    // dedup orderings sort null warc_ts deterministically.
+    val schemaed = {
+      val have = raw.columns.toSet
+      Seq("url", "text").foreach(c => require(have(c),
+        s"input must have a '$c' column (got: ${raw.columns.sorted.mkString(", ")})"))
+      Seq("warc_ts" -> "timestamp", "html" -> "binary", "lang" -> "string")
+        .foldLeft(raw) { case (d, (n, t)) =>
+          if (have(n)) d
+          else {
+            System.err.println(
+              s"[run] input lacks optional column '$n' — filling null $t")
+            d.withColumn(n, lit(null).cast(t))
+          }
+        }
+    }
     // --extract-html: P20 pre-stage for raw WARC ingestion — fill text
     // from the html payload where text is absent (pre-extracted text is
     // untouched; see CorpusPipeline.extractText)
     val extracted =
-      if (a.contains("extract-html")) CorpusPipeline.extractText(raw) else raw
+      if (a.contains("extract-html")) CorpusPipeline.extractText(schemaed)
+      else schemaed
     // --fix-mojibake: repair cp1252-through-UTF-8 encoding damage BEFORE
     // any scoring or dedup — damaged and clean copies of a page must
     // collapse, and heuristics must see the intended characters. The

@@ -132,6 +132,27 @@ class RunSpec extends SparkSpec {
     assert(json.contains("\"docs_in\":20"), s"pre-filter count wrong: $json")
   }
 
+  test("input lacking optional columns (lang/html/warc_ts) still runs; " +
+       "missing required column fails fast") {
+    val in = dir() + "/in"; val out = dir()
+    import spark.implicits._
+    (1 to 40).map(i => (s"https://bare$i.example.com/p/$i",
+        Synth.cleanDoc(Synth.rngFor(61, i), Synth.EnVocab, 8)))
+      .toDF("url", "text").write.parquet(in)
+    val json = Run.execute(spark, Map("input" -> in,
+      "format" -> "parquet", "output" -> out))
+    assert(json.contains("\"docs_in\":40"))
+    assert(spark.read.parquet(s"$out/kept").count() > 0)
+    val bad = dir() + "/bad"
+    (1 to 3).map(i => (s"u$i", i)).toDF("not_url", "i")
+      .write.parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("input" -> bad,
+        "format" -> "parquet", "output" -> dir()))
+    }
+    assert(e.getMessage.contains("'url'"))
+  }
+
   test("full composition: url-dedup, span rewrites, dsir selection") {
     val out = dir()
     val json = Run.execute(spark, Map(
