@@ -1009,6 +1009,9 @@ object SparkEntry {
           .otherwise(lit("")),
         when(d % 5 === 1, lit("<meta content='short desc' name='description'>"))
           .otherwise(lit("")),
+        when(d % 7 === 2, lit("<meta name=\"keywords\" " +
+          "content=\"how to set charset=shift_jis in html\">"))
+          .otherwise(lit("")),
         when(d % 2 === 0, concat(lit("<title> Doc "), d.cast("string"),
           lit(" of "), col("source"), lit(" </title>"))).otherwise(lit("")),
         lit("</head><body><p>"), col("text"), lit("</p></body></html>"))
@@ -1955,6 +1958,9 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 5 = 1
         |    THEN '<meta content=''short desc'' name=''description''>'
         |    ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 2
+        |    THEN '<meta name="keywords" content="how to set ' ||
+        |         'charset=shift_jis in html">' ELSE '' END) ||
         |  (CASE WHEN doc_id % 2 = 0
         |    THEN '<title> Doc ' || CAST(doc_id AS VARCHAR) || ' of ' ||
         |         source || ' </title>' ELSE '' END) ||
@@ -1966,9 +1972,14 @@ object SparkEntry {
         |  regexp_extract(regexp_extract(html,
         |    '(?i)<meta\b[^>]*\bname\s*=\s*["'']?description["'']?[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*["'']?([^"''>]*)', 1) AS meta_description,
-        |  lower(regexp_extract(html,
-        |    '(?i)<meta\s[^>]*charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1))
-        |    AS declared_charset
+        |  lower(CASE WHEN regexp_extract(html,
+        |      '(?i)<meta\s+charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1) <> ''
+        |    THEN regexp_extract(html,
+        |      '(?i)<meta\s+charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1)
+        |    ELSE regexp_extract(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*\bhttp-equiv\s*=\s*["'']?content-type["'']?[^>]*>', 0),
+        |      '(?i)\bcharset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1)
+        |    END) AS declared_charset
         |FROM h""".stripMargin,
 
     "q_charset_decode" ->
@@ -1989,7 +2000,7 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(length(corrupted) - length(regexp_replace(corrupted,
-        |    '[Â-ô][€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ¡-¿]', '', 'g'))
+        |    '[Â-ô][€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ\x{81}\x{8D}\x{8F}\x{90}\x{9D}\x{A0}-\x{BF}]', '', 'g'))
         |    AS INT) AS sig_chars,
         |  clean AS fixed
         |FROM m""".stripMargin,

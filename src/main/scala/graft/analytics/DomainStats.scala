@@ -173,7 +173,10 @@ object DomainStats {
         "or precompute a match column; a megabyte-scale regex stops " +
         "being a compiled filter")
     val fused = patterns.mkString("(?:", ")|(?:", ")")
-    df.filter(!col(urlCol).rlike(fused))
+    // null-url rows match no pattern, so they stay: a bare negated
+    // rlike is null for null input and filter() would silently drop
+    // rows the blocklist never named
+    df.filter(col(urlCol).isNull || !col(urlCol).rlike(fused))
   }
 
   /** Keep rows whose registrable domain is in `domains` — broadcast

@@ -129,8 +129,12 @@ object Sampling {
     val b = conv(substring(
       md5(concat_ws("|", lit(salt), col(groupCol).cast("string"))), 1, 8),
       16, 10).cast("long") % buckets
+    // round, not floor: IEEE754 accumulation of e.g. 0.7+0.2 reads
+    // 0.8999999999999999, and floor would land the cutoff one bucket
+    // below what any independently-written replay (or the docstring's
+    // DuckDB oracle) computes for the same fractions
     val cutoffs = fractions.init.scanLeft(0.0)(_ + _._2).tail
-      .map(c => math.floor(c * buckets).toLong)
+      .map(c => math.round(c * buckets))
     val chain = fractions.init.zip(cutoffs).reverse
       .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
         when(b < cut, lit(name)).otherwise(acc)

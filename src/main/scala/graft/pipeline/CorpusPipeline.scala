@@ -187,12 +187,35 @@ object CorpusPipeline {
     // the regexp pair scans only the first 16 KB: robots meta lives in
     // the <head> (browsers honor it nowhere else), and on real ~100 KB
     // pages a full-payload scan would cost ~10× for nothing
+    // UTF-16 pages would defeat the regexp through a blind UTF-8 cast
+    // (NULs interleave every ASCII char, '<meta' never matches, and the
+    // publisher's opt-out is ignored). Gate a tiny head-decode UDF on the
+    // 2-byte BOM — same rare-case-pays pattern as the mojibake repair:
+    // the overwhelming UTF-8/latin majority stays in the fused codegen
+    // projection and never calls the UDF.
     val robotsBlockedCol: org.apache.spark.sql.Column =
       if (!cfg.respectRobots) lit(false)
-      else coalesce(
-        graft.text.HtmlExtract.robotsNoindex(
-          substring(col("html").cast("string"), 1, 16384)),
-        lit(false))
+      else {
+        val utf16Head = udf { (b: Array[Byte]) =>
+          if (b == null || b.length < 2) null
+          else {
+            val cs =
+              if (b(0) == 0xFF.toByte) // FF FE
+                java.nio.charset.StandardCharsets.UTF_16LE
+              else java.nio.charset.StandardCharsets.UTF_16BE
+            // even byte count: a split code unit must not shift the rest
+            val len = math.min(b.length - 2, 32768) & ~1
+            new String(b, 2, math.max(len, 0), cs) // replaces malformed
+          }
+        }
+        val bom2 = substring(col("html"), 1, 2)
+        val head = when(
+          bom2 === lit(Array(0xFF.toByte, 0xFE.toByte)) ||
+            bom2 === lit(Array(0xFE.toByte, 0xFF.toByte)),
+          utf16Head(col("html")))
+          .otherwise(substring(col("html").cast("string"), 1, 16384))
+        coalesce(graft.text.HtmlExtract.robotsNoindex(head), lit(false))
+      }
 
     val base = pages.withColumn("_urlBlocked", urlBlockedCol)
       .withColumn("_robotsBlocked", robotsBlockedCol)

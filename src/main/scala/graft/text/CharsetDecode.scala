@@ -67,11 +67,52 @@ object CharsetDecode {
           strict(cs, bytes, bomSkip)
         } catch { case _: Exception => None } // unknown/unsupported label
       }
-    }.getOrElse(
-      // WHATWG fallback: windows-1252 decodes any byte sequence (Java
-      // maps the five undefined bytes to U+FFFD — acceptable for a last
-      // resort; Mojibake.fix handles the recoverable cases upstream)
-      new String(bytes.drop(bomSkip), Charset.forName("windows-1252")))
+    }.getOrElse {
+      // Every strict candidate failed. Deciding the fallback on byte
+      // SHAPE matters: a UTF-8 page with one truncated/stray byte (a
+      // routine crawl artifact) must NOT mojibake wholesale through
+      // cp1252 — browsers pick one encoding and decode with
+      // replacement, never strict-else-switch. Pages whose multibyte
+      // sequences are mostly VALID UTF-8 decode as UTF-8 with U+FFFD
+      // for the damage; pages whose non-ASCII bytes are mostly
+      // standalone (the latin-1/cp1252 shape: 'é' = lone 0xE9) take
+      // the WHATWG windows-1252 fallback, which decodes any byte
+      // sequence (Java maps the five undefined bytes to U+FFFD —
+      // acceptable for a last resort; Mojibake.fix handles the
+      // recoverable cases upstream).
+      val (validSeqs, invalidBytes) = utf8Shape(bytes, bomSkip)
+      if (validSeqs > invalidBytes) {
+        val dec = StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(CodingErrorAction.REPLACE)
+        dec.decode(java.nio.ByteBuffer.wrap(bytes, bomSkip,
+          bytes.length - bomSkip)).toString
+      } else
+        new String(bytes.drop(bomSkip), Charset.forName("windows-1252"))
+    }
+  }
+
+  /** One pass over the payload counting (valid multibyte UTF-8
+    * sequences, non-ASCII bytes that are NOT part of one). ASCII bytes
+    * vote for neither side — both encodings agree on them.
+    */
+  private def utf8Shape(bytes: Array[Byte], from: Int): (Int, Int) = {
+    var valid = 0; var invalid = 0
+    var i = from
+    val n = bytes.length
+    @inline def cont(j: Int): Boolean =
+      j < n && (bytes(j) & 0xC0) == 0x80
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b >= 0xC2 && b <= 0xDF && cont(i + 1)) { valid += 1; i += 2 }
+      else if (b >= 0xE0 && b <= 0xEF && cont(i + 1) && cont(i + 2)) {
+        valid += 1; i += 3
+      } else if (b >= 0xF0 && b <= 0xF4 && cont(i + 1) && cont(i + 2) &&
+        cont(i + 3)) { valid += 1; i += 4 }
+      else { invalid += 1; i += 1 }
+    }
+    (valid, invalid)
   }
 
   /** Column form: `decodeUdf(html, declaredCharsetCol)`. */

@@ -67,12 +67,23 @@ object HtmlExtract {
   private val TitlePat = "(?i)<title[^>]*>([^<]*)</title>"
   private val MetaDescPat =
     "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?description[\"']?[^>]*>"
-  /** Matches both `<meta charset=utf-8>` and the http-equiv form's
-    * `content="text/html; charset=iso-8859-1"` — any `charset=` token
-    * inside a meta tag.
+  /** The two LEGITIMATE charset declaration forms, matched separately:
+    * the `<meta charset=utf-8>` attribute form and the http-equiv
+    * content-type form's `content="text/html; charset=iso-8859-1"`.
+    * A single any-`charset=`-inside-a-meta pattern is a trap: a
+    * description/keywords meta whose content TEXT mentions "charset="
+    * would be sniffed as the page's declared charset, and since e.g.
+    * ISO-8859-1 strict-decodes anything, the false label would mojibake
+    * the whole page. The equiv form is therefore anchored on the
+    * http-equiv=content-type tag (two-step extract, RE2-compatible —
+    * no lookahead, same design as MetaDescPat).
     */
-  private val MetaCharsetPat =
-    "(?i)<meta\\s[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+  private val MetaCharsetAttrPat =
+    "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+  private val MetaEquivTagPat =
+    "(?i)<meta\\b[^>]*\\bhttp-equiv\\s*=\\s*[\"']?content-type[\"']?[^>]*>"
+  private val CharsetTokenPat =
+    "(?i)\\bcharset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
 
   /** First `<title>` text, whitespace-trimmed, '' when absent. Raw
     * (entity decoding is the body extractor's job; titles keyed for
@@ -88,10 +99,16 @@ object HtmlExtract {
     regexp_extract(regexp_extract(htmlCol, MetaDescPat, 0),
       ContentAttrPat, 1)
 
-  /** The page's declared charset label, lowercased, '' when undeclared. */
+  /** The page's declared charset label, lowercased, '' when undeclared.
+    * The attribute form wins when both are present (they rarely coexist
+    * and must agree when they do).
+    */
   def declaredCharset(htmlCol: Column): Column = {
-    import org.apache.spark.sql.functions.lower
-    lower(regexp_extract(htmlCol, MetaCharsetPat, 1))
+    import org.apache.spark.sql.functions.{lower, when}
+    val direct = regexp_extract(htmlCol, MetaCharsetAttrPat, 1)
+    val equiv = regexp_extract(
+      regexp_extract(htmlCol, MetaEquivTagPat, 0), CharsetTokenPat, 1)
+    lower(when(direct =!= "", direct).otherwise(equiv))
   }
 
   /** Content of these elements is skipped entirely. `nav`/`aside` are
@@ -232,15 +249,19 @@ object HtmlExtract {
       minWords, maxLinkDensity)
   }
 
-  private lazy val MetaCharsetRe = MetaCharsetPat.r
+  private lazy val MetaCharsetAttrRe = MetaCharsetAttrPat.r
+  private lazy val MetaEquivTagRe = MetaEquivTagPat.r
+  private lazy val CharsetTokenRe = CharsetTokenPat.r
 
   /** Plain-String form of [[declaredCharset]] (for executor-side code
-    * that already holds the document; same pattern, same semantics).
+    * that already holds the document; same patterns, same semantics).
     */
   def declaredCharsetOf(html: String): String =
     if (html == null) ""
-    else MetaCharsetRe.findFirstMatchIn(html)
-      .map(_.group(1).toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+    else MetaCharsetAttrRe.findFirstMatchIn(html).map(_.group(1))
+      .orElse(MetaEquivTagRe.findFirstIn(html).flatMap(tag =>
+        CharsetTokenRe.findFirstMatchIn(tag).map(_.group(1))))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
 
   /** Decode the entity starting at `i` (html(i) == '&'). Returns the
     * decoded string and the next scan index; an unrecognized or

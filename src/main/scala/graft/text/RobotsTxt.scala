@@ -108,7 +108,13 @@ object RobotsTxt {
     var bestAllow = true
     rules.foreach { r =>
       if (globMatch(r.pattern, path)) {
-        val len = r.pattern.length
+        // specificity = octets of the PATH pattern; the '$' anchor is a
+        // metacharacter, not an octet — counting it would let
+        // "Disallow: /page$" outrank an equally-specific "Allow: /page",
+        // stealing the tie the RFC awards to Allow
+        val len =
+          if (r.pattern.endsWith("$")) r.pattern.length - 1
+          else r.pattern.length
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
           bestLen = len; bestAllow = r.allow
         }

@@ -41,10 +41,17 @@ class RunSpec extends SparkSpec {
         Array.empty[Byte], doc(202), "en"),
       ("https://revisit.example.com/p", Synth.tsOf(201),
         Array.empty[Byte], "junk again", "en"))
-    // clean text but the page opted out via robots meta
-    val robots = Seq(("https://optout.example.com/1", Synth.tsOf(300),
-      "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>"
-        .getBytes("UTF-8"), doc(300), "en"))
+    // clean text but the page opted out via robots meta — once in plain
+    // UTF-8 and once as a BOM'd UTF-16LE payload (a blind UTF-8 cast
+    // interleaves NULs and would miss the opt-out entirely)
+    val robots = Seq(
+      ("https://optout.example.com/1", Synth.tsOf(300),
+        "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>"
+          .getBytes("UTF-8"), doc(300), "en"),
+      ("https://optout16.example.com/1", Synth.tsOf(301),
+        Array(0xFF.toByte, 0xFE.toByte) ++
+          ("<html><head><meta name=\"robots\" content=\"noindex\">" +
+            "</head></html>").getBytes("UTF-16LE"), doc(301), "en"))
     (normal ++ moji ++ revisits ++ robots)
       .toDF("url", "warc_ts", "html", "text", "lang").write.parquet(in)
 
@@ -66,10 +73,13 @@ class RunSpec extends SparkSpec {
       "keep-latest must collapse revisions to the newest fetch")
     assert(revKept.select("warc_ts").head().getTimestamp(0) ==
       Synth.tsOf(202))
-    // robots opt-out lands in its own audit stage
+    // robots opt-out lands in its own audit stage — BOTH encodings
     assert(removed.filter(col("url") === "https://optout.example.com/1" &&
       col("drop_stage") === "0_robots_noindex").count() == 1)
-    assert(stages(json).getOrElse("0_robots_noindex", 0L) == 1L)
+    assert(removed.filter(col("url") === "https://optout16.example.com/1" &&
+      col("drop_stage") === "0_robots_noindex").count() == 1,
+      "a BOM'd UTF-16 opt-out must be honored too")
+    assert(stages(json).getOrElse("0_robots_noindex", 0L) == 2L)
     kept.unpersist(); removed.unpersist()
 
     // without the flags: revisions all flow through, mojibake damage

@@ -47,4 +47,19 @@ class CharsetDecodeSpec extends AnyFunSuite {
     assert(CharsetDecode.decode(null, "utf-8") == null)
     assert(CharsetDecode.decode(Array.empty[Byte], "") == "")
   }
+
+  test("mostly-valid UTF-8 with one damaged byte decodes as UTF-8 with " +
+       "replacement, not whole-page cp1252 mojibake") {
+    val good = "多语言网页内容测试 with mixed ascii 结尾"
+    val full = good.getBytes("UTF-8")
+    val truncated = full.dropRight(1) // cuts the last char mid-sequence
+    val got = CharsetDecode.decode(truncated, "")
+    assert(got.startsWith(good.dropRight(1)),
+      s"undamaged prefix must survive intact: $got")
+    assert(got.contains('�'), "the damage must be visible, not hidden")
+    assert(!got.contains("ã"), "no cp1252 mojibake of the valid sequences")
+    // a stray continuation byte mid-page: same decision
+    val stray = full.take(6) ++ Array(0x85.toByte) ++ full.drop(6)
+    assert(CharsetDecode.decode(stray, "").count(_ == '�') == 1)
+  }
 }

@@ -158,5 +158,20 @@ class RobotsMetaSpec extends graft.SparkSpec {
       (("", "flipped", "iso-8859-1")))
     // absent everything → empty strings, not nulls
     assert(harvest("<body>nothing in the head</body>") == (("", "", "")))
+    // charset= mentioned in an unrelated meta's content TEXT is NOT a
+    // declaration (a false iso-8859-1 label would strict-decode anything
+    // and mojibake the whole page)
+    assert(harvest("<head><meta name=\"keywords\" " +
+      "content=\"set charset=iso-8859-1 here\"></head>") == (("", "", "")))
+    // ...but it must not shadow a real declaration elsewhere in the head
+    assert(harvest("<head><meta name=\"keywords\" " +
+      "content=\"charset=iso-8859-1 talk\"><meta charset=utf-8></head>") ==
+      (("", "", "utf-8")))
+    // String form mirrors the Column form on all three shapes
+    assert(HtmlExtract.declaredCharsetOf(
+      "<meta name='d' content='charset=big5 notes'>") == "")
+    assert(HtmlExtract.declaredCharsetOf("<meta charset='KOI8-R'>") == "koi8-r")
+    assert(HtmlExtract.declaredCharsetOf("<META http-equiv=content-type " +
+      "content='text/html; charset=windows-1251'>") == "windows-1251")
   }
 }

@@ -71,6 +71,13 @@ class RobotsTxtSpec extends SparkSpec {
     // exact tie: allow wins
     val tie = Seq(Rule(false, "/p/"), Rule(true, "/p/"))
     assert(RobotsTxt.isAllowed("/p/x", tie))
+    // the '$' anchor is a metacharacter, not an octet: Disallow "/page$"
+    // and Allow "/page" are EQUALLY specific on path "/page" → Allow wins
+    assert(RobotsTxt.isAllowed("/page",
+      Seq(Rule(false, "/page$"), Rule(true, "/page"))))
+    // ...while one more real octet still outranks
+    assert(!RobotsTxt.isAllowed("/pages",
+      Seq(Rule(false, "/pages"), Rule(true, "/page"))))
     assert(RobotsTxt.isAllowed("/anything", Nil))
   }
 
