@@ -266,3 +266,35 @@ object PiiExtendedProperties extends Properties("pii-extended") {
       Pii.scrubPhones(t) == t && Pii.scrubCards(t) == t
     }
 }
+
+/** Charset-decode invariants: the decode chain must be total (never
+  * throw, null only for null), exact on well-formed input, and its
+  * shape-based fallback must never mojibake a mostly-valid-UTF-8 page.
+  */
+object CharsetProperties extends Properties("charset") {
+  import graft.text.CharsetDecode
+
+  private val anyBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+  private val textGen = TextProperties.textGen
+
+  property("decode is total and non-null on non-null bytes") =
+    forAll(anyBytes, Gen.oneOf("", "utf-8", "iso-8859-1", "bogus-charset")) {
+      (b, d) => CharsetDecode.decode(b, d) != null
+    }
+
+  property("well-formed UTF-8 round-trips exactly (strict path)") =
+    forAll(textGen) { s =>
+      CharsetDecode.decode(s.getBytes("UTF-8"), "") == s
+    }
+
+  property("one corrupting byte never mojibakes the rest of a UTF-8 page " +
+    "that carries real multibyte content") =
+    forAll(textGen, Gen.chooseNum(0, 255)) { (s0, corrupt) =>
+      val s = s0 + " 多语言内容测试页面结构"  // ensure multibyte mass
+      val bytes = s.getBytes("UTF-8")
+      val damaged = bytes ++ Array(0x85.toByte) // stray continuation byte
+      val got = CharsetDecode.decode(damaged, "")
+      got.startsWith(s) // every valid char survives; damage lands at the end
+    }
+}
