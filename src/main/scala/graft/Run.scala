@@ -28,7 +28,7 @@ import graft.sources.CorpusIO
   *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
   *     [--ppl-corpus <maxVocab>[,<minCount>[,<maxRows>]]]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
-  *     [--semdedup <eps>,<nClusters>]
+  *     [--semdedup <eps>,<nClusters>] [--keep-where <sql predicate>]
   *     [--pii-extended] [--signals]
   *     [--fix-mojibake] [--keep-latest] [--robots-respect]
   *     [--robots-txt <dir> [--robots-agent <token>]]
@@ -273,6 +273,14 @@ object Run {
     require(!(a.contains("ppl-corpus") && a.contains("ppl-per-lang")),
       "--ppl-corpus and --ppl-per-lang are alternative perplexity " +
         "restamp policies — pass at most one")
+    // a malformed --keep-where predicate must die at parse time, not
+    // after the whole scoring pipeline has run up to its gate
+    a.get("keep-where").foreach { p =>
+      try spark.sessionState.sqlParser.parseExpression(p)
+      catch { case e: Exception =>
+        sys.error(s"--keep-where predicate does not parse: ${e.getMessage}")
+      }
+    }
     val taskMetrics =
       if (a.contains("task-metrics")) {
         val l = new TaskMetricsListener
@@ -780,11 +788,43 @@ object Run {
     // .deterministicShuffle]]) — the corpus ships ready to shard-and-read
     // in shuffle_pos order; a different salt per epoch reshuffles
     // reproducibly. Dropped docs carry a null position.
+    // --keep-where <sql predicate>: the generic re-threshold gate.
+    // "Publish signals, not decisions" becomes actionable IN-RUN: demote
+    // kept docs failing a user predicate over the full column surface —
+    // base pipeline columns plus the 20 signal columns (13 quality + 7
+    // readability), computed transiently for the evaluation whether or
+    // not --signals publishes them. Runs LAST among the gates and
+    // before the shuffle so positions stay gapless. A null predicate
+    // result demotes: a row the predicate cannot affirm is not kept
+    // (the same null discipline as every filter stage).
+    val customGated = inPhase(spark, "keep_where") {
+      a.get("keep-where") match {
+      case None => semDeduped
+      case Some(pred) =>
+        val base = pin(semDeduped)
+        val kept = base.filter(col("keep"))
+        val sigCols =
+          graft.analytics.QualitySignals.signals(col("scrubbed_text")) ++
+            graft.analytics.TextAnalysis
+              .readabilitySignals(col("scrubbed_text"))
+        val existing = kept.columns.toSet
+        val added = sigCols.filterNot(c => existing(c._1))
+        val surface = added.foldLeft(kept) {
+          case (d, (n, c)) => d.withColumn(n, c)
+        }
+        val gated = surface
+          .withColumn("keep",
+            coalesce(expr(pred).cast("boolean"), lit(false)))
+          .withColumn("drop_stage", when(col("keep"), col("drop_stage"))
+            .otherwise(lit("11_keep_where")))
+          .drop(added.map(_._1): _*)
+        gated.unionByName(base.filter(!col("keep")))
+    } }
     val shuffled = inPhase(spark, "shuffle") {
       a.get("shuffle-salt") match {
-      case None => semDeduped
+      case None => customGated
       case Some(saltStr) =>
-        val base = pin(semDeduped)
+        val base = pin(customGated)
         val keptSh = graft.analytics.Sampling.deterministicShuffle(
           base.filter(col("keep")),
           Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)

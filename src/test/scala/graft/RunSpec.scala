@@ -415,6 +415,35 @@ class RunSpec extends SparkSpec {
       .count() == 0, "dropped docs' scores must be untouched")
   }
 
+  test("--keep-where demotes kept docs failing a signal predicate; " +
+       "malformed predicate dies at parse time") {
+    val out = dir(); val outPlain = dir()
+    val jsonPlain = Run.execute(spark,
+      Map("synth" -> "1000", "output" -> outPlain))
+    // deterministic splitter that also touches a TRANSIENT signal
+    // column (hapax_frac is computed for the evaluation even though
+    // --signals is off and the column never ships)
+    val json = Run.execute(spark, Map("synth" -> "1000", "output" -> out,
+      "keep-where" -> "n_tokens % 2 = 0 AND hapax_frac IS NOT NULL"))
+    val kept = spark.read.parquet(s"$out/kept")
+    val keptPlain = spark.read.parquet(s"$outPlain/kept")
+    val demoted = spark.read
+      .parquet(s"$out/removed/drop_stage=11_keep_where")
+    assert(demoted.count() > 0, "the gate must demote the odd half")
+    assert(kept.count() + demoted.count() == keptPlain.count(),
+      "gate only re-splits the previously-kept set")
+    assert(!kept.columns.contains("hapax_frac"))
+    assert(kept.filter(col("n_tokens") % 2 =!= 0).count() == 0)
+    assert(demoted.filter(col("n_tokens") % 2 === 0).count() == 0)
+    assert(json.contains("11_keep_where"), json)
+    assert(!jsonPlain.contains("11_keep_where"))
+    val e = intercept[RuntimeException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "keep-where" -> "n_tokens >== oops ((("))
+    }
+    assert(e.getMessage.contains("does not parse"))
+  }
+
   test("--ppl-corpus restamps kept docs from the full-corpus LM; " +
        "mutually exclusive with --ppl-per-lang") {
     val outA = dir(); val outB = dir()
