@@ -30,7 +30,7 @@ import graft.sources.CorpusIO
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>] [--keep-where <sql predicate>]
   *     [--pii-extended] [--signals]
-  *     [--fix-mojibake] [--keep-latest] [--robots-respect]
+  *     [--fix-mojibake] [--keep-latest] [--robots-respect] [--datasheet]
   *     [--robots-txt <dir> [--robots-agent <token>]]
   *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
   *     [--compact-target <bytes>]
@@ -203,7 +203,7 @@ object Run {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
             | "--extract-html" | "--url-dedup" | "--task-metrics"
             | "--pii-extended" | "--signals" | "--fix-mojibake"
-            | "--keep-latest" | "--robots-respect") =>
+            | "--keep-latest" | "--robots-respect" | "--datasheet") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -863,6 +863,38 @@ object Run {
         graft.dedup.MinHash.signatures(
             persisted.filter(col("keep")), "url", "scrubbed_text")
           .write.mode("overwrite").parquet(dir)
+      }
+      // --datasheet: ship the release-audit dataset card next to the
+      // corpus (Gebru et al. 2021) — per-language composition of the
+      // KEPT set as one decimal-accumulated aggregation (shuffle-order-
+      // independent numbers, same discipline as q_corpus_datasheet).
+      // O(#langs) rows collect; the card is a driver-written JSON file.
+      if (a.contains("datasheet")) {
+        val card = persisted.filter(col("keep"))
+          .groupBy(coalesce(col("lang_pred"), lit("und")).as("lang"))
+          .agg(
+            count(lit(1)).as("docs"),
+            sum(col("n_tokens").cast("long")).as("tokens"),
+            round(avg(col("perplexity").cast("decimal(18,6)")), 2)
+              .cast("double").as("avg_perplexity"))
+          .orderBy(col("docs").desc, col("lang"))
+          .collect()
+        val total = card.map(_.getLong(1)).sum.toDouble
+        val rows = card.map { r =>
+          f"""{"lang":"${r.getString(0)}","docs":${r.getLong(1)},""" +
+            f""""share":${r.getLong(1) / math.max(total, 1.0)}%.4f,""" +
+            f""""tokens":${r.getLong(2)},""" +
+            s""""avg_perplexity":${r.get(3)}}"""
+        }
+        // Hadoop FS, not java.nio: `out` may live on HDFS/S3 on a real
+        // cluster, and the card belongs next to the corpus it describes
+        val cardPath = new org.apache.hadoop.fs.Path(out, "datasheet.json")
+        val fs = cardPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val os = fs.create(cardPath, true)
+        try os.write(rows.mkString("[\n", ",\n", "\n]")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
       }
     }
 

@@ -415,6 +415,22 @@ class RunSpec extends SparkSpec {
       .count() == 0, "dropped docs' scores must be untouched")
   }
 
+  test("--datasheet ships a per-language dataset card next to the corpus") {
+    val out = dir()
+    Run.execute(spark, Map("synth" -> "1000", "output" -> out,
+      "datasheet" -> "true"))
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "datasheet.json")), "UTF-8")
+    val docsTotal = """"docs":(\d+)""".r.findAllMatchIn(raw)
+      .map(_.group(1).toLong).sum
+    assert(docsTotal == spark.read.parquet(s"$out/kept").count(),
+      s"card docs must sum to the kept count: $raw")
+    val shares = """"share":([0-9.]+)""".r.findAllMatchIn(raw)
+      .map(_.group(1).toDouble).toSeq
+    assert(math.abs(shares.sum - 1.0) < 0.01, s"shares must sum to 1: $raw")
+    assert(raw.contains("\"avg_perplexity\""))
+  }
+
   test("--keep-where demotes kept docs failing a signal predicate; " +
        "malformed predicate dies at parse time") {
     val out = dir(); val outPlain = dir()
