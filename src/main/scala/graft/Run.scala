@@ -273,6 +273,13 @@ object Run {
     require(!(a.contains("ppl-corpus") && a.contains("ppl-per-lang")),
       "--ppl-corpus and --ppl-per-lang are alternative perplexity " +
         "restamp policies — pass at most one")
+    a.get("ppl-corpus").foreach { v =>
+      val parts = v.split(",").map(_.trim)
+      require(parts.length >= 1 && parts.length <= 3 &&
+        parts.forall(_.toLongOption.isDefined),
+        "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
+          s"(numeric) — got '$v'")
+    }
     // a malformed --keep-where predicate must die at parse time, not
     // after the whole scoring pipeline has run up to its gate
     a.get("keep-where").foreach { p =>
@@ -310,7 +317,12 @@ object Run {
     // coalesces null fields by construction (rowKey128) and the
     // dedup orderings sort null warc_ts deterministically.
     val schemaed = {
-      val have = raw.columns.toSet
+      // case-INSENSITIVE presence check: Spark's default resolver is
+      // case-insensitive, so a populated 'Lang'/'WARC_TS' column counts
+      // as present — a case-sensitive check would make withColumn
+      // REPLACE the real data with nulls (resolution is
+      // case-insensitive even when the lookup that guarded it was not)
+      val have = raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       Seq("url", "text").foreach(c => require(have(c),
         s"input must have a '$c' column (got: ${raw.columns.sorted.mkString(", ")})"))
       Seq("warc_ts" -> "timestamp", "html" -> "binary", "lang" -> "string")
@@ -376,29 +388,25 @@ object Run {
       case Some(dir) =>
         // hostnames are case-insensitive (RFC 4343) — lower both join
         // sides so a mixed-case crawl url still meets its rules row.
-        // The rules table is then MERGED to one row per host: duplicate
-        // host rows (crawl snapshots, case variants collapsing under
-        // lower()) would otherwise fan every page of that host out to N
-        // rows through the left join. Rule-set union is the right merge:
-        // the RFC 9309 decision (longest match wins, Allow wins ties)
-        // is order-independent over the rule SET, and sort_array keeps
-        // the stored column deterministic anyway.
+        // Duplicate host rows (crawl snapshots, case variants collapsing
+        // under lower()) go through markAllowedMerged: one row per host
+        // after a grouped collect (no join fan-out) and a
+        // MOST-RESTRICTIVE cross-file decision — flattening snapshots
+        // into one rule set would let an Allow/Disallow disagreement
+        // tie-break open.
         val rules = graft.text.RobotsTxt.rulesTable(
-            spark.read.parquet(dir).withColumn("host", lower(col("host"))),
-            "host", "content", agent = a.getOrElse("robots-agent", "*"))
-          .groupBy("host")
-          .agg(sort_array(array_distinct(flatten(
-            collect_list(col("robots_rules"))))).as("robots_rules"))
+          spark.read.parquet(dir).withColumn("host", lower(col("host"))),
+          "host", "content", agent = a.getOrElse("robots-agent", "*"))
         // robots rules key on the HOST, not the full authority: strip
-        // userinfo and port (a page on blocked.example.com:8080 must
-        // still meet blocked.example.com's rules — the port variant
-        // would otherwise fail the compliance gate silently OPEN).
-        // Bracketed IPv6 literals keep their brackets, ports outside
-        // them are stripped.
+        // userinfo, port, and any query/fragment a path-less url keeps
+        // glued to the authority ('https://h?p=1' → 'h') — each variant
+        // would otherwise miss its rules row and fail the compliance
+        // gate silently OPEN. Bracketed IPv6 literals keep their
+        // brackets.
         val authority = split_part(col("url"), lit("/"), lit(3))
         val hostExpr = lower(regexp_extract(authority,
-          "^(?:[^@/\\[\\]]*@)?(\\[[^\\]]*\\]|[^:]*)", 1))
-        graft.text.RobotsTxt.markAllowed(urlDeduped, "url",
+          "^(?:[^@/\\[\\]]*@)?(\\[[^\\]]*\\]|[^:?#]*)", 1))
+        graft.text.RobotsTxt.markAllowedMerged(urlDeduped, "url",
           hostExpr, rules, "host")
           .filter(col("allowed")).drop("allowed")
       case None => urlDeduped
@@ -669,16 +677,19 @@ object Run {
         // trainDistributed's scale knobs reach the CLI, because the loud
         // collected-rows guard's documented remedies ("raise minCount…
         // or raise the cap") must be applicable without a code change
+        val usage = "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]]" +
+          s" (numeric) — got '$vStr'"
         val parts = vStr.split(",").map(_.trim)
-        require(parts.length >= 1 && parts.length <= 3,
-          "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]]")
+        require(parts.length >= 1 && parts.length <= 3, usage)
+        def num(i: Int, default: Long): Long = parts.lift(i) match {
+          case None => default
+          case Some(p) => p.toLongOption.getOrElse(sys.error(usage))
+        }
         val base = pin(perLangScored)
         val kept = base.filter(col("keep"))
         val lm = graft.filters.KneserNeyLM.trainDistributed(
-          kept, "scrubbed_text", maxVocab = parts(0).toInt,
-          minCount = parts.lift(1).map(_.toLong).getOrElse(1L),
-          maxCollectedRows =
-            parts.lift(2).map(_.toLong).getOrElse(4000000L))
+          kept, "scrubbed_text", maxVocab = num(0, 0L).toInt,
+          minCount = num(1, 1L), maxCollectedRows = num(2, 4000000L))
         val bc = spark.sparkContext.broadcast(lm)
         val f = udf(graft.filters.KneserNeyLM.perplexityFn(bc))
         kept.withColumn("perplexity", f(col("scrubbed_text")))
@@ -881,9 +892,13 @@ object Run {
           .collect()
         val total = card.map(_.getLong(1)).sum.toDouble
         val rows = card.map { r =>
-          f"""{"lang":"${r.getString(0)}","docs":${r.getLong(1)},""" +
-            f""""share":${r.getLong(1) / math.max(total, 1.0)}%.4f,""" +
-            f""""tokens":${r.getLong(2)},""" +
+          // Locale.ROOT, not the f-interpolator: String.format under a
+          // comma-decimal default locale would emit "share":0,1234 —
+          // malformed JSON
+          val share = String.format(java.util.Locale.ROOT, "%.4f",
+            Double.box(r.getLong(1) / math.max(total, 1.0)))
+          s"""{"lang":"${r.getString(0)}","docs":${r.getLong(1)},""" +
+            s""""share":$share,"tokens":${r.getLong(2)},""" +
             s""""avg_perplexity":${r.get(3)}}"""
         }
         // Hadoop FS, not java.nio: `out` may live on HDFS/S3 on a real

@@ -1973,9 +1973,9 @@ object SparkEntry {
         |    '(?i)<meta\b[^>]*\bname\s*=\s*["'']?description["'']?[^>]*>', 0),
         |    '(?i)\bcontent\s*=\s*["'']?([^"''>]*)', 1) AS meta_description,
         |  lower(CASE WHEN regexp_extract(html,
-        |      '(?i)<meta\s+charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1) <> ''
+        |      '(?i)<meta\s[^>=]*\bcharset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1) <> ''
         |    THEN regexp_extract(html,
-        |      '(?i)<meta\s+charset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1)
+        |      '(?i)<meta\s[^>=]*\bcharset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1)
         |    ELSE regexp_extract(regexp_extract(html,
         |      '(?i)<meta\b[^>]*\bhttp-equiv\s*=\s*["'']?content-type["'']?[^>]*>', 0),
         |      '(?i)\bcharset\s*=\s*["'']?([A-Za-z0-9_\-]+)', 1)

@@ -197,15 +197,17 @@ object CorpusPipeline {
       if (!cfg.respectRobots) lit(false)
       else {
         val utf16Head = udf { (b: Array[Byte]) =>
-          if (b == null || b.length < 2) null
-          else {
-            val cs =
-              if (b(0) == 0xFF.toByte) // FF FE
-                java.nio.charset.StandardCharsets.UTF_16LE
-              else java.nio.charset.StandardCharsets.UTF_16BE
-            // even byte count: a split code unit must not shift the rest
-            val len = math.min(b.length - 2, 32768) & ~1
-            new String(b, 2, math.max(len, 0), cs) // replaces malformed
+          // one source of truth for BOM semantics: CharsetDecode
+          graft.text.CharsetDecode.bomCharset(b) match {
+            case bom @ ("utf-16le" | "utf-16be") =>
+              val cs =
+                if (bom == "utf-16le")
+                  java.nio.charset.StandardCharsets.UTF_16LE
+                else java.nio.charset.StandardCharsets.UTF_16BE
+              // even byte count: a split code unit must not shift the rest
+              val len = math.min(b.length - 2, 32768) & ~1
+              new String(b, 2, math.max(len, 0), cs) // replaces malformed
+            case _ => null // unreachable behind the BOM gate
           }
         }
         val bom2 = substring(col("html"), 1, 2)

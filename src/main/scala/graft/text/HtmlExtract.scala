@@ -76,10 +76,16 @@ object HtmlExtract {
     * ISO-8859-1 strict-decodes anything, the false label would mojibake
     * the whole page. The equiv form is therefore anchored on the
     * http-equiv=content-type tag (two-step extract, RE2-compatible —
-    * no lookahead, same design as MetaDescPat).
+    * no lookahead, same design as MetaDescPat). The attribute form
+    * tolerates BARE attributes before charset (`<meta itemscope
+    * charset=..>`) but not valued ones: `[^>=]*` cannot cross an '=',
+    * and since free text only lives inside a VALUED content attribute,
+    * a charset mention in text can never be reached — the exact false
+    * positive this split exists to kill. (`<meta class="c" charset=..>`
+    * is the one legitimate-but-vanishing form this trades away.)
     */
   private val MetaCharsetAttrPat =
-    "(?i)<meta\\s+charset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
+    "(?i)<meta\\s[^>=]*\\bcharset\\s*=\\s*[\"']?([A-Za-z0-9_\\-]+)"
   private val MetaEquivTagPat =
     "(?i)<meta\\b[^>]*\\bhttp-equiv\\s*=\\s*[\"']?content-type[\"']?[^>]*>"
   private val CharsetTokenPat =

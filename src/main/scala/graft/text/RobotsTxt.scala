@@ -165,4 +165,31 @@ object RobotsTxt {
       .withColumn("allowed", decideUdf(col(urlCol), col("robots_rules")))
       .drop("_rb_host", "robots_rules")
   }
+
+  /** [[markAllowed]] for a rules table with DUPLICATE host rows (crawl
+    * snapshots, case variants collapsing under a normalization): one
+    * groupBy keeps each file's rule set intact, and a page is allowed
+    * only if EVERY file allows it. Most-restrictive is the only sound
+    * merge: RFC 9309's Allow-wins-ties rule is defined WITHIN one
+    * robots.txt — flattening two snapshots into one rule set would turn
+    * a cross-snapshot Allow/Disallow disagreement into a tie that fails
+    * the compliance gate OPEN. Hosts with no rules row pass, as in
+    * [[markAllowed]].
+    */
+  def markAllowedMerged(corpus: DataFrame, urlCol: String, hostCol: Column,
+                        rules: DataFrame, rulesHostCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    val grouped = rules
+      .groupBy(col(rulesHostCol).as("_rb_host"))
+      .agg(sort_array(collect_list(col("robots_rules")))
+        .as("_rb_rule_sets"))
+    val decideUdf = udf((url: String, sets: Seq[Seq[String]]) =>
+      sets == null ||
+        sets.forall(rs => isAllowed(pathOf(url), decodeRules(rs))))
+    corpus
+      .withColumn("_rb_host", hostCol)
+      .join(grouped, Seq("_rb_host"), "left")
+      .withColumn("allowed", decideUdf(col(urlCol), col("_rb_rule_sets")))
+      .drop("_rb_host", "_rb_rule_sets")
+  }
 }

@@ -153,6 +153,19 @@ class RunSpec extends SparkSpec {
       "format" -> "parquet", "output" -> out))
     assert(json.contains("\"docs_in\":40"))
     assert(spark.read.parquet(s"$out/kept").count() > 0)
+    // case-VARIANT optional column: presence check must be
+    // case-insensitive like Spark's resolver, else the null fill would
+    // REPLACE the populated column
+    val inCase = dir() + "/incase"; val outCase = dir()
+    (1 to 30).map(i => (s"https://cased$i.example.com/p/$i",
+        Synth.cleanDoc(Synth.rngFor(62, i), Synth.EnVocab, 8), "en"))
+      .toDF("url", "text", "Lang").write.parquet(inCase)
+    Run.execute(spark, Map("input" -> inCase,
+      "format" -> "parquet", "output" -> outCase))
+    val keptCase = spark.read.parquet(s"$outCase/kept")
+    assert(keptCase.count() > 0 &&
+      keptCase.filter(col("lang").isNull).count() == 0,
+      "a populated case-variant column must survive, not be nulled")
     val bad = dir() + "/bad"
     (1 to 3).map(i => (s"u$i", i)).toDF("not_url", "i")
       .write.parquet(bad)

@@ -167,6 +167,10 @@ class RobotsMetaSpec extends graft.SparkSpec {
     assert(harvest("<head><meta name=\"keywords\" " +
       "content=\"charset=iso-8859-1 talk\"><meta charset=utf-8></head>") ==
       (("", "", "utf-8")))
+    // bare attributes may precede charset (valued ones may not — free
+    // text only lives inside valued content attrs)
+    assert(harvest("<head><meta itemscope charset=big5></head>") ==
+      (("", "", "big5")))
     // String form mirrors the Column form on all three shapes
     assert(HtmlExtract.declaredCharsetOf(
       "<meta name='d' content='charset=big5 notes'>") == "")

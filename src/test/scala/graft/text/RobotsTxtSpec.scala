@@ -78,6 +78,35 @@ class RobotsTxtSpec extends SparkSpec {
     // ...while one more real octet still outranks
     assert(!RobotsTxt.isAllowed("/pages",
       Seq(Rule(false, "/pages"), Rule(true, "/page"))))
+  }
+
+  test("markAllowedMerged: duplicate host rows don't fan out, and a " +
+       "cross-snapshot Allow/Disallow conflict resolves MOST RESTRICTIVE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      "https://h.example.com/private/x",
+      "https://h.example.com/open/y",
+      "https://norules.example.com/z").toDF("url")
+    // snapshot A disallows /private/, snapshot B allows it (plus a
+    // straight duplicate of A): within one merged rule SET the tie
+    // would fail open — across files it must stay closed
+    val rules = RobotsTxt.rulesTable(Seq(
+      ("h.example.com", "User-agent: *\nDisallow: /private/\n"),
+      ("h.example.com", "User-agent: *\nDisallow: /private/\n"),
+      ("h.example.com", "User-agent: *\nAllow: /private/\n"))
+      .toDF("host", "content"), "host", "content")
+    val got = RobotsTxt.markAllowedMerged(corpus, "url",
+      org.apache.spark.sql.functions.split_part(col("url"),
+        org.apache.spark.sql.functions.lit("/"),
+        org.apache.spark.sql.functions.lit(3)),
+      rules, "host")
+    assert(got.count() == 3, "no join fan-out across duplicate host rows")
+    val m = got.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(!m("https://h.example.com/private/x"),
+      "cross-snapshot disagreement must not fail open")
+    assert(m("https://h.example.com/open/y"))
+    assert(m("https://norules.example.com/z"))
     assert(RobotsTxt.isAllowed("/anything", Nil))
   }
 
