@@ -818,8 +818,19 @@ object Run {
           graft.analytics.QualitySignals.signals(col("scrubbed_text")) ++
             graft.analytics.TextAnalysis
               .readabilitySignals(col("scrubbed_text"))
+        // compute ONLY the signal columns the predicate references —
+        // stamping all 20 (including the O(distinct × words) hapax scan)
+        // for a predicate that reads one of them would tax every kept
+        // row at corpus scale for nothing
+        val refs = spark.sessionState.sqlParser.parseExpression(pred)
+          .collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute =>
+              u.name.toLowerCase(java.util.Locale.ROOT)
+          }.toSet
         val existing = kept.columns.toSet
         val added = sigCols.filterNot(c => existing(c._1))
+          .filter(c => refs(c._1))
         val surface = added.foldLeft(kept) {
           case (d, (n, c)) => d.withColumn(n, c)
         }
