@@ -846,11 +846,18 @@ object Run {
       a.get("shuffle-salt") match {
       case None => customGated
       case Some(saltStr) =>
-        val base = pin(customGated)
+        // the order key is STAMPED INTO THE CACHE: computing it during
+        // the inherent materializing pass lets the shuffle's offset-
+        // histogram job read a pruned 32-char column instead of
+        // re-hashing (url, warc_ts, scrubbed_text) — i.e. the full
+        // corpus text — a second time
+        val shufCols = Seq("url", "warc_ts", "scrubbed_text")
+        val base = pin(customGated.withColumn("_shuf_key",
+          graft.analytics.Sampling.shuffleKey(shufCols, saltStr)))
         val keptSh = graft.analytics.Sampling.deterministicShuffle(
-          base.filter(col("keep")),
-          Seq("url", "warc_ts", "scrubbed_text"), salt = saltStr)
-        keptSh.unionByName(base.filter(!col("keep"))
+          base.filter(col("keep")), shufCols, salt = saltStr,
+          precomputedKey = Some("_shuf_key")).drop("_shuf_key")
+        keptSh.unionByName(base.filter(!col("keep")).drop("_shuf_key")
           .withColumn("shuffle_pos", lit(null).cast("long")))
     } }
     // --signals: publish the RedPajama-v2-style quality-signal vector as

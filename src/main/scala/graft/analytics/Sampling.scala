@@ -372,6 +372,21 @@ object Sampling {
       .withColumnRenamed("_toks", "doc_tokens")
   }
 
+  /** The salted order key of [[deterministicShuffle]], exposed so a
+    * caller that CACHES its input can precompute the key once during the
+    * inherent cache-materializing pass (graft.Run's --shuffle-salt phase
+    * does): the offset-histogram job then reads a pruned 32-char column
+    * from the cache instead of re-hashing the full document text. Same
+    * null-safe encoding as [[graft.Run.rowKey128]] (coalesce + U+0001
+    * separators). Pass the resulting column's NAME as `precomputedKey` —
+    * a key built any other way silently changes the permutation, so
+    * build it only through this method.
+    */
+  def shuffleKey(keyCols: Seq[String], salt: String = ""): Column =
+    md5(concat_ws("\u0001",
+      lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"),
+        lit(""))): _*))
+
   /** Deterministic corpus shuffle — assign every row its position in a
     * salted content-hash permutation (the training-order randomization
     * step before sharding a corpus for LLM training; changing `salt`
@@ -388,49 +403,81 @@ object Sampling {
     * rows — plus its bucket's offset IS the global position.
     * Bit-identical to the naive window (oracle-checked), one wide
     * shuffle (inherent: a global permutation must move rows), no global
-    * sort. `prefixLen` 0 (the default) auto-sizes from one cheap
-    * `count()` so a bucket fits one task ([[choosePrefixLen]]); the
-    * explicit override (1..5, 16 to ~1M buckets) remains for callers
-    * who know their corpus. The position assignment is prefixLen-
-    * INVARIANT — any depth yields the identical permutation (pinned in
-    * AnalyticsSpec) — so auto-sizing can never change output.
+    * sort.
+    *
+    * ONE histogram pass serves both sizing and offsets: bucket counts
+    * are taken at the deepest depth needed (the explicit `prefixLen`,
+    * or the 5-char ceiling when auto-sizing — md5 hex keys bound that
+    * collect at 16^5 rows by construction) and folded on the driver to
+    * the depth [[choosePrefixLen]] picks from their sum, so auto-sizing
+    * costs no separate `count()` job. The position assignment is
+    * prefixLen-INVARIANT — any depth yields the identical permutation
+    * (pinned in AnalyticsSpec) — so auto-sizing can never change
+    * output, only task shape.
     *
     * The md5 key is encoded like [[graft.Run.rowKey128]] (null-safe
     * coalesce + U+0001 separators), so `keyCols` may contain nulls;
     * they must however form a UNIQUE key (duplicates tie on the hash
     * and fall to the keyCols tiebreak — equal rows then get
     * arrival-order positions, breaking determinism).
+    *
+    * `precomputedKey`: name of a column already holding
+    * [[shuffleKey]](keyCols, salt) — the cached-input optimization
+    * described there. The column is caller-owned and survives on the
+    * output; the inline path's internal key column does not.
     */
   def deterministicShuffle(df: DataFrame, keyCols: Seq[String],
-                           salt: String = "", prefixLen: Int = 0)
+                           salt: String = "", prefixLen: Int = 0,
+                           precomputedKey: Option[String] = None)
       : DataFrame = {
     require(keyCols.nonEmpty, "deterministicShuffle: need key columns")
     require(prefixLen >= 0 && prefixLen <= 5,
       s"prefixLen must be 0 (auto) or in [1,5] (got $prefixLen) — 16^5 " +
         "bucket offsets is already the driver-side ceiling")
-    val pl =
-      if (prefixLen > 0) prefixLen
-      else choosePrefixLen(df.count())
-    val (hc, bc, oc) = (fresh(df, "_sh"), fresh(df, "_sb"), fresh(df, "_so"))
-    val key = md5(concat_ws("\u0001",
-      lit(salt) +: keyCols.map(c => coalesce(col(c).cast("string"),
-        lit(""))): _*))
-    val withKeys = df.withColumn(hc, key)
-      .withColumn(bc, substring(col(hc), 1, pl))
-    // bounded by construction: md5 hex prefixes → ≤ 16^prefixLen rows
-    val counts = withKeys.groupBy(bc).count().orderBy(bc).collect()
-    var acc = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getString(0), acc); acc += r.getLong(1); o
+    val (hc, ownKey) = precomputedKey match {
+      case Some(k) =>
+        require(df.columns.contains(k),
+          s"deterministicShuffle: precomputedKey column '$k' is not on " +
+            "the frame — build it with Sampling.shuffleKey first")
+        (k, false)
+      case None => (fresh(df, "_sh"), true)
     }
+    val keyed =
+      if (ownKey) df.withColumn(hc, shuffleKey(keyCols, salt)) else df
+    val histDepth = if (prefixLen > 0) prefixLen else 5
+    val hist = keyed
+      .groupBy(substring(col(hc), 1, histDepth).as("_p"))
+      .count().orderBy("_p").collect()
+    val total = hist.iterator.map(_.getLong(1)).sum
+    val pl = if (prefixLen > 0) prefixLen else choosePrefixLen(total)
+    // fold the histogram to the chosen depth: lexicographic order of the
+    // deep prefixes refines the folded order, so first-occurrence order
+    // over the sorted rows IS the folded buckets' sorted order
+    val folded: Seq[(String, Long)] =
+      if (pl == histDepth) hist.toSeq.map(r => (r.getString(0), r.getLong(1)))
+      else {
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        hist.foreach { r =>
+          val b = r.getString(0).substring(0, pl)
+          m.update(b, m.getOrElse(b, 0L) + r.getLong(1))
+        }
+        m.toSeq
+      }
+    var acc = 0L
+    val offsets = folded.map { case (b, n) =>
+      val o = (b, acc); acc += n; o
+    }
+    val (bc, oc) = (fresh(keyed, "_sb"), fresh(keyed, "_so"))
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF(bc, oc))
+    val offDf = broadcast(offsets.toDF(bc, oc))
     val w = Window.partitionBy(bc)
       .orderBy(col(hc) +: keyCols.map(col): _*)
-    withKeys.join(offDf, bc)
+    val out = keyed.withColumn(bc, substring(col(hc), 1, pl))
+      .join(offDf, bc)
       .withColumn("shuffle_pos", col(oc) + row_number().over(w))
-      .drop(hc, bc, oc)
+      .drop(bc, oc)
+    if (ownKey) out.drop(hc) else out
   }
 
   /** Temperature-based mixture sampling — the multilingual/multi-domain

@@ -795,6 +795,30 @@ class SamplingSpec extends SparkSpec {
     assert(autoCut == cut(1) && autoCut == cut(4))
   }
 
+  test("deterministicShuffle precomputed-key path is bit-identical to " +
+      "inline hashing and preserves the caller's key column") {
+    // the cached-input optimization graft.Run's --shuffle-salt phase
+    // uses: the key is stamped during cache materialization and the
+    // histogram pass reads it back instead of re-hashing the text
+    val docs = Synth.pages(spark, 300L).select("url")
+    val inline = Sampling.deterministicShuffle(docs, Seq("url"),
+      salt = "sK").select("url", "shuffle_pos")
+    val keyed = docs.withColumn("k", Sampling.shuffleKey(Seq("url"), "sK"))
+    val pre = Sampling.deterministicShuffle(keyed, Seq("url"), salt = "sK",
+      precomputedKey = Some("k"))
+    // caller-owned column survives; inline internals never leak
+    assert(pre.columns.contains("k"))
+    assert(inline.columns.toSet == Set("url", "shuffle_pos"))
+    assert(pre.select("url", "shuffle_pos").except(inline).isEmpty &&
+      inline.except(pre.select("url", "shuffle_pos")).isEmpty)
+    // a missing key column fails loudly instead of silently rehashing
+    val err = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(docs, Seq("url"), salt = "sK",
+        precomputedKey = Some("nope"))
+    }
+    assert(err.getMessage.contains("precomputedKey"))
+  }
+
   test("token budget fails loudly on null order keys and negative tokens") {
     val docs = Synth.pages(spark, 50L).select(col("url"), col("text"))
       .withColumn("toks", size(split(col("text"), "\\s+")).cast("long"))
