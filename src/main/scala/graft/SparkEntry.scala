@@ -745,6 +745,28 @@ object SparkEntry {
         .select(col("doc_id"), col("text").as("deduped"))
     }),
 
+    // Corpus-frequency boilerplate removal (RefinedWeb/Dolma document-
+    // frequency rule): lines appearing in > 50 of the 500 docs vanish
+    // from EVERY doc — unlike the keep-first span rule above. Planted
+    // layout: a cookie banner on doc_id%3 (~167 docs, removed
+    // everywhere), a copyright footer on doc_id%2 (250 docs, removed),
+    // and a per-doc unique footer on the odd docs (kept); 2-word
+    // frequent lines stay under the minWords=3 immunity.
+    "q_frequent_lines" -> ((s, dir) => {
+      val d = col("doc_id")
+      val planted = t(s, dir, "documents").select(d, concat(
+        when(d % 3 === 0, lit("accept all cookies to continue\n"))
+          .otherwise(lit("")),
+        lit("site menu\n"),
+        col("text"), lit("\n"),
+        when(d % 2 === 0, lit("copyright example corp all rights reserved"))
+          .otherwise(concat(lit("unique footer "), d.cast("string"),
+            lit(" tail words")))).as("text"))
+      graft.dedup.SpanDedup.removeFrequentLines(
+          planted, "doc_id", "text", maxDocs = 50, minWords = 3)
+        .select(d, col("text").as("cleaned"))
+    }),
+
     // URL-keyed dedup on the canonical form (datatrove url_dedup shape):
     // deterministic messy variants (scheme case, WWW, :443, trailing
     // slash, utm_ tracking param, fragment) synthesized per doc_id, path
@@ -1692,6 +1714,34 @@ object SparkEntry {
         |       coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS deduped
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id""".stripMargin,
+
+    "q_frequent_lines" ->
+      """WITH base AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN 'accept all cookies to continue' || chr(10)
+        |          ELSE '' END)
+        |    || 'site menu' || chr(10) || text || chr(10) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN 'copyright example corp all rights reserved'
+        |          ELSE 'unique footer ' || CAST(doc_id AS VARCHAR)
+        |               || ' tail words' END) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM base),
+        |li AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ls),
+        |ln AS (SELECT doc_id, i - 1 AS pos, l[i] AS line,
+        |         len(list_filter(string_split(l[i], ' '),
+        |             x -> x <> '')) >= 3 AS elig
+        |       FROM li),
+        |freq AS (SELECT line FROM ln WHERE elig
+        |         GROUP BY line HAVING count(DISTINCT doc_id) > 50),
+        |kept AS (SELECT doc_id, pos, line FROM ln
+        |         WHERE NOT (elig AND line IN (SELECT line FROM freq))),
+        |agg AS (SELECT doc_id,
+        |          coalesce(string_agg(line, chr(10) ORDER BY pos), '')
+        |            AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, coalesce(a.cleaned, '') AS cleaned
+        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id""".stripMargin,
 
     "q_url_dedup" ->
       """WITH u AS (SELECT doc_id,

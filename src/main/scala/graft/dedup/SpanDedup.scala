@@ -94,6 +94,19 @@ object SpanDedup {
     val removals = occ.join(first, "_sd_h")
       .filter(struct(col("_sd_id"), col("_sd_pos")) =!= col("_sd_first"))
       .select(col("_sd_id"), col("_sd_pos"))
+    stripPositions(df, idCol, textCol, removals, strip)
+  }
+
+  /** Join-back rewrite shared by every span remover: fold the removal
+    * positions (`_sd_id`, `_sd_pos`) to one sorted array per AFFECTED
+    * doc (usually broadcast under AQE — docs without removals never
+    * join and never move) and rewrite affected docs' text with
+    * `strip(text, removedPositions)`; untouched docs keep their text
+    * object. Same unique-id precondition as [[stripNonFirst]].
+    */
+  private def stripPositions(df: DataFrame, idCol: String, textCol: String,
+                             removals: DataFrame,
+                             strip: (String, Seq[Int]) => String): DataFrame = {
     // join-back columns get names not present on the caller frame:
     // drop(name) removes EVERY column of that name, so a caller column
     // that happened to be called _sd_id/_sd_rm would silently vanish
@@ -179,6 +192,56 @@ object SpanDedup {
       t => t.split("\n", -1),
       s => graft.text.TextStats.countWords(s) >= minWords,
       "\n")
+
+  /** Corpus-frequency boilerplate-line removal — the rule
+    * [[removeDuplicateLines]] deliberately is NOT: a line that appears
+    * in MORE THAN `maxDocs` DISTINCT documents is template boilerplate
+    * (cookie banners, nav bars, copyright footers) and is removed from
+    * EVERY document, first occurrence included — keep-first semantics
+    * would still ship one copy of every banner, and the corpus's
+    * lexicographically first doc would keep ALL of them (the
+    * RefinedWeb/Dolma-style document-frequency rule, public method).
+    * Lines of fewer than `minWords` words are immune: short strings
+    * ("home", "menu") legitimately repeat and must not vanish
+    * corpus-wide. Lines split/rejoin with "\n" (-1 limit: trailing
+    * newlines round-trip byte-faithfully).
+    *
+    * Scale shape: the occurrence table is the narrow (id, pos, hash)
+    * projection — line text never crosses an exchange — built
+    * zero-UDF (the eligibility word count is a codegen'd higher-order
+    * filter over a single-space split, NOT [[graft.text.TextStats
+    * .countWords]]'s any-whitespace walk; identical on the
+    * single-space-normalized text this runs on after scrubbing, and
+    * exactly replayable in SQL). The document-frequency cut is one
+    * map-side-combinable count-distinct; the surviving frequent-hash
+    * table is O(#boilerplate lines) — orders of magnitude below the
+    * occurrence count — so the removal join broadcasts under AQE.
+    * Fully SQL-expressible → oracle-checked (q_frequent_lines).
+    */
+  def removeFrequentLines(df: DataFrame, idCol: String, textCol: String,
+                          maxDocs: Long, minWords: Int = 3): DataFrame = {
+    require(maxDocs >= 1, "removeFrequentLines: maxDocs must be >= 1")
+    require(minWords >= 1, "removeFrequentLines: minWords must be >= 1")
+    val spans = df.select(col(idCol).as("_sd_id"),
+      posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("_sd_pos", "_sd_span")))
+    val eligible = size(filter(split(col("_sd_span"), " ", -1),
+      x => x =!= lit(""))) >= minWords
+    val narrow = spans.filter(eligible)
+      .select(col("_sd_id"), col("_sd_pos"),
+        xxhash64(col("_sd_span")).as("_sd_h"))
+    val frequent = narrow.groupBy("_sd_h")
+      .agg(countDistinct(col("_sd_id")).as("_sd_docs"))
+      .filter(col("_sd_docs") > maxDocs)
+      .select("_sd_h")
+    val removals = narrow.join(frequent, "_sd_h")
+      .select(col("_sd_id"), col("_sd_pos"))
+    stripPositions(df, idCol, textCol, removals, (t: String, rm: Seq[Int]) => {
+      val chunks = t.split("\n", -1)
+      val drop = rm.toSet
+      chunks.indices.filterNot(drop).map(chunks(_)).mkString("\n")
+    })
+  }
 
   /** WITHIN-document line dedup — the dolma `dedupe-paragraphs` /
     * RefinedWeb intra-doc repetition scrub: keep the FIRST occurrence

@@ -285,6 +285,48 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(3L) == "unique article three\ntrailing line here\n") // trailing \n faithful
   }
 
+  test("frequent-line removal strips over-threshold lines from EVERY doc, " +
+      "unlike keep-first") {
+    val banner = "accept all cookies to continue browsing"
+    val rows = (1L to 10L).map { i =>
+      (i, s"article body number $i is here\n$banner\nmenu\nunique tail $i words here")
+    } :+ (11L, s"rare footer appears twice only\n$banner") :+
+      (12L, "rare footer appears twice only\nlast doc body text")
+    val df = rows.toDF("doc_id", "text")
+    val out = SpanDedup.removeFrequentLines(df, "doc_id", "text",
+      maxDocs = 5, minWords = 3).as[(Long, String)].collect().toMap
+    // the banner (11 docs > 5) vanishes everywhere, FIRST doc included
+    assert(!out.values.exists(_.contains(banner)))
+    assert(out(1L) == "article body number 1 is here\nmenu\nunique tail 1 words here")
+    // a 2-doc line stays under the threshold; "menu" (< minWords) is immune
+    assert(out(11L) == "rare footer appears twice only")
+    assert(out(12L) == "rare footer appears twice only\nlast doc body text")
+    assert(out(2L).contains("menu"))
+    // partitioning invariance + idempotence (removing frequents cannot
+    // create new over-threshold lines of the same content, so a second
+    // pass is a no-op)
+    val repart = SpanDedup.removeFrequentLines(df.repartition(7), "doc_id",
+      "text", maxDocs = 5, minWords = 3).as[(Long, String)].collect().toMap
+    assert(repart == out)
+    val again = SpanDedup.removeFrequentLines(
+      out.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      maxDocs = 5, minWords = 3).as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
+
+  test("frequent-line removal round-trips trailing newlines and null text") {
+    val df = Seq(
+      (1L, "shared boilerplate line here\nbody one\n"),
+      (2L, "shared boilerplate line here\nbody two"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeFrequentLines(df, "doc_id", "text",
+      maxDocs = 1, minWords = 3).as[(Long, String)].collect().toMap
+    assert(out(1L) == "body one\n") // trailing newline byte-faithful
+    assert(out(2L) == "body two")
+    assert(out(3L) == null) // null text passes through untouched
+  }
+
   test("substring dedup: rolling hash equals direct window hashing") {
     val words = "the quick brown fox jumps over the lazy dog again and again"
       .split(' ')
