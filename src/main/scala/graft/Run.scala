@@ -22,7 +22,8 @@ import graft.sources.CorpusIO
   *     [--minhash-salt-hot <members>] \
   *     [--cc-driver-max-edges <m>] [--url-blocklist <file>] \
   *     [--extract-html] [--url-dedup] [--span-dedup <w>] \
-  *     [--substring-dedup <w>] [--dsir-target <dir> --dsir-keep <k>] \
+  *     [--substring-dedup <w>] [--frequent-lines <maxDocs>[,<minWords>]] \
+  *     [--dsir-target <dir> --dsir-keep <k>] \
   *     [--bm25-terms <t1,t2,..> --bm25-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
   *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
@@ -41,7 +42,11 @@ import graft.sources.CorpusIO
   * `--span-dedup <w>` / `--substring-dedup <w>` rewrite KEPT docs'
   * scrubbed text after document-level dedup: corpus-wide keep-first
   * removal of duplicated w-word tumbling spans / sliding windows
-  * ([[graft.dedup.SpanDedup]]).
+  * ([[graft.dedup.SpanDedup]]). `--frequent-lines <maxDocs>[,<minWords>]`
+  * additionally removes template boilerplate lines (lines of >= minWords
+  * words, default 3, appearing in more than maxDocs distinct kept docs)
+  * from EVERY doc — the document-frequency rule, run after the
+  * keep-first rewrites on the final text.
   * `--dsir-target <dir> --dsir-keep <k>` (must be used together) run
   * DSIR data selection as the FINAL stage: fit hashed-n-gram importance
   * weights of kept docs against the target corpus ([[graft.analytics
@@ -279,6 +284,13 @@ object Run {
         parts.forall(_.toLongOption.isDefined),
         "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
           s"(numeric) — got '$v'")
+    }
+    a.get("frequent-lines").foreach { v =>
+      val parts = v.split(",", -1).map(_.trim)
+      require(parts.length >= 1 && parts.length <= 2 &&
+        parts.forall(_.toLongOption.exists(_ >= 1)),
+        s"--frequent-lines expects <maxDocs>[,<minWords>] (positive " +
+          s"integers) — got '$v'")
     }
     // a malformed --keep-where predicate must die at parse time, not
     // after the whole scoring pipeline has run up to its gate
@@ -521,9 +533,10 @@ object Run {
     // must stay byte-identical for the exclusion audit), after document-
     // level dedup so surviving docs dedup against survivors
     val spanDeduped = inPhase(spark, "span_dedup") {
-      (a.get("span-dedup"), a.get("substring-dedup")) match {
-      case (None, None) => piiExtended
-      case (spanW, subW) =>
+      (a.get("span-dedup"), a.get("substring-dedup"),
+        a.get("frequent-lines")) match {
+      case (None, None, None) => piiExtended
+      case (spanW, subW, freqSpec) =>
         // persist before the fan-out: the kept/dropped split plus each
         // rewrite's own multi-scan would otherwise recompute the whole
         // scoring+dedup stage up to ~5×
@@ -546,13 +559,25 @@ object Run {
           .removeDuplicateSubstrings(kept1, "_span_id", "scrubbed_text",
             w.toInt))
           .getOrElse(kept1)
+        // document-frequency boilerplate cut runs LAST among the
+        // rewrites, over the text the corpus actually ships
+        val kept3 = freqSpec.map { spec =>
+          val parts = spec.split(",", -1).map(_.trim)
+          require(parts.length >= 1 && parts.length <= 2 &&
+            parts.forall(_.toLongOption.exists(_ >= 1)),
+            s"--frequent-lines expects <maxDocs>[,<minWords>] (positive " +
+              s"integers) — got '$spec'")
+          graft.dedup.SpanDedup.removeFrequentLines(kept2, "_span_id",
+            "scrubbed_text", parts(0).toLong,
+            if (parts.length == 2) parts(1).toInt else 3)
+        }.getOrElse(kept2)
         // the rewrite changed the bytes → recount tokens so downstream
         // token-budget accounting sees the post-rewrite corpus (the
         // perplexity column deliberately keeps the score that made the
         // keep decision — it describes the decision, not the final text)
         val recount = udf((t: String) =>
           graft.text.TextStats.countWords(if (t == null) "" else t))
-        kept2.drop("_span_id")
+        kept3.drop("_span_id")
           .withColumn("n_tokens", recount(col("scrubbed_text")))
           .unionByName(dropped)
     } }

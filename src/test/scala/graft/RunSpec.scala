@@ -193,6 +193,37 @@ class RunSpec extends SparkSpec {
     assert(removed.filter(col("drop_stage") === "8_dsir").count() == st("8_dsir"))
   }
 
+  test("--frequent-lines strips a planted banner from every kept doc; " +
+      "dropped docs stay byte-identical; bad spec dies at parse time") {
+    import spark.implicits._
+    val in = dir() + "/freqin"; val out = dir()
+    val banner = "accept all cookies to continue browsing this site"
+    // 40 clean docs all carrying the banner line + unique bodies; the
+    // banner (40 docs > maxDocs=10) must vanish from EVERY kept doc
+    (1 to 40).map(i => (s"https://freq$i.example.com/p/$i",
+        s"${Synth.cleanDoc(Synth.rngFor(63, i), Synth.EnVocab, 8)}\n$banner"))
+      .toDF("url", "text").write.parquet(in)
+    Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> out, "repartition" -> "4", "frequent-lines" -> "10"))
+    val kept = spark.read.parquet(s"$out/kept")
+    assert(kept.count() > 0)
+    assert(kept.filter(col("scrubbed_text").contains(banner)).count() == 0,
+      "banner must be removed from every kept doc")
+    // with the flag OFF the banner ships — the rewrite is opt-in
+    val out2 = dir()
+    Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+      "output" -> out2, "repartition" -> "4"))
+    val kept2 = spark.read.parquet(s"$out2/kept")
+    assert(kept2.filter(col("scrubbed_text").contains(banner)).count() ==
+      kept2.count(), "flag off: the banner must survive untouched")
+    // malformed spec dies before any job launches
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("input" -> in, "format" -> "parquet",
+        "output" -> dir(), "frequent-lines" -> "0,x"))
+    }
+    assert(e.getMessage.contains("--frequent-lines"))
+  }
+
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
     val out = dir()
     val json = Run.execute(spark, Map(
