@@ -285,12 +285,17 @@ object Run {
         "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
           s"(numeric) — got '$v'")
     }
-    a.get("frequent-lines").foreach { v =>
+    // parsed ONCE, at argv time (maxDocs long, minWords INT — an
+    // Int-overflowing minWords must die here with the friendly message,
+    // not as a NumberFormatException mid-phase)
+    val freqLines: Option[(Long, Int)] = a.get("frequent-lines").map { v =>
       val parts = v.split(",", -1).map(_.trim)
       require(parts.length >= 1 && parts.length <= 2 &&
-        parts.forall(_.toLongOption.exists(_ >= 1)),
+        parts(0).toLongOption.exists(_ >= 1) &&
+        (parts.length == 1 || parts(1).toIntOption.exists(_ >= 1)),
         s"--frequent-lines expects <maxDocs>[,<minWords>] (positive " +
           s"integers) — got '$v'")
+      (parts(0).toLong, if (parts.length == 2) parts(1).toInt else 3)
     }
     // a malformed --keep-where predicate must die at parse time, not
     // after the whole scoring pipeline has run up to its gate
@@ -533,8 +538,7 @@ object Run {
     // must stay byte-identical for the exclusion audit), after document-
     // level dedup so surviving docs dedup against survivors
     val spanDeduped = inPhase(spark, "span_dedup") {
-      (a.get("span-dedup"), a.get("substring-dedup"),
-        a.get("frequent-lines")) match {
+      (a.get("span-dedup"), a.get("substring-dedup"), freqLines) match {
       case (None, None, None) => piiExtended
       case (spanW, subW, freqSpec) =>
         // persist before the fan-out: the kept/dropped split plus each
@@ -551,26 +555,32 @@ object Run {
           col("scrubbed_text"))
         val kept0 = base.filter(col("keep")).withColumn("_span_id", rowKey)
         val dropped = base.filter(!col("keep"))
+        // each rewrite scans its input TWICE (occurrence table +
+        // join-back side), so an intermediate that is itself a rewrite
+        // output and feeds ANOTHER rewrite gets its own pin — without
+        // it the upstream rewrite's UDF-explode + groupBy + join re-runs
+        // multiplicatively (2x per chained stage). kept0 needs none: it
+        // is a filter over the already-pinned base.
         val kept1 = spanW.map(w => graft.dedup.SpanDedup
           .removeDuplicateWordSpans(kept0, "_span_id", "scrubbed_text",
             w.toInt))
           .getOrElse(kept0)
+        val kept1p =
+          if (spanW.isDefined && (subW.isDefined || freqSpec.isDefined))
+            pin(kept1)
+          else kept1
         val kept2 = subW.map(w => graft.dedup.SpanDedup
-          .removeDuplicateSubstrings(kept1, "_span_id", "scrubbed_text",
+          .removeDuplicateSubstrings(kept1p, "_span_id", "scrubbed_text",
             w.toInt))
-          .getOrElse(kept1)
+          .getOrElse(kept1p)
+        val kept2p =
+          if (subW.isDefined && freqSpec.isDefined) pin(kept2) else kept2
         // document-frequency boilerplate cut runs LAST among the
         // rewrites, over the text the corpus actually ships
-        val kept3 = freqSpec.map { spec =>
-          val parts = spec.split(",", -1).map(_.trim)
-          require(parts.length >= 1 && parts.length <= 2 &&
-            parts.forall(_.toLongOption.exists(_ >= 1)),
-            s"--frequent-lines expects <maxDocs>[,<minWords>] (positive " +
-              s"integers) — got '$spec'")
-          graft.dedup.SpanDedup.removeFrequentLines(kept2, "_span_id",
-            "scrubbed_text", parts(0).toLong,
-            if (parts.length == 2) parts(1).toInt else 3)
-        }.getOrElse(kept2)
+        val kept3 = freqSpec.map { case (maxDocs, minWords) =>
+          graft.dedup.SpanDedup.removeFrequentLines(kept2p, "_span_id",
+            "scrubbed_text", maxDocs, minWords)
+        }.getOrElse(kept2p)
         // the rewrite changed the bytes → recount tokens so downstream
         // token-budget accounting sees the post-rewrite corpus (the
         // perplexity column deliberately keeps the score that made the
