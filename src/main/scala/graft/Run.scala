@@ -26,7 +26,7 @@ import graft.sources.CorpusIO
   *     [--dsir-target <dir> --dsir-keep <k>] \
   *     [--bm25-terms <t1,t2,..> --bm25-keep <k>] \
   *     [--write-sigs <dir>] [--ref-sigs <dir>] [--task-metrics]
-  *     [--shuffle-salt <s>] [--ppl-per-lang <n>]
+  *     [--shuffle-salt <s> [--sort-by-pos [<shards>]]] [--ppl-per-lang <n>]
   *     [--ppl-corpus <maxVocab>[,<minCount>[,<maxRows>]]]
   *     [--ppl-buckets <k> [--ppl-keep <b1,b2>]]
   *     [--semdedup <eps>,<nClusters>] [--keep-where <sql predicate>]
@@ -284,6 +284,16 @@ object Run {
         parts.forall(_.toLongOption.isDefined),
         "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
           s"(numeric) — got '$v'")
+    }
+    require(!(a.contains("sort-by-pos") && !a.contains("shuffle-salt")),
+      "--sort-by-pos orders the kept output by shuffle_pos — it requires " +
+        "--shuffle-salt")
+    a.get("sort-by-pos").filter(_ != "true").foreach { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"--sort-by-pos takes an optional shard count — got '$v'")
+      }
+      require(n > 0, s"--sort-by-pos shard count must be > 0: $v")
     }
     // parsed ONCE, at argv time (maxDocs long, minWords INT — an
     // Int-overflowing minWords must die here with the friendly message,
@@ -918,9 +928,28 @@ object Run {
       (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
       (if (a.contains("signals")) signalNames else Nil)
     val persisted = pin(signaled)
+    // --sort-by-pos: ship the kept corpus in CONTIGUOUS training-order
+    // files — range-repartition + sort on shuffle_pos, so file i holds
+    // positions strictly before file i+1 and a trainer streams the
+    // permutation without its own sort. One range shuffle of the kept
+    // side, inherent to the deliverable; the removed audit side keeps
+    // its drop_stage layout. The optional value is an explicit shard
+    // count (user-pinned partitioning — AQE won't re-coalesce it);
+    // `true` lets spark.sql.shuffle.partitions + AQE size the files.
+    val keptTransform: DataFrame => DataFrame =
+      a.get("sort-by-pos") match {
+        case None => identity
+        case Some("true") =>
+          d => d.repartitionByRange(col("shuffle_pos"))
+            .sortWithinPartitions("shuffle_pos")
+        case Some(v) => // numeric form validated at argv time above
+          d => d.repartitionByRange(v.toInt, col("shuffle_pos"))
+            .sortWithinPartitions("shuffle_pos")
+      }
     inPhase(spark, "sink") {
       CorpusIO.writeWithExclusions(
-        persisted.select(outCols.map(col): _*), out, outFormat)
+        persisted.select(outCols.map(col): _*), out, outFormat,
+        keptTransform)
       // --write-sigs: store kept docs' signature table for the next run's
       // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
       a.get("write-sigs").foreach { dir =>

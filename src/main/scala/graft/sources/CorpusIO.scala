@@ -265,9 +265,16 @@ object CorpusIO {
     * — the reference's per-stage exclusion dirs (findweb.py:95-113) as a
     * partitioned write instead of six sink objects.
     */
+  /** `keptTransform` reshapes ONLY the kept side right before its write
+    * (e.g. graft.Run's `--sort-by-pos` range-repartition into contiguous
+    * training-order files); the removed audit side is layout-free — it
+    * partitions by drop_stage regardless.
+    */
   def writeWithExclusions(result: DataFrame, path: String,
-                          format: Format = Jsonl): Unit = {
-    writeCorpus(result.filter(col("keep")).drop("keep"),
+                          format: Format = Jsonl,
+                          keptTransform: DataFrame => DataFrame =
+                            identity): Unit = {
+    writeCorpus(keptTransform(result.filter(col("keep")).drop("keep")),
       s"$path/kept", format)
     val dropped = result.filter(!col("keep")).drop("keep")
     val w: DataFrameWriter[Row] =

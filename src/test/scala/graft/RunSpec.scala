@@ -224,6 +224,51 @@ class RunSpec extends SparkSpec {
     assert(e.getMessage.contains("--frequent-lines"))
   }
 
+  test("--sort-by-pos ships the kept corpus as disjoint ordered " +
+      "shuffle_pos ranges per file") {
+    import spark.implicits._
+    val out = dir()
+    // explicit shard count: user-pinned range partitioning (AQE would
+    // coalesce 2000 docs to one file, which is right at scale but leaves
+    // the multi-file range invariant untested)
+    Run.execute(spark, Map("synth" -> "2000", "output" -> out,
+      "repartition" -> "8", "shuffle-salt" -> "e0", "sort-by-pos" -> "4"))
+    val kept = spark.read.parquet(s"$out/kept")
+      .select(input_file_name().as("f"), col("shuffle_pos").as("p"))
+    val n = kept.count()
+    // positions remain the gapless permutation 1..kept
+    assert(kept.agg(min("p"), max("p"), countDistinct("p")).head() ==
+      org.apache.spark.sql.Row(1L, n, n))
+    // per-file [min,max] ranges: file order (lexicographic) == pos order,
+    // ranges disjoint and contiguous — a trainer streams files in name
+    // order and reads the permutation without sorting
+    val ranges = kept.groupBy("f")
+      .agg(min("p").as("lo"), max("p").as("hi"), count(lit(1)).as("c"))
+      .orderBy("f").collect()
+    assert(ranges.length > 1, "expected multiple output files")
+    var next = 1L
+    ranges.foreach { r =>
+      assert(r.getLong(1) == next,
+        s"file ${r.getString(0)} starts at ${r.getLong(1)}, expected $next")
+      // contiguous inside the file too: max - min + 1 == row count
+      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3))
+      next = r.getLong(2) + 1
+    }
+    assert(next == n + 1)
+    // without --shuffle-salt the flag dies at parse time
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "sort-by-pos" -> "true"))
+    }
+    assert(e.getMessage.contains("--sort-by-pos"))
+    // a non-numeric shard count dies at parse time too
+    val e2 = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "shuffle-salt" -> "e0", "sort-by-pos" -> "many"))
+    }
+    assert(e2.getMessage.contains("shard count"))
+  }
+
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
     val out = dir()
     val json = Run.execute(spark, Map(
