@@ -1049,7 +1049,12 @@ object Run {
         val keptDir = s"$out/kept"
         val tmpDir = s"$out/_kept_compact"
         val oldDir = s"$out/_kept_precompact"
-        val n = CorpusIO.compactParquet(spark, keptDir, tmpDir, tStr.toLong)
+        // with --sort-by-pos the kept layout IS an ordering contract —
+        // compact order-preservingly (range + in-file sort) instead of
+        // round-robin, which would silently scramble the training order
+        val n = CorpusIO.compactParquet(spark, keptDir, tmpDir, tStr.toLong,
+          orderBy = if (a.contains("sort-by-pos")) Some("shuffle_pos")
+                    else None)
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -223,12 +223,18 @@ object CorpusIO {
     * with a round-robin repartition so output files land uniformly
     * target-sized. The row SET is preserved exactly (CorpusIOSpec pin +
     * the q_compact oracle round-trip); row ORDER is not a property a
-    * parquet directory has. Writes to a NEW directory — the atomic
-    * swap/rename is the caller's deployment concern (object stores
-    * differ on rename semantics). Returns the output file count.
+    * parquet directory has — UNLESS the caller made it one: pass
+    * `orderBy` to compact with a range repartition + in-file sort on
+    * that column instead, preserving a `--sort-by-pos`-style
+    * contiguous-files-in-name-order layout through the rewrite (a
+    * round-robin here would silently scramble it). Writes to a NEW
+    * directory — the atomic swap/rename is the caller's deployment
+    * concern (object stores differ on rename semantics). Returns the
+    * output file count.
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
-                     targetBytesPerFile: Long = 512L * 1024 * 1024): Int = {
+                     targetBytesPerFile: Long = 512L * 1024 * 1024,
+                     orderBy: Option[String] = None): Int = {
     require(targetBytesPerFile > 0,
       s"targetBytesPerFile must be positive, got $targetBytesPerFile")
     val p = new org.apache.hadoop.fs.Path(inDir)
@@ -236,8 +242,13 @@ object CorpusIO {
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1L,
       (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
-    spark.read.parquet(inDir).repartition(nFiles)
-      .write.mode("overwrite").parquet(outDir)
+    val df = spark.read.parquet(inDir)
+    val reshaped = orderBy match {
+      case Some(c) =>
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => df.repartition(nFiles)
+    }
+    reshaped.write.mode("overwrite").parquet(outDir)
     nFiles
   }
 

@@ -224,6 +224,30 @@ class RunSpec extends SparkSpec {
     assert(e.getMessage.contains("--frequent-lines"))
   }
 
+  /** Pins the --sort-by-pos layout contract on `$out/kept`: shuffle_pos
+    * is the gapless permutation 1..kept and per-file [min,max] ranges
+    * are disjoint + contiguous in lexicographic file-name order. */
+  private def assertSortedByPos(out: String, minFiles: Int): Unit = {
+    val kept = spark.read.parquet(s"$out/kept")
+      .select(input_file_name().as("f"), col("shuffle_pos").as("p"))
+    val n = kept.count()
+    assert(kept.agg(min("p"), max("p"), countDistinct("p")).head() ==
+      org.apache.spark.sql.Row(1L, n, n))
+    val ranges = kept.groupBy("f")
+      .agg(min("p").as("lo"), max("p").as("hi"), count(lit(1)).as("c"))
+      .orderBy("f").collect()
+    assert(ranges.length >= minFiles,
+      s"expected >= $minFiles output files, got ${ranges.length}")
+    var next = 1L
+    ranges.foreach { r =>
+      assert(r.getLong(1) == next,
+        s"file ${r.getString(0)} starts at ${r.getLong(1)}, expected $next")
+      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3))
+      next = r.getLong(2) + 1
+    }
+    assert(next == n + 1)
+  }
+
   test("--sort-by-pos ships the kept corpus as disjoint ordered " +
       "shuffle_pos ranges per file") {
     import spark.implicits._
@@ -233,28 +257,7 @@ class RunSpec extends SparkSpec {
     // the multi-file range invariant untested)
     Run.execute(spark, Map("synth" -> "2000", "output" -> out,
       "repartition" -> "8", "shuffle-salt" -> "e0", "sort-by-pos" -> "4"))
-    val kept = spark.read.parquet(s"$out/kept")
-      .select(input_file_name().as("f"), col("shuffle_pos").as("p"))
-    val n = kept.count()
-    // positions remain the gapless permutation 1..kept
-    assert(kept.agg(min("p"), max("p"), countDistinct("p")).head() ==
-      org.apache.spark.sql.Row(1L, n, n))
-    // per-file [min,max] ranges: file order (lexicographic) == pos order,
-    // ranges disjoint and contiguous — a trainer streams files in name
-    // order and reads the permutation without sorting
-    val ranges = kept.groupBy("f")
-      .agg(min("p").as("lo"), max("p").as("hi"), count(lit(1)).as("c"))
-      .orderBy("f").collect()
-    assert(ranges.length > 1, "expected multiple output files")
-    var next = 1L
-    ranges.foreach { r =>
-      assert(r.getLong(1) == next,
-        s"file ${r.getString(0)} starts at ${r.getLong(1)}, expected $next")
-      // contiguous inside the file too: max - min + 1 == row count
-      assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3))
-      next = r.getLong(2) + 1
-    }
-    assert(next == n + 1)
+    assertSortedByPos(out, minFiles = 2)
     // without --shuffle-salt the flag dies at parse time
     val e = intercept[IllegalArgumentException] {
       Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
@@ -267,6 +270,18 @@ class RunSpec extends SparkSpec {
         "shuffle-salt" -> "e0", "sort-by-pos" -> "many"))
     }
     assert(e2.getMessage.contains("shard count"))
+  }
+
+  test("--sort-by-pos survives --compact-target: compaction preserves " +
+      "the training-order layout") {
+    val out = dir()
+    // tiny compact target forces a multi-file rewrite; without the
+    // order-preserving path the round-robin repartition would scramble
+    // shuffle_pos across files
+    Run.execute(spark, Map("synth" -> "2000", "output" -> out,
+      "repartition" -> "8", "shuffle-salt" -> "e0", "sort-by-pos" -> "4",
+      "out-format" -> "parquet", "compact-target" -> "16384"))
+    assertSortedByPos(out, minFiles = 2)
   }
 
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
