@@ -33,7 +33,8 @@ import graft.sources.CorpusIO
   *     [--pii-extended] [--signals]
   *     [--fix-mojibake] [--keep-latest] [--robots-respect] [--datasheet]
   *     [--robots-txt <dir> [--robots-agent <token>]]
-  *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]]
+  *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]
+  *      [--export-ordered]]
   *     [--compact-target <bytes>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
@@ -66,7 +67,11 @@ import graft.sources.CorpusIO
   * `--export-vocab` (default 60000) whitespace word vocabulary is
   * counted, broadcast, and each kept doc encodes to u16 token ids in
   * one narrow pass; `<dir>/vocab` holds the decode table and the run
-  * JSON gains a `token_export` ledger.
+  * JSON gains a `token_export` ledger. With `--export-ordered` (needs
+  * `--shuffle-salt`) shards cut by EXACT shuffle_pos ranges instead of
+  * content hash: the trainer streams part-0.bin, part-1.bin, … and
+  * reads the training permutation directly — the binary twin of
+  * `--sort-by-pos`.
   *
   * Incremental crawl updates: `--write-sigs <dir>` stores the kept
   * docs' MinHash signature table (computed on the scrubbed text);
@@ -200,7 +205,7 @@ object Run {
     try f finally sc.clearJobGroup()
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -208,7 +213,13 @@ object Run {
         case f @ ("--lineage" | "--no-minhash" | "--no-exact"
             | "--extract-html" | "--url-dedup" | "--task-metrics"
             | "--pii-extended" | "--signals" | "--fix-mojibake"
-            | "--keep-latest" | "--robots-respect" | "--datasheet") =>
+            | "--keep-latest" | "--robots-respect" | "--datasheet"
+            | "--export-ordered") =>
+          m(f.drop(2)) = "true"; i += 1
+        // optional-value flag: bare `--sort-by-pos` must not swallow the
+        // next `--flag` as its shard count
+        case f @ "--sort-by-pos"
+            if i + 1 >= args.length || args(i + 1).startsWith("--") =>
           m(f.drop(2)) = "true"; i += 1
         case f if f.startsWith("--") && i + 1 < args.length =>
           m(f.drop(2)) = args(i + 1); i += 2
@@ -295,6 +306,10 @@ object Run {
       }
       require(n > 0, s"--sort-by-pos shard count must be > 0: $v")
     }
+    require(!(a.contains("export-ordered") &&
+        !(a.contains("shuffle-salt") && a.contains("export-tokens"))),
+      "--export-ordered shards the token export by shuffle_pos range — " +
+        "it requires --export-tokens and --shuffle-salt")
     // parsed ONCE, at argv time (maxDocs long, minWords INT — an
     // Int-overflowing minWords must die here with the friendly message,
     // not as a NumberFormatException mid-phase)
@@ -1023,12 +1038,19 @@ object Run {
         if (t == null) Array.empty[Int]
         else t.split("\\s+").iterator.filter(_.nonEmpty)
           .map(w => bcIds.value.getOrElse(w, 0)).toArray)
+      // --export-ordered: shard by exact shuffle_pos ranges instead of
+      // content hash — streaming part-0.bin, part-1.bin, … IS the
+      // training permutation (validated gapless inside TokenShards)
+      val ordered = a.contains("export-ordered")
+      val exportCols = Seq(
+        rowKey64(col("url"), col("warc_ts"), col("scrubbed_text"))
+          .as("seq_id"),
+        encUdf(col("scrubbed_text")).as("tokens")) ++
+        (if (ordered) Seq(col("shuffle_pos")) else Nil)
       val stats = graft.sources.TokenShards.write(
-        keptDocs.select(
-          rowKey64(col("url"), col("warc_ts"), col("scrubbed_text"))
-            .as("seq_id"),
-          encUdf(col("scrubbed_text")).as("tokens")),
-        "seq_id", "tokens", dir, "u16", nShards)
+        keptDocs.select(exportCols: _*),
+        "seq_id", "tokens", dir, "u16", nShards,
+        orderCol = if (ordered) Some("shuffle_pos") else None)
       spark.createDataFrame(vocabRows.toSeq.zipWithIndex.map { case (r, i) =>
         (i + 1, r.getString(0), r.getLong(1))
       }).toDF("token_id", "word", "cnt")

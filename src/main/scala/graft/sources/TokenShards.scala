@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   *     partitionings. (`repartitionByRange` would balance equally
   *     well but samples its boundaries at runtime — two runs could
   *     split shards differently, and the repo keys determinism on
-  *     content everywhere.)
+  *     content everywhere.) The `orderCol` mode keeps that bar with
+  *     EXACT integer range boundaries over a validated gapless
+  *     position column — see [[write]].
   *   - One shuffle on the shard key, `sortWithinPartitions(shard,
   *     seq_id)`, then a single `mapPartitions` writes each shard
   *     streamingly — sequences are never buffered whole-shard in
@@ -70,9 +72,22 @@ object TokenShards {
     * task RE-runs idempotent) — run this sink with speculative
     * execution off, like any direct-write sink outside Spark's commit
     * protocol. The `.idx` records are JVM DataOutput big-endian; only
-    * the `.bin` token stream is little-endian (the memory-map side). */
+    * the `.bin` token stream is little-endian (the memory-map side).
+    *
+    * Two shard-assignment modes, both fully content-deterministic:
+    *  - default: `pmod(xxhash64(seq_id), numShards)` — layout is a pure
+    *    function of the data, independent of any ordering.
+    *  - `orderCol = Some(c)`: `c` must hold a GAPLESS 1-based position
+    *    (e.g. graft.Run's `shuffle_pos` training permutation; validated
+    *    by an exact max==count probe). Shard is the EXACT integer range
+    *    `(pos-1)*numShards/total` — no runtime boundary sampling, so
+    *    two runs over the same data cut identical shards — and
+    *    sequences write in pos order within each shard: streaming
+    *    part-0.bin, part-1.bin, … IS the training order, no trainer-side
+    *    shuffle or sort. Shard sizes balance to ±1 sequence. */
   def write(df: DataFrame, idCol: String, tokensCol: String, dir: String,
-            dtype: String = "u16", numShards: Int = 64): Seq[ShardStat] = {
+            dtype: String = "u16", numShards: Int = 64,
+            orderCol: Option[String] = None): Seq[ShardStat] = {
     val w = width(dtype)
     require(numShards >= 1 && numShards <= MaxShards,
       s"TokenShards: numShards=$numShards outside [1, $MaxShards]")
@@ -81,12 +96,40 @@ object TokenShards {
     // and fail the loud range check below
     val maxTok = if (w == 2) 65535L else 2147483647L
 
-    val prepared = df
-      .select(col(idCol).cast("long").as("seq_id"),
-        col(tokensCol).cast("array<int>").as("toks"))
-      .withColumn("shard", pmod(xxhash64(col("seq_id")), lit(numShards)))
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions("shard", "seq_id")
+    val prepared = orderCol match {
+      case None =>
+        df.select(col(idCol).cast("long").as("seq_id"),
+            col(tokensCol).cast("array<int>").as("toks"))
+          .withColumn("shard", pmod(xxhash64(col("seq_id")), lit(numShards)))
+          .repartition(numShards, col("shard"))
+          .sortWithinPartitions("shard", "seq_id")
+      case Some(oc) =>
+        val base = df.select(col(idCol).cast("long").as("seq_id"),
+          col(tokensCol).cast("array<int>").as("toks"),
+          col(oc).cast("long").as("_pos"))
+        // one narrow agg prices the total AND proves the gapless-
+        // permutation contract the range formula depends on (a gap or
+        // duplicate would silently skew every boundary after it)
+        val probe = base.agg(
+          count(lit(1)), countDistinct(col("_pos")),
+          min(col("_pos")), max(col("_pos"))).head()
+        val total = probe.getLong(0)
+        if (total > 0) require(
+          probe.getLong(1) == total && probe.getLong(2) == 1L &&
+            probe.getLong(3) == total,
+          s"TokenShards: orderCol '$oc' is not a gapless 1-based " +
+            s"permutation (count=$total distinct=${probe.getLong(1)} " +
+            s"min=${probe.getLong(2)} max=${probe.getLong(3)})")
+        // integer `div`, not `/` (Spark's `/` on longs is DOUBLE division
+        // — a 2^53+ numerator would round shard boundaries); the product
+        // stays in Long up to ~9e18 / numShards positions
+        base
+          .withColumn("shard", expr(
+            s"(_pos - 1L) * ${numShards}L div ${math.max(total, 1L)}L"))
+          .repartition(numShards, col("shard"))
+          .sortWithinPartitions("shard", "_pos")
+          .select("seq_id", "toks", "shard")
+    }
 
     // ship the SESSION's Hadoop conf to the write tasks as plain pairs
     // (Configuration is not serializable): a bare new Configuration()
@@ -165,6 +208,7 @@ object TokenShards {
     try man.write(
       (s"""{"format":"graft-token-shards","version":$Version,""" +
         s""""dtype":"$dtype","num_shards":$numShards,""" +
+        s""""ordered":${orderCol.isDefined},""" +
         s""""shards_written":${stats.length},""" +
         s""""sequences":${stats.map(_.sequences).sum},""" +
         s""""tokens":${stats.map(_.tokens).sum}}""").getBytes("UTF-8"))

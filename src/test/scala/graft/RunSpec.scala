@@ -337,6 +337,62 @@ class RunSpec extends SparkSpec {
     assert(maxId <= vocab.count())
   }
 
+  test("argv parser: boolean flags, optional-value --sort-by-pos") {
+    // bare --sort-by-pos before another flag must NOT swallow it
+    val m = Run.parseArgs(Array("--shuffle-salt", "e0", "--sort-by-pos",
+      "--task-metrics", "--export-ordered"))
+    assert(m("sort-by-pos") == "true" && m("task-metrics") == "true" &&
+      m("export-ordered") == "true" && m("shuffle-salt") == "e0")
+    // explicit shard count still parses as the value
+    val m2 = Run.parseArgs(Array("--sort-by-pos", "64", "--lineage"))
+    assert(m2("sort-by-pos") == "64" && m2("lineage") == "true")
+    // trailing bare flag (end of argv) parses too
+    assert(Run.parseArgs(Array("--sort-by-pos"))("sort-by-pos") == "true")
+  }
+
+  test("--export-ordered: shard files replay the training permutation") {
+    val out = dir(); val shardDir = dir() + "/shards"
+    Run.execute(spark, Map(
+      "synth" -> "800", "output" -> out, "repartition" -> "4",
+      "shuffle-salt" -> "e1", "export-tokens" -> shardDir,
+      "export-shards" -> "4", "export-ordered" -> "true"))
+    val man = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$shardDir/_manifest.json")), "UTF-8")
+    assert(man.contains("\"ordered\":true"), man)
+    // shard s must hold exactly the kept docs whose shuffle_pos falls in
+    // its integer range, in that order — join idx-order back to positions
+    val kept = spark.read.parquet(s"$out/kept").select(
+      Run.rowKey64(col("url"), col("warc_ts"), col("scrubbed_text"))
+        .as("seq_id"), col("shuffle_pos"))
+    val total = kept.count()
+    val back = graft.sources.TokenShards.read(spark, shardDir)
+    assert(back.count() == total)
+    // read each shard's idx seq_id order and map through kept's positions
+    val posOf = kept.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val played = (0 until 4).flatMap { s =>
+      val p = s"$shardDir/part-$s.idx"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Nil
+      else {
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(p))))
+        try {
+          in.readInt(); in.readInt(); in.readInt() // magic, version, width
+          val nSeq = in.readLong()
+          (0L until nSeq).map { _ =>
+            val id = in.readLong(); in.readInt(); posOf(id)
+          }
+        } finally in.close()
+      }
+    }
+    assert(played == (1L to total), "idx order is not the permutation")
+    // flag without its prerequisites dies at parse time
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "export-ordered" -> "true"))
+    }
+    assert(e.getMessage.contains("--export-ordered"))
+  }
+
   test("--minhash-salt-hot composes: selective salting is ledger-invariant") {
     // kernel CC-equivalence is pinned in SkewSpec; this pins the CLI
     // plumbing end-to-end — a threshold low enough that the planted

@@ -100,6 +100,55 @@ class TokenShardsSpec extends SparkSpec {
     }
   }
 
+  test("ordered mode: streaming shards in file order replays the exact " +
+      "position permutation") {
+    val out = dir()
+    // token payload = the position itself, so the bin bytes ARE the order
+    val n = 100L
+    val rows = (1L to n).map(i => (i * 7919 % 65521, Seq(i.toInt), i))
+    val stats = TokenShards.write(
+      rows.toDF("seq_id", "tokens", "pos").repartition(9),
+      "seq_id", "tokens", out, "u16", numShards = 7,
+      orderCol = Some("pos"))
+    // ±1-balanced: exact integer ranges over a gapless permutation
+    assert(stats.map(_.sequences).sum == n)
+    assert(stats.map(_.sequences).max - stats.map(_.sequences).min <= 1)
+    // parse every .bin little-endian in shard order: the concatenated
+    // u16 stream must be exactly 1..n — training order with no
+    // trainer-side sort
+    val played = stats.map(_.shard).sorted.flatMap { s =>
+      val bytes = Files.readAllBytes(Paths.get(s"$out/part-$s.bin"))
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until bytes.length / 2).map(_ => bb.getShort.toInt & 0xffff)
+    }
+    assert(played == (1L to n).map(_.toInt))
+    val man = new String(
+      Files.readAllBytes(Paths.get(s"$out/_manifest.json")), "UTF-8")
+    assert(man.contains(""""ordered":true"""))
+    // byte-identical across runs and input partitionings, like the
+    // hash mode (boundaries are integer arithmetic, never sampled)
+    val out2 = dir()
+    TokenShards.write(rows.toDF("seq_id", "tokens", "pos").repartition(3),
+      "seq_id", "tokens", out2, "u16", numShards = 7,
+      orderCol = Some("pos"))
+    stats.map(_.shard).foreach { s =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$out/part-$s.bin")),
+        Files.readAllBytes(Paths.get(s"$out2/part-$s.bin"))))
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(s"$out/part-$s.idx")),
+        Files.readAllBytes(Paths.get(s"$out2/part-$s.idx"))))
+    }
+    // a gapped position column dies loudly before any file is cut
+    val e = intercept[IllegalArgumentException] {
+      TokenShards.write(
+        Seq((1L, Seq(1), 1L), (2L, Seq(2), 3L)).toDF("seq_id", "tokens", "pos"),
+        "seq_id", "tokens", dir(), "u16", 2, orderCol = Some("pos"))
+    }
+    assert(e.getMessage.contains("gapless"))
+  }
+
   test("empty input writes an empty manifest; reading an empty dir is empty") {
     val out = dir()
     val stats = TokenShards.write(
