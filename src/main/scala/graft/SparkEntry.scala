@@ -343,6 +343,29 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    // Data-skipping sink round-trip: range-sorted + bloom-filtered
+    // parquet layout (CorpusIO.writeSkipIndexed); the filtered
+    // read-back pushes down onto the sorted layout and must return
+    // exactly the oracle's rows (SkipIndexSpec pins the actual
+    // row-group pruning through task inputMetrics)
+    "q_skip_index" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q_skip_index").toString
+      sources.CorpusIO.writeSkipIndexed(t(s, dir, "documents"), out,
+        "doc_id", bloomCols = Seq("source"), nFiles = 8)
+      s.read.parquet(out).filter(col("doc_id").between(1000, 3000))
+    }),
+
+    // Content-level corpus overlap ledger (Snapshots.overlap): would
+    // ingesting corpus B add anything beyond corpus A? Two overlapping
+    // doc_id-derived slices stand in for two crawl snapshots.
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      analytics.Snapshots.overlap(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 =!= 0), Seq("text"))
+    }),
+
     // Corpus profile: per-group column statistics (the pandas-describe
     // surface the reference's notebooks lean on; one partial+final agg)
     "q_corpus_profile" -> ((s, dir) => t(s, dir, "documents")
@@ -2330,6 +2353,29 @@ object SparkEntry {
 
     "q_compact" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_skip_index" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 1000 AND 3000""".stripMargin,
+
+    "q_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT coalesce(text, chr(0)) AS t
+        |           FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT coalesce(text, chr(0)) AS t
+        |      FROM documents WHERE doc_id % 2 <> 0),
+        |s AS (SELECT (SELECT count(*) FROM a) AS da,
+        |             (SELECT count(*) FROM b) AS db,
+        |             (SELECT count(*) FROM a JOIN b USING (t)) AS ov)
+        |SELECT CAST(da AS BIGINT) AS distinct_a,
+        |  CAST(db AS BIGINT) AS distinct_b,
+        |  CAST(ov AS BIGINT) AS overlap,
+        |  CASE WHEN da = 0 THEN NULL
+        |       ELSE round(CAST(ov AS DOUBLE) / da, 6) END AS containment_a_in_b,
+        |  CASE WHEN db = 0 THEN NULL
+        |       ELSE round(CAST(ov AS DOUBLE) / db, 6) END AS containment_b_in_a,
+        |  CASE WHEN da + db - ov = 0 THEN NULL
+        |       ELSE round(CAST(ov AS DOUBLE) / (da + db - ov), 6) END AS jaccard
+        |FROM s""".stripMargin,
 
     "q_corpus_profile" ->
       """SELECT lang, count(*) AS docs,

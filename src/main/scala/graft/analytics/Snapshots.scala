@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot management (training-data-pipeline extension beyond
@@ -54,6 +54,47 @@ object Snapshots {
                   compareCols: Seq[String]): DataFrame =
     diff(oldDf, newDf, idCol, compareCols)
       .groupBy("change").agg(count(lit(1)).as("n"))
+
+  /** Content-level overlap ledger between two corpora whose ID SPACES
+    * are unrelated (two crawl snapshots, a vendor dump vs the existing
+    * corpus, a candidate acquisition): distinct-content counts per
+    * side, the intersection, containment in both directions, and the
+    * Jaccard index — the numbers that decide whether ingesting corpus B
+    * buys anything beyond what corpus A already holds. [[diff]] answers
+    * the same question BY ID; this answers it by content alone.
+    *
+    * 100-TB shape: each side reduces to its distinct 128-bit content
+    * hashes (one partial-aggregated distinct each — ~20 B/row through
+    * the exchange, never text), then one hash-keyed full-outer join and
+    * an O(1)-row rollup. Ratios divide as decimals and round to 6
+    * places so the single output row is bit-stable on any partitioning.
+    */
+  def overlap(aDf: DataFrame, bDf: DataFrame,
+              contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "overlap: contentCols must be non-empty")
+    def side(df: DataFrame, mark: String) =
+      df.select(contentHash(contentCols).as("_h")).distinct()
+        .withColumn(mark, lit(1L))
+    val joined = side(aDf, "_in_a")
+      .join(side(bDf, "_in_b"), Seq("_h"), "full_outer")
+      .agg(coalesce(sum(coalesce(col("_in_a"), lit(0L))), lit(0L)).as("_da"),
+        coalesce(sum(coalesce(col("_in_b"), lit(0L))), lit(0L)).as("_db"),
+        coalesce(sum(when(col("_in_a").isNotNull && col("_in_b").isNotNull,
+          1L).otherwise(0L)), lit(0L)).as("_ov"))
+    // double division of two exact longs (order-independent, identical
+    // in DuckDB — unlike decimal division, whose intermediate scale is
+    // engine-specific), rounded to 6 for a bit-stable ledger row
+    def ratio(num: Column, den: Column) =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6))
+    joined.select(
+      col("_da").cast("bigint").as("distinct_a"),
+      col("_db").cast("bigint").as("distinct_b"),
+      col("_ov").cast("bigint").as("overlap"),
+      ratio(col("_ov"), col("_da")).as("containment_a_in_b"),
+      ratio(col("_ov"), col("_db")).as("containment_b_in_a"),
+      ratio(col("_ov"), col("_da") + col("_db") - col("_ov")).as("jaccard"))
+  }
 
   /** Order-independent per-group content checksum: row count plus the
     * mod-2^64 SUM of each row's 64-bit content hash (the first 16 hex

@@ -213,6 +213,53 @@ object CorpusIO {
     w.saveAsTable(table)
   }
 
+  /** Data-skipping parquet sink: range-sorted layout + per-column bloom
+    * filters, so downstream point/range reads prune ROW GROUPS instead
+    * of scanning the corpus.
+    *
+    * Two independent skip mechanisms, each targeting a read shape the
+    * pipeline actually runs at scale:
+    *   - `sortCol` range-repartitions and sorts in-file, making every
+    *     row group's parquet min/max statistics a DISJOINT interval of
+    *     the key. A downstream `WHERE key = x` / `BETWEEN` pushes down
+    *     (PushedFilters) and the reader drops every non-matching row
+    *     group from its footer alone — the mark/signature-table
+    *     anti-join probes (`removed_ids`, `_semdedup_stage/marks`)
+    *     become O(matching row groups), not O(table).
+    *   - `bloomCols` writes parquet bloom filters (parquet-mr ≥ 1.12,
+    *     on Spark's classpath) for point-lookup columns whose values
+    *     are NOT clustered by the sort — url/doc-hash lookups hit every
+    *     row group's min/max span, but the bloom filter rejects
+    *     row groups that cannot contain the probed value: an absent key
+    *     reads ZERO records (SkipIndexSpec pins both effects through
+    *     task inputMetrics, with an unindexed control layout).
+    *
+    * 100-TB shape: the range repartition is one corpus shuffle paid at
+    * WRITE time to make every subsequent lookup sub-linear — the same
+    * trade `--sort-by-pos` makes for training order. `nFiles` sizes
+    * output files; bloom space is ~1.2 MB per 10^6 NDV per row group
+    * (parquet sizes the filter from `bloomNdv`), negligible against the
+    * data. Row-group pruning needs no catalog and survives file moves —
+    * unlike bucketing ([[writeBucketedTable]]) it is a property of the
+    * FILES, which is what an object-store corpus actually has.
+    */
+  def writeSkipIndexed(df: DataFrame, path: String, sortCol: String,
+                       bloomCols: Seq[String] = Nil,
+                       nFiles: Int = 32,
+                       bloomNdv: Long = 1L << 20,
+                       mode: String = "overwrite"): Unit = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    require(bloomNdv > 0, s"bloomNdv must be positive, got $bloomNdv")
+    var w = df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(mode)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
+    }
+    w.parquet(path)
+  }
+
   /** Small-file compaction for a parquet directory — the maintenance
     * pass every long-running ingestion needs: streaming sinks,
     * incremental appends and over-parallel writes leave directories of

@@ -1076,6 +1076,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed"))
   }
 
+  test("overlap: distinct-content counts, containment both ways, jaccard") {
+    // A = {a, b, c, c(dup), null}, B = {b, c, d, null} by content —
+    // distinct_a 4, distinct_b 4, overlap 3 (b, c, null-as-a-value)
+    val a = Seq(Option("a"), Option("b"), Option("c"), Option("c"), None)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val b = Seq(Option("b"), Option("c"), Option("d"), None)
+      .zipWithIndex.map { case (t, i) => (i.toLong + 100, t) }
+      .toDF("id2", "text")
+    val got = Snapshots.overlap(a, b, Seq("text"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got._1 == 4L && got._2 == 4L && got._3 == 3L)
+    assert(got._4 == 0.75 && got._5 == 0.75)
+    assert(got._6 == 0.6) // 3 / (4 + 4 - 3)
+    // invariant to partitioning and row order
+    val got2 = Snapshots.overlap(a.orderBy(desc("doc_id")).repartition(7),
+      b.repartition(5), Seq("text"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got2 == got)
+    // disjoint corpora: zero overlap, zero ratios
+    val c = Seq((1L, "zz")).toDF("doc_id", "text")
+    val none = Snapshots.overlap(a, c, Seq("text"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(none._3 == 0L && none._6 == 0.0)
+    // an empty side yields null ratios, not a division error
+    val empty = a.filter(lit(false))
+    val row = Snapshots.overlap(a, empty, Seq("text")).collect()(0)
+    assert(row.getLong(1) == 0L && row.isNullAt(4))
+    assert(row.getDouble(3) == 0.0 && row.getDouble(5) == 0.0)
+  }
+
   test("checksum matches a hand fold, is partitioning-invariant, " +
       "and flips on any single-doc change") {
     val rows = Seq(("en", "alpha"), ("en", "beta"), ("de", "gamma"),
