@@ -36,6 +36,7 @@ import graft.sources.CorpusIO
   *     [--export-tokens <dir> [--export-vocab <k>] [--export-shards <n>]
   *      [--export-ordered]]
   *     [--compact-target <bytes>]
+  *     [--skip-index <col>] [--bloom <c1,c2,..> [--bloom-ndv <n>]]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -295,6 +296,23 @@ object Run {
         parts.forall(_.toLongOption.isDefined),
         "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
           s"(numeric) — got '$v'")
+    }
+    require(!(a.contains("skip-index") && a.contains("sort-by-pos")),
+      "--skip-index and --sort-by-pos both choose the kept output's " +
+        "file layout — pass at most one")
+    require(!(a.contains("skip-index") &&
+        a.get("out-format").exists(_ != "parquet")),
+      "--skip-index writes a parquet row-group-pruned layout — it " +
+        "requires --out-format parquet")
+    require(!(a.contains("bloom") &&
+        a.get("out-format").exists(_ != "parquet")),
+      "--bloom writes parquet bloom filters — it requires " +
+        "--out-format parquet")
+    require(a.contains("bloom") || !a.contains("bloom-ndv"),
+      "--bloom-ndv sizes the --bloom filters — pass --bloom <cols>")
+    a.get("bloom-ndv").foreach { v =>
+      require(v.toLongOption.exists(_ > 0),
+        s"--bloom-ndv must be a positive count, got '$v'")
     }
     require(!(a.contains("sort-by-pos") && !a.contains("shuffle-salt")),
       "--sort-by-pos orders the kept output by shuffle_pos — it requires " +
@@ -952,19 +970,44 @@ object Run {
     // count (user-pinned partitioning — AQE won't re-coalesce it);
     // `true` lets spark.sql.shuffle.partitions + AQE size the files.
     val keptTransform: DataFrame => DataFrame =
-      a.get("sort-by-pos") match {
-        case None => identity
-        case Some("true") =>
+      (a.get("sort-by-pos"), a.get("skip-index")) match {
+        case (None, None) => identity
+        case (Some("true"), _) =>
           d => d.repartitionByRange(col("shuffle_pos"))
             .sortWithinPartitions("shuffle_pos")
-        case Some(v) => // numeric form validated at argv time above
+        case (Some(v), _) => // numeric form validated at argv time above
           d => d.repartitionByRange(v.toInt, col("shuffle_pos"))
             .sortWithinPartitions("shuffle_pos")
+        // --skip-index <col>: data-skipping layout for the kept corpus —
+        // range-sorted on a LOOKUP key (url, lang_pred, …) so downstream
+        // point/range reads prune row groups from footer min/max alone
+        // (mutually exclusive with --sort-by-pos, validated above)
+        case (None, Some(c)) =>
+          require(outCols.contains(c),
+            s"--skip-index column '$c' is not an output column " +
+              s"(have: ${outCols.mkString(", ")})")
+          d => d.repartitionByRange(col(c)).sortWithinPartitions(c)
       }
+    // --bloom <cols>: parquet bloom filters on the kept sink's named
+    // output columns — point lookups on unsorted columns (url probes,
+    // doc-hash membership) reject non-matching row groups from the
+    // footer; composes with either kept layout
+    val keptOptions: Map[String, String] = a.get("bloom") match {
+      case None => Map.empty
+      case Some(csv) =>
+        val ndv = a.getOrElse("bloom-ndv", (1L << 20).toString)
+        csv.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+          require(outCols.contains(c),
+            s"--bloom column '$c' is not an output column " +
+              s"(have: ${outCols.mkString(", ")})")
+          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+            s"parquet.bloom.filter.expected.ndv#$c" -> ndv)
+        }.toMap
+    }
     inPhase(spark, "sink") {
       CorpusIO.writeWithExclusions(
         persisted.select(outCols.map(col): _*), out, outFormat,
-        keptTransform)
+        keptTransform, keptOptions)
       // --write-sigs: store kept docs' signature table for the next run's
       // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
       a.get("write-sigs").foreach { dir =>

@@ -179,9 +179,11 @@ object CorpusIO {
                   shards: Int = 0,
                   targetRowsPerFile: Long = 0L,
                   compression: String = "gzip",
-                  mode: String = "overwrite"): Unit = {
+                  mode: String = "overwrite",
+                  writerOptions: Map[String, String] = Map.empty): Unit = {
     val sharded = if (shards > 0) df.repartition(shards) else df
     var w: DataFrameWriter[Row] = sharded.write.mode(mode)
+      .options(writerOptions)
     if (targetRowsPerFile > 0)
       w = w.option("maxRecordsPerFile", targetRowsPerFile)
     partitionByLang.foreach(c => w = w.partitionBy(c))
@@ -331,9 +333,11 @@ object CorpusIO {
   def writeWithExclusions(result: DataFrame, path: String,
                           format: Format = Jsonl,
                           keptTransform: DataFrame => DataFrame =
-                            identity): Unit = {
+                            identity,
+                          keptOptions: Map[String, String] =
+                            Map.empty): Unit = {
     writeCorpus(keptTransform(result.filter(col("keep")).drop("keep")),
-      s"$path/kept", format)
+      s"$path/kept", format, writerOptions = keptOptions)
     val dropped = result.filter(!col("keep")).drop("keep")
     val w: DataFrameWriter[Row] =
       dropped.write.mode("overwrite").partitionBy("drop_stage")

@@ -284,6 +284,58 @@ class RunSpec extends SparkSpec {
     assertSortedByPos(out, minFiles = 2)
   }
 
+  test("--skip-index/--bloom: kept corpus ships range-sorted with bloom " +
+      "footers; layout flags are mutually exclusive") {
+    import scala.jdk.CollectionConverters._
+    val out = dir()
+    Run.execute(spark, Map("synth" -> "2000", "output" -> out,
+      "repartition" -> "8", "out-format" -> "parquet",
+      "skip-index" -> "url", "bloom" -> "url", "bloom-ndv" -> "4096"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(s"$out/kept").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val ranges = files.toSeq.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf,
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      val footer = r.getFooter; r.close()
+      val urlCols = footer.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "url")
+      assert(urlCols.nonEmpty &&
+        urlCols.forall(_.getBloomFilterOffset >= 0),
+        s"${f.getName}: url column chunk has no bloom filter")
+      val mins = urlCols.map(_.getStatistics.genericGetMin
+        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      val maxs = urlCols.map(_.getStatistics.genericGetMax
+        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+      (mins.min, maxs.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"url file ranges overlap: $ranges")
+      case _ =>
+    }
+    // layout flags are mutually exclusive
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "shuffle-salt" -> "e0", "sort-by-pos" -> "true",
+        "skip-index" -> "url"))
+    }
+    assert(e.getMessage.contains("at most one"))
+    // a non-output column dies loudly, jsonl sinks reject the flag
+    val e2 = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "skip-index" -> "nope"))
+    }
+    assert(e2.getMessage.contains("not an output column"))
+    val e3 = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "out-format" -> "jsonl", "bloom" -> "url"))
+    }
+    assert(e3.getMessage.contains("parquet"))
+  }
+
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
     val out = dir()
     val json = Run.execute(spark, Map(
