@@ -37,6 +37,8 @@ import graft.sources.CorpusIO
   *      [--export-ordered]]
   *     [--compact-target <bytes>]
   *     [--skip-index <col>] [--bloom <c1,c2,..> [--bloom-ndv <n>]]
+  *     [--out-compression <zstd|snappy|gzip|lz4|...>]
+  *     [--minhash-verify <estJaccard>]
   *
   * `--url-dedup` drops canonical-URL duplicates (scheme/www/tracking-
   * param/… variants, [[graft.text.UrlNorm]]) BEFORE scoring — dropped
@@ -501,6 +503,15 @@ object Run {
       // larger than T members (selective skew handling)
       minhashHotBandThreshold = a.get("minhash-salt-hot").map(_.toLong)
         .getOrElse(0L),
+      // --minhash-verify <t>: re-check band-collision candidates against
+      // the full signature vectors; cluster only pairs with estimated
+      // Jaccard >= t (off = reference's any-shared-band semantics)
+      minhashVerifyThreshold = a.get("minhash-verify").map { v =>
+        val t = v.toDouble
+        require(t > 0.0 && t <= 1.0,
+          s"--minhash-verify must be in (0, 1], got '$v'")
+        t
+      }.getOrElse(0.0),
       ccDriverMaxEdges = a.get("cc-driver-max-edges").map(_.toLong)
         .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges),
       // --url-blocklist <file>: one registrable domain per line enables
@@ -1004,10 +1015,23 @@ object Run {
             s"parquet.bloom.filter.expected.ndv#$c" -> ndv)
         }.toMap
     }
+    // --out-compression <codec>: storage codec for BOTH sinks (kept +
+    // removed audit). At 100-TB corpus scale zstd typically halves
+    // parquet text bytes vs the snappy default for ~equal scan speed —
+    // a storage/egress knob, validated against Spark's codec list at
+    // argv time so a typo dies before the pipeline runs.
+    val outCodec = a.get("out-compression").map { c =>
+      val known = Set("zstd", "snappy", "gzip", "lz4", "uncompressed",
+        "none")
+      require(known(c),
+        s"--out-compression '$c' is not a supported codec " +
+          s"(${known.toSeq.sorted.mkString(", ")})")
+      c
+    }
     inPhase(spark, "sink") {
       CorpusIO.writeWithExclusions(
         persisted.select(outCols.map(col): _*), out, outFormat,
-        keptTransform, keptOptions)
+        keptTransform, keptOptions, outCodec)
       // --write-sigs: store kept docs' signature table for the next run's
       // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
       a.get("write-sigs").foreach { dir =>

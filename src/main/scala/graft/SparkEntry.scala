@@ -210,6 +210,19 @@ object SparkEntry {
           col("minhash_cluster").cast("string").as("minhash_cluster"))
     }),
 
+    // Verified near-dup marking: band-collision candidates re-checked
+    // against the full signature vectors, clustered only at estimated
+    // Jaccard >= 0.6 (rows-only: xxhash64-seeded signature state — same
+    // ledger class as q_minhash_mark; MinHashSpec pins the estimator
+    // and the strict/loose threshold behavior)
+    "q_minhash_verified" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      MinHash.mark(pagesFromDocs(s, dir), "url", "text",
+          MinHash.Config(verifyThreshold = 0.6))
+        .select(col("url"), col("is_near_dup"),
+          col("minhash_cluster").cast("string").as("minhash_cluster"))
+    }),
+
     // Quality-aware near-dup representative selection: each cluster
     // keeps its longest member (n_chars as the quality signal) instead
     // of the min-id one. Rows-only for the same reason as

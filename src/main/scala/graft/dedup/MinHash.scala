@@ -57,7 +57,21 @@ object MinHash {
         * [[clusters]]; deployments with small drivers can lower it (or 0
         * to force the distributed CC loop).
         */
-      driverCcMaxEdges: Long = MinHash.DriverCcMaxEdges
+      driverCcMaxEdges: Long = MinHash.DriverCcMaxEdges,
+      /** >0 enables candidate VERIFICATION ([[verifiedEdges]]): every
+        * band-collision edge is re-checked against the full signature
+        * vectors and kept only if the estimated Jaccard (fraction of
+        * agreeing permutations — the standard unbiased MinHash
+        * estimator) reaches this threshold. Cuts the S-curve's
+        * false-positive tail (a 14×8 plan at ~0.72 still fires on ~2%
+        * of 0.4-similar pairs) at the cost of persisting the numHashes-
+        * long vector per doc instead of the band table (~2.6× the
+        * cache) plus one edge-sized verification join. 0 (default)
+        * keeps the reference's any-shared-band semantics. Verification
+        * applies to the STAR edge set (member → min-id representative),
+        * so clustering remains CC over verified star edges.
+        */
+      verifyThreshold: Double = 0.0
   ) {
     def numHashes: Int = bands * rowsPerBand
   }
@@ -124,7 +138,16 @@ object MinHash {
     * (~50× less CPU) and keeps the cluster-wide data motion to the
     * O(docs×bands) signature table the banding groupBy actually needs.
     */
-  def bandHashesOf(text: String, cfg: Config): Array[Long] = {
+  def bandHashesOf(text: String, cfg: Config): Array[Long] =
+    bandsOfMins(minVectorOf(text, cfg), cfg)
+
+  /** Per-document minhash vector: the numHashes per-permutation running
+    * minima [[bandHashesOf]] folds into band hashes — exposed so
+    * [[verifiedEdges]] can estimate Jaccard per candidate pair without
+    * re-reading text. Same register-resident single pass, same XXH64
+    * fold order as the SQL path.
+    */
+  def minVectorOf(text: String, cfg: Config): Array[Long] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     val Seed = 42L
@@ -159,6 +182,13 @@ object MinHash {
         i += 1
       }
     } else addShingle(text)
+    mins
+  }
+
+  /** Band hashes from a minhash vector — [[bandHashesOf]]'s band fold. */
+  def bandsOfMins(mins: Array[Long], cfg: Config): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val Seed = 42L
     val out = new Array[Long](cfg.bands)
     var b = 0
     while (b < cfg.bands) {
@@ -232,6 +262,54 @@ object MinHash {
       .filter(col("id") =!= col("dst"))
       .select(col("id").as("src"), col("dst"))
       .distinct()
+  }
+
+  /** (id, sig) full-signature table — numHashes longs per doc, the
+    * verification-side companion of [[signatures]].
+    */
+  def sigVectors(df: DataFrame, idCol: String, textCol: String,
+                 cfg: Config = Config()): DataFrame = {
+    val vecUdf = udf((t: String) =>
+      if (t == null) null else minVectorOf(t, cfg))
+    df.select(col(idCol).as("id"), vecUdf(col(textCol)).as("sig"))
+  }
+
+  /** Signature-estimated Jaccard of two minhash vectors: the fraction
+    * of agreeing permutations (unbiased MinHash estimator, MMDS ch. 3).
+    * Codegen'd higher-order functions — no UDF in the verification
+    * kernel. Null if either vector is null.
+    */
+  def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+      .cast("double") / size(a).cast("double")
+
+  /** Candidate-edge verification: keep only (src, dst) pairs whose
+    * signature-estimated Jaccard reaches `minEst`, cutting the LSH
+    * S-curve's false-positive tail before clustering. Returns
+    * (src, dst, est_jaccard).
+    *
+    * 100-TB shape: `sigVectors` is corpus-sized (numHashes longs/doc) —
+    * it is first semi-join-reduced to the ids that actually appear in
+    * `edges` (O(candidate pairs), normally ≪ corpus), then joined to
+    * both endpoints; only the surviving candidate rows ever carry two
+    * full vectors (~2 KB at 112 permutations), and the Jaccard kernel
+    * is zip_with/filter/size inside whole-stage codegen.
+    */
+  def verifiedEdges(edges: DataFrame, sigVecs: DataFrame,
+                    minEst: Double): DataFrame = {
+    require(minEst > 0.0 && minEst <= 1.0,
+      s"verification threshold must be in (0, 1], got $minEst")
+    val ids = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val needed = sigVecs.join(ids, Seq("id"), "left_semi")
+    edges
+      .join(needed.select(col("id").as("src"), col("sig").as("_sig_s")),
+        Seq("src"))
+      .join(needed.select(col("id").as("dst"), col("sig").as("_sig_d")),
+        Seq("dst"))
+      .withColumn("est_jaccard", estJaccard(col("_sig_s"), col("_sig_d")))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("src"), col("dst"), col("est_jaccard"))
   }
 
   /** Incremental cross-corpus near-dup marking — the crawl-snapshot
@@ -580,18 +658,42 @@ object MinHash {
     // over the corpus text is the expensive part. With a stageDir the
     // table is parquet-backed instead (committed = durable resume point
     // AND materialization in one), so no persist is needed.
-    val sigs = stageDir match {
-      case Some(d) => committed(spark, s"$d/signatures")(
-        signatures(df, idCol, textCol, cfg))
-      case None => signatures(df, idCol, textCol, cfg)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted base: the narrow band table in reference mode; the full
+    // numHashes-long vector table when verification is on (bands derive
+    // from the vector per-row, so the text scans once either way —
+    // verification trades ~2.6× cache for the false-positive cut)
+    val vecs: Option[DataFrame] =
+      if (cfg.verifyThreshold <= 0.0) None
+      else Some(stageDir match {
+        case Some(d) => committed(spark, s"$d/sig_vectors")(
+          sigVectors(df, idCol, textCol, cfg))
+        case None => sigVectors(df, idCol, textCol, cfg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      })
+    val sigs = vecs match {
+      case Some(v) =>
+        val bandsUdf = udf((m: Seq[Long]) =>
+          if (m == null) null else bandsOfMins(m.toArray, cfg))
+        v.select(col("id"),
+          posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+      case None => stageDir match {
+        case Some(d) => committed(spark, s"$d/signatures")(
+          signatures(df, idCol, textCol, cfg))
+        case None => signatures(df, idCol, textCol, cfg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     }
     def computeClusters(): DataFrame = {
-      val edges =
+      val edges0 =
         if (cfg.saltBuckets > 1 && cfg.hotBandThreshold > 0)
           candidateEdgesSaltedHot(sigs, cfg.saltBuckets, cfg.hotBandThreshold)
         else if (cfg.saltBuckets > 1) candidateEdgesSalted(sigs, cfg.saltBuckets)
         else candidateEdges(sigs)
+      val edges = vecs match {
+        case Some(v) =>
+          verifiedEdges(edges0, v, cfg.verifyThreshold).select("src", "dst")
+        case None => edges0
+      }
       clusters(edges, cfg.driverCcMaxEdges)
     }
     // materialize, NOT persist: the returned frame references cl, so a
@@ -604,7 +706,10 @@ object MinHash {
       case Some(d) => committed(spark, s"$d/clusters")(computeClusters())
       case None => computeClusters().transform(graft.SparkUtil.materialize)
     }
-    if (stageDir.isEmpty) sigs.unpersist(false) // cl is materialized
+    if (stageDir.isEmpty) vecs match { // cl is materialized
+      case Some(v) => v.unpersist(false)
+      case None => sigs.unpersist(false)
+    }
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
     df.join(clJoin, Seq(idCol), "left")

@@ -70,6 +70,12 @@ case class PipelineConfig(
     // cut of full salting at a fraction of its extra shuffle. Cluster-
     // deploy tunable — see MinHash.Config.hotBandThreshold.
     minhashHotBandThreshold: Long = 0L,
+    // >0 re-checks every band-collision candidate pair against the full
+    // signature vectors and clusters only pairs whose estimated Jaccard
+    // reaches this value (MinHash.verifiedEdges) — cuts the LSH S-curve's
+    // false-positive tail; 0 keeps the reference's any-shared-band
+    // semantics. Quality tunable — see MinHash.Config.verifyThreshold.
+    minhashVerifyThreshold: Double = 0.0,
     // Driver union-find fast-path ceiling for connected components;
     // lower on small-driver deployments (0 forces distributed CC).
     ccDriverMaxEdges: Long = graft.dedup.MinHash.DriverCcMaxEdges,

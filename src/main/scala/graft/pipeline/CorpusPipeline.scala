@@ -336,7 +336,8 @@ object CorpusPipeline {
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
           cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
           hotBandThreshold = cfg.minhashHotBandThreshold,
-          driverCcMaxEdges = cfg.ccDriverMaxEdges)
+          driverCcMaxEdges = cfg.ccDriverMaxEdges,
+          verifyThreshold = cfg.minhashVerifyThreshold)
         Some(MinHash.mark(stillAliveN, "url", "scrubbed_text", mhCfg,
             stageDir = cfg.dedupStageDir)
           .filter(col("minhash_cluster").isNotNull)
@@ -395,7 +396,8 @@ object CorpusPipeline {
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
           cfg.shingleSize, saltBuckets = cfg.minhashSaltBuckets,
           hotBandThreshold = cfg.minhashHotBandThreshold,
-          driverCcMaxEdges = cfg.ccDriverMaxEdges)
+          driverCcMaxEdges = cfg.ccDriverMaxEdges,
+          verifyThreshold = cfg.minhashVerifyThreshold)
         val marked = MinHash.mark(stillAlive, "url", "scrubbed_text", mhCfg,
             stageDir = cfg.dedupStageDir)
           .withColumn("drop_stage",

@@ -190,6 +190,10 @@ object CorpusIO {
     format match {
       case Jsonl => w.option("compression", compression).json(path)
       case Csv => w.option("header", "true").csv(path)
+      // parquet compression only when explicitly requested via
+      // writerOptions("compression") — the jsonl-oriented `compression`
+      // default ("gzip") must not silently override Spark's parquet
+      // codec default (snappy)
       case Parquet => w.parquet(path)
       case Warc =>
         throw new IllegalArgumentException("WARC is a source, not a sink")
@@ -335,14 +339,18 @@ object CorpusIO {
                           keptTransform: DataFrame => DataFrame =
                             identity,
                           keptOptions: Map[String, String] =
-                            Map.empty): Unit = {
+                            Map.empty,
+                          codec: Option[String] = None): Unit = {
     writeCorpus(keptTransform(result.filter(col("keep")).drop("keep")),
-      s"$path/kept", format, writerOptions = keptOptions)
+      s"$path/kept", format,
+      writerOptions = keptOptions ++ codec.map("compression" -> _))
     val dropped = result.filter(!col("keep")).drop("keep")
     val w: DataFrameWriter[Row] =
       dropped.write.mode("overwrite").partitionBy("drop_stage")
+        .options(codec.map("compression" -> _).toMap)
     format match {
-      case Jsonl => w.option("compression", "gzip").json(s"$path/removed")
+      case Jsonl => w.option("compression", codec.getOrElse("gzip"))
+        .json(s"$path/removed")
       case Csv => w.option("header", "true").csv(s"$path/removed")
       case _ => w.parquet(s"$path/removed")
     }

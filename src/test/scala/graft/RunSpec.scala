@@ -336,6 +336,64 @@ class RunSpec extends SparkSpec {
     assert(e3.getMessage.contains("parquet"))
   }
 
+  test("--minhash-verify: a strict threshold spares near-dups the " +
+      "unverified path drops; invalid thresholds die at argv time") {
+    import org.apache.spark.sql.functions.col
+    def minhashDrops(extra: Map[String, String]): Long = {
+      val out = dir()
+      Run.execute(spark, Map("synth" -> "2000", "output" -> out,
+        "repartition" -> "8", "out-format" -> "parquet") ++ extra)
+      spark.read.option("basePath", s"$out/removed")
+        .parquet(s"$out/removed")
+        .filter(col("drop_stage") === "7_minhash_dup").count()
+    }
+    val unverified = minhashDrops(Map.empty)
+    // estimated-Jaccard 1.0 keeps everything that is not an exact
+    // signature twin — strictly fewer minhash drops than any-shared-band
+    val strict = minhashDrops(Map("minhash-verify" -> "1.0"))
+    assert(strict < unverified,
+      s"verified drops $strict !< unverified $unverified")
+    // a sub-S-curve threshold reproduces the unverified count
+    val loose = minhashDrops(Map("minhash-verify" -> "0.05"))
+    assert(loose == unverified)
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "minhash-verify" -> "1.5"))
+    }
+    assert(e.getMessage.contains("--minhash-verify"))
+  }
+
+  test("--out-compression zstd: both sinks ship zstd parquet, round-trips") {
+    val out = dir()
+    Run.execute(spark, Map("synth" -> "500", "output" -> out,
+      "repartition" -> "4", "out-format" -> "parquet",
+      "out-compression" -> "zstd"))
+    def parquets(d: String) = {
+      val dd = new java.io.File(d)
+      if (!dd.isDirectory) Array.empty[java.io.File]
+      else dd.listFiles().flatMap {
+        case f if f.isDirectory => f.listFiles()
+        case f => Array(f)
+      }.filter(_.getName.endsWith(".parquet"))
+    }
+    val kept = parquets(s"$out/kept")
+    val removed = parquets(s"$out/removed")
+    assert(kept.nonEmpty && removed.nonEmpty)
+    assert((kept ++ removed).forall(_.getName.contains(".zstd.parquet")),
+      "sink files are not zstd-coded parquet")
+    // the corpus reads back whole through the codec
+    val n = spark.read.parquet(s"$out/kept").count() +
+      spark.read.option("basePath", s"$out/removed")
+        .parquet(s"$out/removed").count()
+    assert(n == 500L)
+    // a typo'd codec dies at argv time
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "out-compression" -> "zsdt"))
+    }
+    assert(e.getMessage.contains("not a supported codec"))
+  }
+
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
     val out = dir()
     val json = Run.execute(spark, Map(

@@ -458,6 +458,60 @@ class MinHashSpec extends SparkSpec {
     assert(dropped == Set("b", "c"))
   }
 
+  test("verification: estimator tracks true similarity; threshold 1.0 " +
+      "keeps only identical-signature pairs; low threshold reproduces mark") {
+    import org.apache.spark.sql.functions.col
+    implicit val s = spark
+    val base = doc(70)
+    val near = base + "\nExtra sentence appended to make a near duplicate."
+    val df = Seq(("a", base), ("b", base), ("c", near), ("d", doc(71)))
+      .toDF("id", "text")
+    // estimator sanity from the raw vectors: identical docs estimate
+    // 1.0, a near-dup lands strictly between, unrelated docs near 0
+    val v = MinHash.sigVectors(df, "id", "text").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    def estLocal(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(estLocal(v("a"), v("b")) == 1.0)
+    val eNear = estLocal(v("a"), v("c"))
+    assert(eNear > 0.3 && eNear < 1.0, s"near-dup estimate $eNear")
+    assert(estLocal(v("a"), v("d")) < 0.2)
+    // the Column estimator agrees with the hand fold exactly
+    val got = Seq((v("a"), v("c"))).toDF("x", "y")
+      .select(MinHash.estJaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(got - eNear) < 1e-12)
+    // threshold 1.0: only the exact twin clusters; the near-dup survives
+    val strict = MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 1.0))
+    assert(strict.filter($"is_near_dup").select("id").as[String]
+      .collect().toSet == Set("b"))
+    // reference semantics cluster the near-dup too
+    val loose = MinHash.mark(df, "id", "text")
+    def state(m: org.apache.spark.sql.DataFrame) =
+      m.select("id", "minhash_cluster", "is_near_dup")
+        .as[(String, Option[String], Boolean)].collect().toSet
+    assert(loose.filter($"is_near_dup").select("id").as[String]
+      .collect().toSet == Set("b", "c"))
+    // a threshold below every true similarity reproduces mark exactly
+    assert(state(MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 0.05))) == state(loose))
+    // verified mode commits the VECTOR table under the stage dir
+    val dir = java.nio.file.Files.createTempDirectory("mh_verify").toString
+    val viaStage = MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 1.0), stageDir = Some(dir))
+    assert(state(viaStage) == state(strict))
+    assert(spark.read.parquet(s"$dir/sig_vectors").count() == 4)
+    // out-of-range thresholds die loudly
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val vecsDf = MinHash.sigVectors(df, "id", "text")
+    intercept[IllegalArgumentException] {
+      MinHash.verifiedEdges(empty, vecsDf, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      MinHash.verifiedEdges(empty, vecsDf, 0.0)
+    }
+  }
+
   test("stageDir commits signatures + clusters; a resumed run reuses them") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("mh_stage").toString
