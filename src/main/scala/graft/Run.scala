@@ -507,7 +507,10 @@ object Run {
       // the full signature vectors; cluster only pairs with estimated
       // Jaccard >= t (off = reference's any-shared-band semantics)
       minhashVerifyThreshold = a.get("minhash-verify").map { v =>
-        val t = v.toDouble
+        // argv-time rule: a typo must die naming the flag, never as a
+        // raw NumberFormatException
+        val t = v.toDoubleOption.getOrElse(sys.error(
+          s"--minhash-verify must be a number in (0, 1], got '$v'"))
         require(t > 0.0 && t <= 1.0,
           s"--minhash-verify must be in (0, 1], got '$v'")
         t
@@ -1006,25 +1009,36 @@ object Run {
     val keptOptions: Map[String, String] = a.get("bloom") match {
       case None => Map.empty
       case Some(csv) =>
-        val ndv = a.getOrElse("bloom-ndv", (1L << 20).toString)
-        csv.split(",").map(_.trim).filter(_.nonEmpty).flatMap { c =>
+        val ndv = a.getOrElse("bloom-ndv", (1L << 20).toString).toLong
+        val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        cols.foreach { c =>
           require(outCols.contains(c),
             s"--bloom column '$c' is not an output column " +
               s"(have: ${outCols.mkString(", ")})")
-          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
-            s"parquet.bloom.filter.expected.ndv#$c" -> ndv)
-        }.toMap
+        }
+        CorpusIO.bloomOptions(cols, ndv)
     }
     // --out-compression <codec>: storage codec for BOTH sinks (kept +
     // removed audit). At 100-TB corpus scale zstd typically halves
     // parquet text bytes vs the snappy default for ~equal scan speed —
-    // a storage/egress knob, validated against Spark's codec list at
-    // argv time so a typo dies before the pipeline runs.
+    // a storage/egress knob, validated against the codec list of the
+    // ACTUAL sink format so a typo (or a parquet-only codec like zstd
+    // on a jsonl sink) dies at argv time, not after hours of pipeline
+    // compute when the removed sink finally writes.
     val outCodec = a.get("out-compression").map { c =>
-      val known = Set("zstd", "snappy", "gzip", "lz4", "uncompressed",
-        "none")
+      // parquet codecs per ParquetOptions; text-source (json/csv)
+      // codecs per Spark's HadoopCompressionCodec enum — zstd/brotli
+      // are parquet-only, bzip2/deflate are text-only
+      val known =
+        if (outFormat == CorpusIO.Parquet)
+          Set("zstd", "snappy", "gzip", "lz4", "uncompressed", "none")
+        else
+          Set("gzip", "bzip2", "deflate", "lz4", "snappy",
+            "uncompressed", "none")
+      val fmtName = if (outFormat == CorpusIO.Parquet) "parquet"
+                    else "jsonl"
       require(known(c),
-        s"--out-compression '$c' is not a supported codec " +
+        s"--out-compression '$c' is not a supported $fmtName codec " +
           s"(${known.toSeq.sorted.mkString(", ")})")
       c
     }
@@ -1138,12 +1152,18 @@ object Run {
         val keptDir = s"$out/kept"
         val tmpDir = s"$out/_kept_compact"
         val oldDir = s"$out/_kept_precompact"
-        // with --sort-by-pos the kept layout IS an ordering contract —
-        // compact order-preservingly (range + in-file sort) instead of
-        // round-robin, which would silently scramble the training order
+        // with --sort-by-pos or --skip-index the kept layout IS a
+        // contract (training order / row-group pruning key) — compact
+        // order-preservingly (range + in-file sort) instead of
+        // round-robin, which would silently scramble it; likewise the
+        // --bloom footers and --out-compression codec are file
+        // properties the rewrite must re-establish or it would
+        // silently strip them
         val n = CorpusIO.compactParquet(spark, keptDir, tmpDir, tStr.toLong,
           orderBy = if (a.contains("sort-by-pos")) Some("shuffle_pos")
-                    else None)
+                    else a.get("skip-index"),
+          writerOptions =
+            keptOptions ++ outCodec.map("compression" -> _))
         val fs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -188,7 +188,14 @@ object CorpusIO {
       w = w.option("maxRecordsPerFile", targetRowsPerFile)
     partitionByLang.foreach(c => w = w.partitionBy(c))
     format match {
-      case Jsonl => w.option("compression", compression).json(path)
+      // an explicit codec in writerOptions (e.g. the CLI's
+      // --out-compression) wins; the jsonl-oriented `compression`
+      // default ("gzip") applies only when the caller set none —
+      // a later option() call overrides an earlier options() map
+      case Jsonl =>
+        if (!writerOptions.contains("compression"))
+          w = w.option("compression", compression)
+        w.json(path)
       case Csv => w.option("header", "true").csv(path)
       // parquet compression only when explicitly requested via
       // writerOptions("compression") — the jsonl-oriented `compression`
@@ -255,15 +262,25 @@ object CorpusIO {
                        bloomNdv: Long = 1L << 20,
                        mode: String = "overwrite"): Unit = {
     require(nFiles > 0, s"nFiles must be positive, got $nFiles")
-    require(bloomNdv > 0, s"bloomNdv must be positive, got $bloomNdv")
-    var w = df.repartitionByRange(nFiles, col(sortCol))
+    df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(mode)
-    bloomCols.foreach { c =>
-      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", bloomNdv.toString)
-    }
-    w.parquet(path)
+      .options(bloomOptions(bloomCols, bloomNdv))
+      .parquet(path)
+  }
+
+  /** Parquet bloom-filter writer options for `cols` at `ndv` expected
+    * distinct values — the single source of the parquet-mr option-key
+    * strings, shared by [[writeSkipIndexed]], [[compactParquet]] and
+    * the CLI sink so a key or default change can never diverge them.
+    */
+  def bloomOptions(cols: Seq[String],
+                   ndv: Long = 1L << 20): Map[String, String] = {
+    require(ndv > 0, s"bloom ndv must be positive, got $ndv")
+    cols.flatMap { c =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }.toMap
   }
 
   /** Small-file compaction for a parquet directory — the maintenance
@@ -280,14 +297,19 @@ object CorpusIO {
     * `orderBy` to compact with a range repartition + in-file sort on
     * that column instead, preserving a `--sort-by-pos`-style
     * contiguous-files-in-name-order layout through the rewrite (a
-    * round-robin here would silently scramble it). Writes to a NEW
-    * directory — the atomic swap/rename is the caller's deployment
-    * concern (object stores differ on rename semantics). Returns the
-    * output file count.
+    * round-robin here would silently scramble it). The same holds for
+    * footer-level skip structures: a `--skip-index`/`--bloom` layout is
+    * a file property the rewrite must re-establish — pass the sort key
+    * as `orderBy` and the bloom options (see [[bloomOptions]]) as
+    * `writerOptions`, else compaction would silently strip them.
+    * Writes to a NEW directory — the atomic swap/rename is the
+    * caller's deployment concern (object stores differ on rename
+    * semantics). Returns the output file count.
     */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetBytesPerFile: Long = 512L * 1024 * 1024,
-                     orderBy: Option[String] = None): Int = {
+                     orderBy: Option[String] = None,
+                     writerOptions: Map[String, String] = Map.empty): Int = {
     require(targetBytesPerFile > 0,
       s"targetBytesPerFile must be positive, got $targetBytesPerFile")
     val p = new org.apache.hadoop.fs.Path(inDir)
@@ -301,7 +323,7 @@ object CorpusIO {
         df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
       case None => df.repartition(nFiles)
     }
-    reshaped.write.mode("overwrite").parquet(outDir)
+    reshaped.write.mode("overwrite").options(writerOptions).parquet(outDir)
     nFiles
   }
 

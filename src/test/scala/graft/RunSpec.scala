@@ -316,6 +316,46 @@ class RunSpec extends SparkSpec {
         assert(aMax <= bMin, s"url file ranges overlap: $ranges")
       case _ =>
     }
+    // the layout survives --compact-target: compaction must re-sort on
+    // the skip key and re-write the bloom footers (+ codec), else the
+    // maintenance rewrite silently strips the data-skipping contract
+    val out2 = dir()
+    Run.execute(spark, Map("synth" -> "2000", "output" -> out2,
+      "repartition" -> "8", "out-format" -> "parquet",
+      "skip-index" -> "url", "bloom" -> "url", "bloom-ndv" -> "4096",
+      "out-compression" -> "zstd", "compact-target" -> "16384"))
+    val files2 = new java.io.File(s"$out2/kept").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files2.length >= 2,
+      s"tiny compact target must leave multiple files, got ${files2.length}")
+    assert(files2.forall(_.getName.contains(".zstd.parquet")),
+      "compaction dropped the --out-compression codec")
+    val ranges2 = files2.toSeq.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf,
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+      val footer = r.getFooter; r.close()
+      val urlCols = footer.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "url")
+      assert(urlCols.nonEmpty &&
+        urlCols.forall(_.getBloomFilterOffset >= 0),
+        s"${f.getName}: compaction stripped the url bloom filter")
+      (urlCols.map(_.getStatistics.genericGetMin
+        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        .min,
+        urlCols.map(_.getStatistics.genericGetMax
+          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+          .max)
+    }.sortBy(_._1)
+    ranges2.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin,
+          s"compaction scrambled the skip-index ranges: $ranges2")
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$out2/kept").count() ==
+      spark.read.parquet(s"$out/kept").count(),
+      "compaction changed the kept row count")
     // layout flags are mutually exclusive
     val e = intercept[IllegalArgumentException] {
       Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
@@ -361,6 +401,14 @@ class RunSpec extends SparkSpec {
         "minhash-verify" -> "1.5"))
     }
     assert(e.getMessage.contains("--minhash-verify"))
+    // a non-numeric value dies NAMING the flag, not as a bare
+    // NumberFormatException from deep inside argv handling
+    val e2 = intercept[RuntimeException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "minhash-verify" -> "abc"))
+    }
+    assert(e2.getMessage.contains("--minhash-verify"),
+      s"expected the flag name in: ${e2.getMessage}")
   }
 
   test("--out-compression zstd: both sinks ship zstd parquet, round-trips") {
@@ -391,7 +439,33 @@ class RunSpec extends SparkSpec {
       Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
         "out-compression" -> "zsdt"))
     }
-    assert(e.getMessage.contains("not a supported codec"))
+    assert(e.getMessage.contains("not a supported"))
+    // a parquet-only codec on a jsonl sink dies at argv time too —
+    // NOT hours later when the text writer finally rejects it
+    val e2 = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "out-format" -> "jsonl", "out-compression" -> "zstd"))
+    }
+    assert(e2.getMessage.contains("jsonl"), e2.getMessage)
+  }
+
+  test("--out-compression reaches the jsonl kept sink; default stays gzip") {
+    def keptNames(extra: Map[String, String]): Array[String] = {
+      val out = dir()
+      Run.execute(spark, Map("synth" -> "300", "output" -> out,
+        "repartition" -> "2", "out-format" -> "jsonl") ++ extra)
+      new java.io.File(s"$out/kept").listFiles()
+        .map(_.getName).filter(_.startsWith("part-"))
+    }
+    // the explicit codec must win over the sink's gzip default (the
+    // r5 defect: the later option("compression","gzip") silently
+    // overrode the CLI's writerOptions codec)
+    val bz = keptNames(Map("out-compression" -> "bzip2"))
+    assert(bz.nonEmpty && bz.forall(_.endsWith(".json.bz2")),
+      s"jsonl sink ignored --out-compression bzip2: ${bz.mkString(",")}")
+    val gz = keptNames(Map.empty)
+    assert(gz.nonEmpty && gz.forall(_.endsWith(".json.gz")),
+      s"default jsonl codec regressed from gzip: ${gz.mkString(",")}")
   }
 
   test("--bm25-terms/--bm25-keep: relevance cap applies, audit accounts") {
