@@ -311,6 +311,12 @@ object SparkEntry {
       analytics.TextAnalysis.vocabulary(t(s, dir, "documents"), "text",
         minCount = 5L, topK = 100)),
 
+    // Per-doc unigram Shannon entropy (bits): the low-entropy template/
+    // spam-page signal (oracle-checked via decimal term accumulation)
+    "q_word_entropy" -> ((s, dir) =>
+      analytics.TextAnalysis.wordEntropy(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // Boilerplate diagnostic: most-repeated word 3-gram shingles with
     // occurrence + doc-frequency counts (MassiveText duplicated-lines
     // analog at shingle granularity; deterministic total order)
@@ -2306,6 +2312,19 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE length(word) > 0 GROUP BY word)
         |WHERE cnt >= 5 ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q_word_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, lower(x) AS w FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS x
+        |    FROM documents)),
+        |f AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6))) AS s
+        |      FROM f GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round(log2(n) - CAST(s AS DOUBLE) / n, 4) AS word_entropy
+        |FROM a""".stripMargin,
 
     "q_boilerplate" ->
       """WITH sh AS (

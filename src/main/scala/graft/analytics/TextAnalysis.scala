@@ -235,6 +235,37 @@ object TextAnalysis {
     if (topK > 0) ordered.limit(topK) else ordered
   }
 
+  /** Per-document Shannon word entropy in bits — the unigram-entropy
+    * quality signal (low entropy = template/keyword-stuffed/generated
+    * pages; RefinedWeb and Dolma both threshold on it). Lowercased
+    * whitespace words; H = log2(n) − Σ c·log2(c) / n over per-doc word
+    * frequencies, the algebraic form that needs no per-word p=c/n
+    * division. Σ accumulates per-term-rounded DECIMAL(28,6) so the sum
+    * is exact and order-independent — bit-for-bit replayable by the
+    * DuckDB oracle regardless of either engine's aggregation order
+    * (the repo-wide decimal-accumulation rule for double reductions).
+    * Result rounds to 4 places; docs with no words yield no row.
+    *
+    * Scale shape: explode carries O(tokens) narrow (id, word) rows;
+    * partial aggregation combines same-doc same-word repeats map-side,
+    * and both groupBys hash-partition on doc id — per-doc work, no
+    * global hotspot, nothing corpus-quadratic.
+    */
+  def wordEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = df.select(col(idCol),
+      explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum("c").as("n"),
+        sum(round(col("c") * log2(col("c")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
+      .select(col(idCol),
+        round(log2(col("n")) - col("s").cast("double") / col("n"), 4)
+          .as("word_entropy"))
+  }
+
   /** All word `n`-gram shingles of a text, repeats INCLUDED — the
     * occurrence-counting sibling of [[NearDup.shingleSet]] (which
     * de-duplicates for Jaccard). Pure Column: `regexp_extract_all`

@@ -417,6 +417,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores.forall(sc => sc >= 0.0 && sc <= 1.0))
   }
 
+  test("word entropy: hand-computed bits, case-fold, degenerate docs") {
+    val df = Seq(
+      (1L, "a a b b"),        // uniform over 2 words -> exactly 1 bit
+      (2L, "a b c d"),        // uniform over 4 -> 2 bits
+      (3L, "spam spam spam"), // single word -> 0 bits
+      (4L, "A a"),            // case-folds to one word -> 0 bits
+      (5L, "  \n ")           // no words -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(df, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.0, 4L -> 0.0),
+      s"unexpected entropies: $got")
+    // skewed distribution: "a a a b" -> 2 - (3*log2(3) + 0)/4 = 0.8113
+    val skew = TextAnalysis.wordEntropy(
+      Seq((1L, "a a a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double)].head()._2
+    assert(skew == 0.8113, s"skewed entropy $skew != 0.8113")
+  }
+
   test("rolling fingerprint is order-sensitive; md5 content print is not") {
     val a = NearDup.simhash64("x")
     assert(TextAnalysis.rollingFingerprint("alpha beta gamma") !=
