@@ -113,6 +113,22 @@ object SkipIndexBench {
     val pIdx = probes(idxDir)
     val pCtl = probes(ctlDir)
 
+    // compaction leg: a maintenance rewrite of the indexed layout into
+    // ~256 MB files — the layout-preserving path must re-sort on the
+    // key and rebuild the bloom footers, else every subsequent probe
+    // silently degrades to a full scan. Probes after compaction must
+    // read the same order of magnitude as before (id_point one larger
+    // row group, url_absent still ZERO records).
+    val cmpDir = s"$base/compacted"
+    val (tCmp, nCmp) = wall {
+      sources.CorpusIO.compactParquet(spark, idxDir, cmpDir,
+        targetBytesPerFile = 256L * 1024 * 1024,
+        orderBy = Some("doc_id"),
+        writerOptions = sources.CorpusIO.bloomOptions(Seq("url"), nRows))
+    }
+    spark.read.parquet(cmpDir).count()
+    val pCmp = probes(cmpDir)
+
     def fmt(m: Map[String, (Double, Long)]): String =
       m.toSeq.sortBy(_._1).map { case (k, (t, r)) =>
         s""""$k":{"sec":${math.rint(t * 1000) / 1000},"records_read":$r}"""
@@ -121,7 +137,9 @@ object SkipIndexBench {
       s""""files":$nFiles,""" +
       s""""write_sec_indexed":${math.rint(tIdx * 100) / 100},""" +
       s""""write_sec_control":${math.rint(tCtl * 100) / 100},""" +
-      s""""indexed":{${fmt(pIdx)}},"control":{${fmt(pCtl)}}}""")
+      s""""indexed":{${fmt(pIdx)}},"control":{${fmt(pCtl)}},""" +
+      s""""compact_sec":${math.rint(tCmp * 100) / 100},""" +
+      s""""compact_files":$nCmp,"compacted":{${fmt(pCmp)}}}""")
     spark.stop()
   }
 }
