@@ -894,7 +894,7 @@ object Run {
     // --keep-where <sql predicate>: the generic re-threshold gate.
     // "Publish signals, not decisions" becomes actionable IN-RUN: demote
     // kept docs failing a user predicate over the full column surface —
-    // base pipeline columns plus the 20 signal columns (13 quality + 7
+    // base pipeline columns plus the 21 signal columns (14 quality + 7
     // readability), computed transiently for the evaluation whether or
     // not --signals publishes them. Runs LAST among the gates and
     // before the shuffle so positions stay gapless. A null predicate
@@ -911,7 +911,7 @@ object Run {
             graft.analytics.TextAnalysis
               .readabilitySignals(col("scrubbed_text"))
         // compute ONLY the signal columns the predicate references —
-        // stamping all 20 (including the O(distinct × words) hapax scan)
+        // stamping all 21 (including the O(distinct × words) hapax scan)
         // for a predicate that reads one of them would tax every kept
         // row at corpus scale for nothing
         val refs = spark.sessionState.sqlParser.parseExpression(pred)

@@ -1141,8 +1141,10 @@ object SparkEntry {
     // P15 Gopher doc-stats subset (word count, mean word length) as an
     // oracle-checked relational query; full filter verdicts are exercised
     // by q_pipeline_full + unit tests
-    // RedPajama-v2-style quality-signal vector: 13 per-doc signals as one
-    // narrow zero-UDF projection (oracle-checked column by column)
+    // RedPajama-v2-style quality-signal vector: 14 per-doc signals as one
+    // narrow zero-UDF projection (oracle-checked column by column; the
+    // word-entropy signal is a sorted-run decimal fold, replayed in the
+    // oracle as the mathematically identical grouped decimal sum)
     "q_quality_signals" -> ((s, dir) =>
       analytics.QualitySignals.withSignals(
         t(s, dir, "documents").select("doc_id", "text"), "text")
@@ -2294,8 +2296,20 @@ object SparkEntry {
         |  round(len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
         |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_bullet_lines,
         |  round(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$')))
-        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_ellipsis_lines
-        |FROM s""".stripMargin,
+        |    / CAST(nullif(len(lines), 0) AS DOUBLE), 4) AS frac_ellipsis_lines,
+        |  e.word_entropy
+        |FROM s LEFT JOIN (
+        |  SELECT doc_id,
+        |    round(log2(n) - CAST(sd AS DOUBLE) / n, 4) AS word_entropy
+        |  FROM (
+        |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |      sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6))) AS sd
+        |    FROM (
+        |      SELECT doc_id, lower(x) AS w, count(*) AS c FROM (
+        |        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS x
+        |        FROM documents)
+        |      GROUP BY doc_id, lower(x))
+        |    GROUP BY doc_id)) e USING (doc_id)""".stripMargin,
 
     "q_gopher_stats" ->
       """SELECT doc_id,

@@ -30,6 +30,45 @@ object QualitySignals {
   private def ratio(num: Column, den: Column): Column =
     when(den > 0, round(num.cast("double") / den, 4))
 
+  private val TermDecimal = org.apache.spark.sql.types.DecimalType(28, 6)
+  private def decimalZero: Column =
+    lit(java.math.BigDecimal.ZERO).cast(TermDecimal)
+  /** One word-run's entropy term round(c·log2 c, 6) as exact decimal —
+    * run = 0 guards log2(0) (null in Spark) to a zero term.
+    */
+  private def runTerm(run: Column): Column =
+    when(run > 0L,
+      round(run.cast("double") * log2(run.cast("double")), 6)
+        .cast(TermDecimal))
+      .otherwise(decimalZero)
+
+  /** Per-doc unigram Shannon entropy in bits (the RefinedWeb/Dolma
+    * low-entropy template/spam signal) as a PURE Column, shuffle-free:
+    * sort the lowercased words, then ONE sequential `aggregate` fold
+    * closes each equal-word run and accumulates round(c·log2 c, 6) as
+    * exact DECIMAL(28,6) — the same per-term-rounded decimal terms as
+    * [[TextAnalysis.wordEntropy]]'s distributed groupBy form, so the
+    * two paths (and the DuckDB oracle) agree bit-for-bit. O(n log n)
+    * per doc, stays inside the narrow projection; null when no words.
+    */
+  def wordEntropyCol(lowerWords: Column): Column = {
+    val n = size(lowerWords)
+    val folded = aggregate(
+      array_sort(lowerWords),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        decimalZero.as("s")),
+      (acc, w) => struct(
+        w.as("prev"),
+        when(w === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+          .as("run"),
+        when(w === acc("prev"), acc("s"))
+          .otherwise((acc("s") + runTerm(acc("run"))).cast(TermDecimal))
+          .as("s")),
+      acc => (acc("s") + runTerm(acc("run"))).cast(TermDecimal))
+    when(n > 0,
+      round(log2(n.cast("double")) - folded.cast("double") / n, 4))
+  }
+
   /** All signals for a text column, in emission order. */
   def signals(text: Column): Seq[(String, Column)] = {
     // non-empty whitespace tokens / non-empty lines, shared subtrees —
@@ -63,7 +102,8 @@ object QualitySignals {
       "frac_bullet_lines" ->
         ratio(size(filter(lines, l => l.rlike("^\\s*[-*•]"))), nLines),
       "frac_ellipsis_lines" ->
-        ratio(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nLines)
+        ratio(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))), nLines),
+      "word_entropy" -> wordEntropyCol(lower)
     )
   }
 

@@ -47,6 +47,27 @@ class QualitySignalsSpec extends SparkSpec {
     assert(sig("a\n\n\nb")("n_lines") == 2)
   }
 
+  test("word entropy: hand-pinned bits; fold equals the groupBy form") {
+    assert(sig("a a b b")("word_entropy") == 1.0)   // uniform over 2
+    assert(sig("a b c d")("word_entropy") == 2.0)   // uniform over 4
+    assert(sig("A a")("word_entropy") == 0.0)       // case-folds to one
+    assert(sig("a a a b")("word_entropy") == 0.8113)
+    // the sorted-run decimal fold must agree bit-for-bit with
+    // TextAnalysis.wordEntropy's distributed explode/groupBy form
+    // (same rounded decimal terms, exact sums) on real prose
+    val docs = (1 to 50).map(i => (i.toLong, graft.pipeline.Synth
+      .cleanDoc(graft.pipeline.Synth.rngFor(9, i),
+        graft.pipeline.Synth.EnVocab, 6))).toDF("doc_id", "text")
+    val fold = QualitySignals.withSignals(docs, "text")
+      .select(col("doc_id"), col("word_entropy"))
+      .as[(Long, Double)].collect().toMap
+    val grouped = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(fold == grouped,
+      s"fold/groupBy entropy divergence: ${
+        fold.keySet.filter(k => !grouped.get(k).contains(fold(k)))}")
+  }
+
   test("null and empty text never divide by zero") {
     val n = sig(null)
     assert(n.values.forall(_ == null), s"null text must be all-null: $n")
