@@ -2300,7 +2300,8 @@ object SparkEntry {
         |  e.word_entropy
         |FROM s LEFT JOIN (
         |  SELECT doc_id,
-        |    round(log2(n) - CAST(sd AS DOUBLE) / n, 4) AS word_entropy
+        |    round(greatest(0.0, log2(n) - CAST(sd AS DOUBLE) / n), 4)
+        |      AS word_entropy
         |  FROM (
         |    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
         |      sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6))) AS sd
@@ -2337,7 +2338,8 @@ object SparkEntry {
         |        sum(CAST(round(c * log2(c), 6) AS DECIMAL(28,6))) AS s
         |      FROM f GROUP BY doc_id)
         |SELECT doc_id,
-        |  round(log2(n) - CAST(s AS DOUBLE) / n, 4) AS word_entropy
+        |  round(greatest(0.0, log2(n) - CAST(s AS DOUBLE) / n), 4)
+        |    AS word_entropy
         |FROM a""".stripMargin,
 
     "q_boilerplate" ->

@@ -65,8 +65,12 @@ object QualitySignals {
           .otherwise((acc("s") + runTerm(acc("run"))).cast(TermDecimal))
           .as("s")),
       acc => (acc("s") + runTerm(acc("run"))).cast(TermDecimal))
+    // greatest(0, ·) inside the round: see TextAnalysis.wordEntropy —
+    // rounding residue at -1e-7 must not surface as a -0.0 that
+    // hash-compares differently across engines
     when(n > 0,
-      round(log2(n.cast("double")) - folded.cast("double") / n, 4))
+      round(greatest(lit(0.0),
+        log2(n.cast("double")) - folded.cast("double") / n), 4))
   }
 
   /** All signals for a text column, in emission order. */

@@ -250,6 +250,13 @@ object TextAnalysis {
     * partial aggregation combines same-doc same-word repeats map-side,
     * and both groupBys hash-partition on doc id — per-doc work, no
     * global hotspot, nothing corpus-quadratic.
+    *
+    * Oracle-parity note: case-folds via `lower()`, which carries the
+    * known cross-engine class shared with frac_unique_words /
+    * stopword_frac — Java's full case mapping vs DuckDB's utf8proc
+    * simple mapping diverge on exotic points (U+0130 İ), and Java `\s`
+    * vs RE2 `\S` disagree on U+000B — none of which occur in web prose
+    * after the pipeline's normalization or in the fixture corpora.
     */
   def wordEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {
@@ -262,7 +269,14 @@ object TextAnalysis {
         sum(round(col("c") * log2(col("c")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("s"))
       .select(col(idCol),
-        round(log2(col("n")) - col("s").cast("double") / col("n"), 4)
+        // greatest(0, ·) INSIDE the round: rounded-term residue can land
+        // at -1e-7 for single-distinct-word docs, and Spark's round
+        // would emit +0.0 where DuckDB's preserves -0.0 — which
+        // hash-compares differently (same hazard as DomainStats
+        // .diversityReport). The clamped value can never be -0.0
+        // (IEEE a-b with a==b is +0.0), so round sees a clean sign.
+        round(greatest(lit(0.0),
+          log2(col("n")) - col("s").cast("double") / col("n")), 4)
           .as("word_entropy"))
   }
 

@@ -292,30 +292,35 @@ class RunSpec extends SparkSpec {
       "repartition" -> "8", "out-format" -> "parquet",
       "skip-index" -> "url", "bloom" -> "url", "bloom-ndv" -> "4096"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = new java.io.File(s"$out/kept").listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-    assert(files.nonEmpty)
-    val ranges = files.toSeq.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf,
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath))
-      val footer = r.getFooter; r.close()
-      val urlCols = footer.getBlocks.asScala
-        .flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == "url")
-      assert(urlCols.nonEmpty &&
-        urlCols.forall(_.getBloomFilterOffset >= 0),
-        s"${f.getName}: url column chunk has no bloom filter")
-      val mins = urlCols.map(_.getStatistics.genericGetMin
-        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-      val maxs = urlCols.map(_.getStatistics.genericGetMax
-        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-      (mins.min, maxs.max)
-    }.sortBy(_._1)
-    ranges.sliding(2).foreach {
-      case Seq((_, aMax), (bMin, _)) =>
-        assert(aMax <= bMin, s"url file ranges overlap: $ranges")
-      case _ =>
+    // per-file (min, max) of the url column from the parquet footers,
+    // asserting every url column chunk carries a bloom filter; then
+    // assert the sorted per-file ranges are pairwise disjoint
+    def assertUrlRangesDisjoint(keptDir: String, what: String): Unit = {
+      val files = new java.io.File(keptDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"$what: no parquet files in $keptDir")
+      val ranges = files.toSeq.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf,
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+        val footer = r.getFooter; r.close()
+        val urlCols = footer.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "url")
+        assert(urlCols.nonEmpty &&
+          urlCols.forall(_.getBloomFilterOffset >= 0),
+          s"$what: ${f.getName}: url column chunk has no bloom filter")
+        def s(v: Any) = v
+          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+        (urlCols.map(c => s(c.getStatistics.genericGetMin: Any)).min,
+          urlCols.map(c => s(c.getStatistics.genericGetMax: Any)).max)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"$what: url file ranges overlap: $ranges")
+        case _ =>
+      }
     }
+    assertUrlRangesDisjoint(s"$out/kept", "indexed write")
     // the layout survives --compact-target: compaction must re-sort on
     // the skip key and re-write the bloom footers (+ codec), else the
     // maintenance rewrite silently strips the data-skipping contract
@@ -330,29 +335,7 @@ class RunSpec extends SparkSpec {
       s"tiny compact target must leave multiple files, got ${files2.length}")
     assert(files2.forall(_.getName.contains(".zstd.parquet")),
       "compaction dropped the --out-compression codec")
-    val ranges2 = files2.toSeq.map { f =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(conf,
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath))
-      val footer = r.getFooter; r.close()
-      val urlCols = footer.getBlocks.asScala
-        .flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == "url")
-      assert(urlCols.nonEmpty &&
-        urlCols.forall(_.getBloomFilterOffset >= 0),
-        s"${f.getName}: compaction stripped the url bloom filter")
-      (urlCols.map(_.getStatistics.genericGetMin
-        .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-        .min,
-        urlCols.map(_.getStatistics.genericGetMax
-          .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
-          .max)
-    }.sortBy(_._1)
-    ranges2.sliding(2).foreach {
-      case Seq((_, aMax), (bMin, _)) =>
-        assert(aMax <= bMin,
-          s"compaction scrambled the skip-index ranges: $ranges2")
-      case _ =>
-    }
+    assertUrlRangesDisjoint(s"$out2/kept", "post-compaction")
     assert(spark.read.parquet(s"$out2/kept").count() ==
       spark.read.parquet(s"$out/kept").count(),
       "compaction changed the kept row count")

@@ -434,6 +434,11 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((1L, "a a a b")).toDF("doc_id", "text"), "doc_id", "text")
       .as[(Long, Double)].head()._2
     assert(skew == 0.8113, s"skewed entropy $skew != 0.8113")
+    // the single-distinct-word residue (-1.66e-7 for c=3 before the
+    // clamp) must surface as POSITIVE zero — a -0.0 bit pattern would
+    // hash-compare differently from the DuckDB oracle's
+    assert(java.lang.Double.doubleToRawLongBits(got(3L)) == 0L,
+      "single-word-doc entropy must be +0.0, not -0.0")
   }
 
   test("rolling fingerprint is order-sensitive; md5 content print is not") {
