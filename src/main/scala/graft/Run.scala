@@ -271,6 +271,23 @@ object Run {
     finally spark.stop()
   }
 
+  /** The kept sink's output column list — a pure function of the flag
+    * map, shared by the argv-time validation (a typo'd --skip-index /
+    * --bloom column must die before any job launches) and the sink
+    * projection, so the two can never drift.
+    */
+  private def keptOutputColumns(a: Map[String, String]): Seq[String] =
+    Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
+      "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
+      (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil) ++
+      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
+      (if (a.contains("signals"))
+        graft.analytics.QualitySignals.signals(col("scrubbed_text"))
+          .map(_._1) ++
+          graft.analytics.TextAnalysis.readabilitySignals(
+            col("scrubbed_text")).map(_._1)
+      else Nil)
+
   /** The whole CLI composition against a CALLER-OWNED session (main's
     * body, minus session lifecycle) — returns the metrics JSON line it
     * would print. Split out so the composition runs under CI on the
@@ -315,6 +332,43 @@ object Run {
     a.get("bloom-ndv").foreach { v =>
       require(v.toLongOption.exists(_ > 0),
         s"--bloom-ndv must be a positive count, got '$v'")
+    }
+    // sink-shape checks at ARGV time: the kept sink's column set and
+    // codec are pure functions of flags. These requires used to sit at
+    // sink construction — AFTER the eagerly-executed dedup/scoring
+    // phases (MinHash.mark materializes its cluster map during pipeline
+    // construction) — so a typo'd column or codec wasted the entire
+    // pre-sink compute before dying.
+    val outColsArgv = keptOutputColumns(a)
+    a.get("skip-index").foreach { c =>
+      require(outColsArgv.contains(c),
+        s"--skip-index column '$c' is not an output column " +
+          s"(have: ${outColsArgv.mkString(", ")})")
+    }
+    a.get("bloom").foreach { csv =>
+      csv.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+        require(outColsArgv.contains(c),
+          s"--bloom column '$c' is not an output column " +
+            s"(have: ${outColsArgv.mkString(", ")})")
+      }
+    }
+    // --out-compression <codec>: validated against the codec list of the
+    // ACTUAL sink format, so a typo (or a parquet-only codec like zstd
+    // on a jsonl sink) dies here. parquet codecs per ParquetOptions;
+    // text-source (json/csv) codecs per Spark's HadoopCompressionCodec
+    // enum — zstd/brotli are parquet-only, bzip2/deflate are text-only.
+    a.get("out-compression").foreach { c =>
+      val parquetOut = !a.get("out-format").exists(_ == "jsonl")
+      val known =
+        if (parquetOut)
+          Set("zstd", "snappy", "gzip", "lz4", "uncompressed", "none")
+        else
+          Set("gzip", "bzip2", "deflate", "lz4", "snappy",
+            "uncompressed", "none")
+      require(known(c),
+        s"--out-compression '$c' is not a supported " +
+          s"${if (parquetOut) "parquet" else "jsonl"} codec " +
+          s"(${known.toSeq.sorted.mkString(", ")})")
     }
     require(!(a.contains("sort-by-pos") && !a.contains("shuffle-salt")),
       "--sort-by-pos orders the kept output by shuffle_pos — it requires " +
@@ -959,9 +1013,6 @@ object Run {
     // text) carry null signals.
     val readability =
       graft.analytics.TextAnalysis.readabilitySignals(col("scrubbed_text"))
-    val signalNames =
-      graft.analytics.QualitySignals.signals(col("scrubbed_text")).map(_._1) ++
-        readability.map(_._1)
     val signaled =
       if (a.contains("signals"))
         readability.foldLeft(graft.analytics.QualitySignals
@@ -969,11 +1020,7 @@ object Run {
           case (d, (n, c)) => d.withColumn(n, c)
         }
       else shuffled
-    val outCols = Seq("url", "warc_ts", "lang", "lang_pred", "lang_prob",
-      "drop_stage", "scrubbed_text", "n_tokens", "perplexity", "keep") ++
-      (if (a.contains("ppl-buckets")) Seq("ppl_bucket") else Nil) ++
-      (if (a.contains("shuffle-salt")) Seq("shuffle_pos") else Nil) ++
-      (if (a.contains("signals")) signalNames else Nil)
+    val outCols = keptOutputColumns(a) // validated against flags at argv
     val persisted = pin(signaled)
     // --sort-by-pos: ship the kept corpus in CONTIGUOUS training-order
     // files — range-repartition + sort on shuffle_pos, so file i holds
@@ -995,11 +1042,9 @@ object Run {
         // --skip-index <col>: data-skipping layout for the kept corpus —
         // range-sorted on a LOOKUP key (url, lang_pred, …) so downstream
         // point/range reads prune row groups from footer min/max alone
-        // (mutually exclusive with --sort-by-pos, validated above)
+        // (mutually exclusive with --sort-by-pos; both exclusivity and
+        // column membership validated at argv time)
         case (None, Some(c)) =>
-          require(outCols.contains(c),
-            s"--skip-index column '$c' is not an output column " +
-              s"(have: ${outCols.mkString(", ")})")
           d => d.repartitionByRange(col(c)).sortWithinPartitions(c)
       }
     // --bloom <cols>: parquet bloom filters on the kept sink's named
@@ -1010,38 +1055,16 @@ object Run {
       case None => Map.empty
       case Some(csv) =>
         val ndv = a.getOrElse("bloom-ndv", (1L << 20).toString).toLong
+        // column membership validated at argv time
         val cols = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        cols.foreach { c =>
-          require(outCols.contains(c),
-            s"--bloom column '$c' is not an output column " +
-              s"(have: ${outCols.mkString(", ")})")
-        }
         CorpusIO.bloomOptions(cols, ndv)
     }
     // --out-compression <codec>: storage codec for BOTH sinks (kept +
     // removed audit). At 100-TB corpus scale zstd typically halves
     // parquet text bytes vs the snappy default for ~equal scan speed —
-    // a storage/egress knob, validated against the codec list of the
-    // ACTUAL sink format so a typo (or a parquet-only codec like zstd
-    // on a jsonl sink) dies at argv time, not after hours of pipeline
-    // compute when the removed sink finally writes.
-    val outCodec = a.get("out-compression").map { c =>
-      // parquet codecs per ParquetOptions; text-source (json/csv)
-      // codecs per Spark's HadoopCompressionCodec enum — zstd/brotli
-      // are parquet-only, bzip2/deflate are text-only
-      val known =
-        if (outFormat == CorpusIO.Parquet)
-          Set("zstd", "snappy", "gzip", "lz4", "uncompressed", "none")
-        else
-          Set("gzip", "bzip2", "deflate", "lz4", "snappy",
-            "uncompressed", "none")
-      val fmtName = if (outFormat == CorpusIO.Parquet) "parquet"
-                    else "jsonl"
-      require(known(c),
-        s"--out-compression '$c' is not a supported $fmtName codec " +
-          s"(${known.toSeq.sorted.mkString(", ")})")
-      c
-    }
+    // a storage/egress knob. Codec-vs-format compatibility is validated
+    // at argv time, before any job launches.
+    val outCodec = a.get("out-compression")
     inPhase(spark, "sink") {
       CorpusIO.writeWithExclusions(
         persisted.select(outCols.map(col): _*), out, outFormat,

@@ -90,6 +90,10 @@ object SkipIndexBench {
     }
 
     val probeId = nRows / 2 + 7
+    // clamp the range probe to the id space so small user-supplied
+    // nRows (quick sizing runs) measure instead of tripping the assert
+    val rangeLen = math.min(10000L, nRows - probeId)
+    require(rangeLen >= 1, s"nRows=$nRows leaves no id space to probe")
     val absentUrl = spark.range(1)
       .select(md5(lit((nRows + 99991L).toString))).head().getString(0)
 
@@ -101,7 +105,7 @@ object SkipIndexBench {
         },
         "id_range" -> measured {
           assert(df.filter(col("doc_id")
-            .between(probeId, probeId + 9999)).count() == 10000L)
+            .between(probeId, probeId + rangeLen - 1)).count() == rangeLen)
         },
         "url_absent" -> measured {
           assert(df.filter(col("url") === absentUrl).count() == 0L)

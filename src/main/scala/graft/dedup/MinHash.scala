@@ -347,46 +347,51 @@ object MinHash {
 
   /** Salted skew-aware variant of [[candidateEdges]]: the group key is
     * extended with `salt = pmod(xxhash64(id), saltBuckets)`, so a hot
-    * band hash spreads across `saltBuckets` shards — per-shard star
-    * edges (id → shard-min) plus one cross-shard pass linking shard
-    * representatives (min per shard → global band-group min) keep every
-    * task's group size bounded. Produces a DIFFERENT edge set than the
-    * unsalted join but the SAME connected components (asserted in
-    * SkewSpec), which is the only property dedup consumes.
+    * band hash spreads across `saltBuckets` shards and no aggregation or
+    * join task ever sees a hot group's full membership. The group-global
+    * min is recovered from the tiny per-shard table (≤ saltBuckets rows
+    * per group) and attached back through the shard key, so the emitted
+    * edge set is EXACTLY [[candidateEdges]]' star set (member →
+    * band-group min; SkewSpec asserts set equality, not just the same
+    * connected components). That identity is what lets
+    * [[verifiedEdges]] compose with salting: verification filters the
+    * same pair set either way, so `verifyThreshold` + `saltBuckets`
+    * yield salt-invariant clusters by construction. (The earlier form
+    * emitted per-shard stars plus pure-connectivity connector edges —
+    * CC-equivalent unverified, but verification would have Jaccard-
+    * tested connector pairs that are bucket-mates, not candidate dups,
+    * making the kept/removed ledger depend on an ops-only tunable.)
     */
   def candidateEdgesSalted(sigs: DataFrame, saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
     val salted = sigs.withColumn("salt",
       pmod(xxhash64(col("id")), lit(saltBuckets)))
     val shardReps = salted.groupBy("band_id", "band_hash", "salt")
-      .agg(min("id").as("dst"), count(lit(1)).as("cnt"))
-    // within-shard stars (only shards with >1 member emit edges)
-    val withinShard = salted
-      .join(shardReps.filter(col("cnt") > 1).drop("cnt"),
-        Seq("band_id", "band_hash", "salt"))
+      .agg(min("id").as("smin"), count(lit(1)).as("cnt"))
+    // group min over the shard table: ≤ saltBuckets rows per (band,
+    // hash) key, so the hot group's second-level aggregation is bounded
+    val groupMin = shardReps.groupBy("band_id", "band_hash")
+      .agg(min("smin").as("dst"), sum("cnt").as("members"))
+      .filter(col("members") > 1)
+      .select("band_id", "band_hash", "dst")
+    // re-key the group min by (band, hash, salt) — still a tiny table —
+    // then probe with the members: the join key carries the salt, so a
+    // hot group's probe rows stay spread across its saltBuckets shards
+    val shardToMin = shardReps
+      .join(groupMin, Seq("band_id", "band_hash"))
+      .select("band_id", "band_hash", "salt", "dst")
+    salted.join(shardToMin, Seq("band_id", "band_hash", "salt"))
       .filter(col("id") =!= col("dst"))
       .select(col("id").as("src"), col("dst"))
-    // cross-shard: link each shard representative to the band-group min;
-    // shardReps is saltBuckets rows per group — tiny — so this second
-    // aggregation + join never sees the hot key's full membership
-    val groupMin = shardReps.groupBy("band_id", "band_hash")
-      .agg(min("dst").as("gmin"), count(lit(1)).as("nshards"),
-        sum("cnt").as("members"))
-      .filter(col("members") > 1)
-      .select("band_id", "band_hash", "gmin")
-    val crossShard = shardReps
-      .join(groupMin, Seq("band_id", "band_hash"))
-      .filter(col("dst") =!= col("gmin"))
-      .select(col("dst").as("src"), col("gmin").as("dst"))
-    withinShard.unionByName(crossShard).distinct()
+      .distinct()
   }
 
   /** Cap on hot (band_id, band_hash) keys collected to the driver by
     * [[candidateEdgesSaltedHot]] — same discipline as
     * [[graft.analytics.Similarity.MaxHotKeysCollected]]: 10k longs is
     * ~80 KB, keys past the cap simply stay unsalted (AQE skew splitting
-    * still applies; salting is CC-preserving, so the cap shifts work,
-    * never results).
+    * still applies; salting is edge-set-preserving, so the cap shifts
+    * work, never results).
     */
   val MaxHotBandKeys: Int = 10000
 
@@ -402,8 +407,8 @@ object MinHash {
     * re-shuffling the whole signature table (full salting, +57% shuffle
     * on the r4 10M stress) and re-shuffling one mega-cluster's rows.
     * Hot-key detection hashes (band_id, band_hash); a collision can only
-    * mark a cold group hot, which is harmless (salting preserves
-    * connected components — SkewSpec asserts equality).
+    * mark a cold group hot, which is harmless (salting preserves the
+    * exact edge set — SkewSpec asserts equality).
     */
   def candidateEdgesSaltedHot(sigs: DataFrame, saltBuckets: Int,
                               hotThreshold: Long): DataFrame = {
@@ -658,10 +663,11 @@ object MinHash {
     // over the corpus text is the expensive part. With a stageDir the
     // table is parquet-backed instead (committed = durable resume point
     // AND materialization in one), so no persist is needed.
-    // persisted base: the narrow band table in reference mode; the full
-    // numHashes-long vector table when verification is on (bands derive
-    // from the vector per-row, so the text scans once either way —
-    // verification trades ~2.6× cache for the false-positive cut)
+    // persisted base: the narrow band table in reference mode; when
+    // verification is on, the full numHashes-long vector table AND the
+    // band table derived from it (bands derive from the vector per-row,
+    // so the text scans once either way — verification trades ~3.6×
+    // cache for the false-positive cut)
     val vecs: Option[DataFrame] =
       if (cfg.verifyThreshold <= 0.0) None
       else Some(stageDir match {
@@ -674,8 +680,14 @@ object MinHash {
       case Some(v) =>
         val bandsUdf = udf((m: Seq[Long]) =>
           if (m == null) null else bandsOfMins(m.toArray, cfg))
+        // persisted too: candidateEdges consumes the band table twice
+        // (aggregation + join probe), and without this the band fold +
+        // posexplode re-run over the cached vectors per consumer — a
+        // duplicated corpus-sized stage. Narrow (id + 2 longs × bands),
+        // same cache footprint the reference-mode path already pays.
         v.select(col("id"),
           posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
       case None => stageDir match {
         case Some(d) => committed(spark, s"$d/signatures")(
           signatures(df, idCol, textCol, cfg))
@@ -706,9 +718,12 @@ object MinHash {
       case Some(d) => committed(spark, s"$d/clusters")(computeClusters())
       case None => computeClusters().transform(graft.SparkUtil.materialize)
     }
-    if (stageDir.isEmpty) vecs match { // cl is materialized
-      case Some(v) => v.unpersist(false)
-      case None => sigs.unpersist(false)
+    vecs match { // cl is materialized/committed — caches are done
+      case Some(v) =>
+        sigs.unpersist(false) // the derived band table, always persisted
+        if (stageDir.isEmpty) v.unpersist(false) // else parquet-backed
+      case None =>
+        if (stageDir.isEmpty) sigs.unpersist(false)
     }
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel

@@ -369,12 +369,15 @@ object CorpusIO {
     val dropped = result.filter(!col("keep")).drop("keep")
     val w: DataFrameWriter[Row] =
       dropped.write.mode("overwrite").partitionBy("drop_stage")
-        .options(codec.map("compression" -> _).toMap)
+    // one codec site per arm: jsonl keeps its gzip default for the
+    // audit side, the others apply the codec only when requested
     format match {
       case Jsonl => w.option("compression", codec.getOrElse("gzip"))
         .json(s"$path/removed")
-      case Csv => w.option("header", "true").csv(s"$path/removed")
-      case _ => w.parquet(s"$path/removed")
+      case Csv => w.options(codec.map("compression" -> _).toMap)
+        .option("header", "true").csv(s"$path/removed")
+      case _ => w.options(codec.map("compression" -> _).toMap)
+        .parquet(s"$path/removed")
     }
   }
 }

@@ -512,6 +512,39 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("verification composes with salting: kept/removed state is " +
+      "salt-invariant (full, selective, and unsalted agree)") {
+    implicit val s = spark
+    // one hot band group (a 24-member template cluster with small
+    // per-doc variations) plus unrelated docs: exactly the shape where
+    // the old connector-edge form let the salt bucketing decide which
+    // pairs verification Jaccard-tested
+    val base = doc(80)
+    val rows = (0 until 40).map { i =>
+      if (i < 24)
+        (f"h$i%03d", base + s"\nTrailing marker ${i % 5} closes the record.")
+      else (f"h$i%03d", doc(300 + i))
+    }
+    val df = rows.toDF("id", "text")
+    def state(m: org.apache.spark.sql.DataFrame) =
+      m.select("id", "minhash_cluster", "is_near_dup")
+        .as[(String, Option[String], Boolean)].collect().toSet
+    val unsalted = state(MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 0.6)))
+    val salted = state(MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 0.6, saltBuckets = 8)))
+    val selective = state(MinHash.mark(df, "id", "text",
+      MinHash.Config(verifyThreshold = 0.6, saltBuckets = 8,
+        hotBandThreshold = 4)))
+    assert(salted == unsalted,
+      "full salting changed the verified dedup state")
+    assert(selective == unsalted,
+      "selective salting changed the verified dedup state")
+    // and the verified pass did bite (some near pair fell below 0.6)
+    // or at minimum the template cluster was found at all
+    assert(unsalted.exists(_._3), "no near-dups found in planted cluster")
+  }
+
   test("stageDir commits signatures + clusters; a resumed run reuses them") {
     implicit val s = spark
     val dir = java.nio.file.Files.createTempDirectory("mh_stage").toString

@@ -46,11 +46,18 @@ class SkewSpec extends SparkSpec {
         s"giant cluster not recovered: ${giant.getLong(1)} of $hot")
       edges.unpersist()
 
-      // salted variant: different edge set, identical components
+      // salted variant: the EXACT same star edge set (member → group
+      // min), not merely the same components — the identity that makes
+      // candidate verification compose salt-invariantly
+      def edgeSet(e: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+        e.select("src", "dst").as[(String, String)].collect().toSet
+      val unsaltedEdgeSet = edgeSet(MinHash.candidateEdges(sigs))
       val saltedEdges = MinHash.candidateEdgesSalted(sigs, saltBuckets = 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSalted = saltedEdges.count()
       assert(nSalted < 4L * n, s"salted edge explosion: $nSalted")
+      assert(edgeSet(saltedEdges) == unsaltedEdgeSet,
+        "salted join changed the candidate edge set")
       def clusterSets(e: org.apache.spark.sql.DataFrame): Set[Set[String]] =
         MinHash.clusters(e, driverMaxEdges = 0L)
           .groupBy("cluster")
@@ -64,12 +71,14 @@ class SkewSpec extends SparkSpec {
       saltedEdges.unpersist()
 
       // SELECTIVE salting: only hot band groups re-group with a salt key;
-      // edge set differs from both other forms, components identical
+      // same edge set and components as both other forms
       val hotEdges = MinHash.candidateEdgesSaltedHot(sigs, saltBuckets = 8,
         hotThreshold = 256L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nHot = hotEdges.count()
       assert(nHot < 4L * n, s"selective-salt edge explosion: $nHot")
+      assert(edgeSet(hotEdges) == unsaltedEdgeSet,
+        "selective salting changed the candidate edge set")
       assert(a == clusterSets(hotEdges),
         "selective salting changed connected components")
       hotEdges.unpersist()
