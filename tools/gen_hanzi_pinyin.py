@@ -128,10 +128,15 @@ for ln in open(ADDS, encoding="utf-8"):
         rejected += 1
         continue
     if letter.get(ch) != syl[0]:
-        print(f"REJECT {ch} {syl}: perl bucket {letter.get(ch)!r} != "
-              f"initial {syl[0]!r}", file=sys.stderr)
-        rejected += 1
-        continue
+        # AMBIG readings never anchor, so the (occasionally quirky) Perl
+        # bucket is not load-bearing for them — the curated-neighborhood
+        # check below still gates the direct entry (略/掠 lue sit in
+        # Perl's 'e' bucket but between curated lu..lun in glibc).
+        if syl not in AMBIG:
+            print(f"REJECT {ch} {syl}: perl bucket {letter.get(ch)!r} != "
+                  f"initial {syl[0]!r}", file=sys.stderr)
+            rejected += 1
+            continue
     # Independent per-addition check against the CURATED trust root:
     # the reading must sort consistently between the nearest curated
     # anchors around the char's glibc position. Doing this per-char
