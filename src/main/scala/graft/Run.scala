@@ -339,6 +339,10 @@ object Run {
     // phases (MinHash.mark materializes its cluster map during pipeline
     // construction) — so a typo'd column or codec wasted the entire
     // pre-sink compute before dying.
+    a.get("out-format").foreach { f =>
+      require(f == "parquet" || f == "jsonl",
+        s"--out-format must be parquet or jsonl, got '$f'")
+    }
     val outColsArgv = keptOutputColumns(a)
     a.get("skip-index").foreach { c =>
       require(outColsArgv.contains(c),

@@ -357,6 +357,13 @@ class RunSpec extends SparkSpec {
         "out-format" -> "jsonl", "bloom" -> "url"))
     }
     assert(e3.getMessage.contains("parquet"))
+    // a typo'd --out-format dies at argv time instead of silently
+    // falling back to parquet (the codec check keys off the format)
+    val e4 = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map("synth" -> "100", "output" -> dir(),
+        "out-format" -> "json"))
+    }
+    assert(e4.getMessage.contains("--out-format"))
   }
 
   test("--minhash-verify: a strict threshold spares near-dups the " +
