@@ -77,7 +77,10 @@ import graft.sources.CorpusIO
   * `--sort-by-pos`.
   *
   * Incremental crawl updates: `--write-sigs <dir>` stores the kept
-  * docs' MinHash signature table (computed on the scrubbed text);
+  * docs' MinHash signature VECTORS (computed on the scrubbed text;
+  * bands derive from them on read, and `--minhash-verify` can
+  * Jaccard-test incoming docs against them — legacy band-format
+  * snapshots still gate, but only unverified);
   * `--ref-sigs <dir>` gates the NEXT run's incoming pages against such
   * a stored snapshot BEFORE scoring ([[graft.dedup.MinHash
   * .dedupAgainst]] — the prior corpus is never re-scanned). Gating
@@ -531,17 +534,35 @@ object Run {
           .filter(col("allowed")).drop("allowed")
       case None => urlDeduped
     }
+    // --minhash-verify <t>: parsed once here, consumed by BOTH dedup
+    // gates — the in-corpus pass (PipelineConfig below) and the
+    // --ref-sigs incremental gate, so the two run under the SAME
+    // semantics (a verified run must not drop incoming docs on
+    // unverified reference band collisions).
+    val minhashVerify = a.get("minhash-verify").map { v =>
+      // argv-time rule: a typo must die naming the flag, never as a
+      // raw NumberFormatException
+      val t = v.toDoubleOption.getOrElse(sys.error(
+        s"--minhash-verify must be a number in (0, 1], got '$v'"))
+      require(t > 0.0 && t <= 1.0,
+        s"--minhash-verify must be in (0, 1], got '$v'")
+      t
+    }.getOrElse(0.0)
     // --ref-sigs: gate incoming pages against a prior run's stored
     // signature snapshot before any scoring work is spent on them.
     // markAgainst's join-back needs a UNIQUE id and urls recur across
     // crawl snapshots, so gate on a synthesized 128-bit full-row hash
-    // (the same precaution the span rewrites take below).
+    // (the same precaution the span rewrites take below). The snapshot
+    // may be band-format (legacy) or vector-format (--write-sigs since
+    // the verified-incremental change); verification requires vectors
+    // and markAgainst enforces that loudly.
     val refGated = a.get("ref-sigs") match {
       case Some(dir) =>
         val rid = rowKey128(col("url"), col("warc_ts"), col("text"))
         graft.dedup.MinHash.dedupAgainst(
           robotsGated.withColumn("_ref_id", rid), "_ref_id", "text",
-          spark.read.parquet(dir))
+          spark.read.parquet(dir),
+          cfg = graft.dedup.MinHash.Config(verifyThreshold = minhashVerify))
           .drop("_ref_id")
       case None => robotsGated
     }
@@ -563,16 +584,9 @@ object Run {
         .getOrElse(0L),
       // --minhash-verify <t>: re-check band-collision candidates against
       // the full signature vectors; cluster only pairs with estimated
-      // Jaccard >= t (off = reference's any-shared-band semantics)
-      minhashVerifyThreshold = a.get("minhash-verify").map { v =>
-        // argv-time rule: a typo must die naming the flag, never as a
-        // raw NumberFormatException
-        val t = v.toDoubleOption.getOrElse(sys.error(
-          s"--minhash-verify must be a number in (0, 1], got '$v'"))
-        require(t > 0.0 && t <= 1.0,
-          s"--minhash-verify must be in (0, 1], got '$v'")
-        t
-      }.getOrElse(0.0),
+      // Jaccard >= t (off = reference's any-shared-band semantics).
+      // Parsed above, shared with the --ref-sigs gate.
+      minhashVerifyThreshold = minhashVerify,
       ccDriverMaxEdges = a.get("cc-driver-max-edges").map(_.toLong)
         .getOrElse(graft.dedup.MinHash.DriverCcMaxEdges),
       // --url-blocklist <file>: one registrable domain per line enables
@@ -1073,10 +1087,14 @@ object Run {
       CorpusIO.writeWithExclusions(
         persisted.select(outCols.map(col): _*), out, outFormat,
         keptTransform, keptOptions, outCodec)
-      // --write-sigs: store kept docs' signature table for the next run's
-      // --ref-sigs gate (one narrow pass; the snapshot is (id, band, hash))
+      // --write-sigs: store kept docs' signature snapshot for the next
+      // run's --ref-sigs gate. VECTOR format (id, sig — numHashes longs
+      // per doc, ~the same bytes as the old bands×(id, 2 longs) rows):
+      // strictly more informative, since bands derive from it on read
+      // (MinHash.bandsFromVectors) and a later verified run can
+      // Jaccard-test against it; the band format cannot be verified.
       a.get("write-sigs").foreach { dir =>
-        graft.dedup.MinHash.signatures(
+        graft.dedup.MinHash.sigVectors(
             persisted.filter(col("keep")), "url", "scrubbed_text")
           .write.mode("overwrite").parquet(dir)
       }

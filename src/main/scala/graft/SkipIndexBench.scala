@@ -47,25 +47,12 @@ object SkipIndexBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    /** (records read from the source, wall seconds) for `action`. */
-    val readCounter = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
-            readCounter.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-      })
+    /** (wall seconds, records read from the source) for `action` —
+      * scoped-listener drain shared with the pruning specs.
+      */
     def measured(action: => Unit): (Double, Long) = {
-      readCounter.set(0L)
-      val (t, _) = wall(action)
-      // listener delivery is async — wait until the counter is stable
-      var last = -1L
-      var spins = 0
-      while (readCounter.get() != last && spins < 50) {
-        last = readCounter.get(); Thread.sleep(100); spins += 1
-      }
-      (t, readCounter.get())
+      val ((t, _), recs) = SparkUtil.measureRecordsRead(spark)(wall(action))
+      (t, recs)
     }
 
     // kept-corpus-shaped rows: sorted key doc_id, bloom key url (md5 —

@@ -64,12 +64,16 @@ object MinHash {
         * agreeing permutations — the standard unbiased MinHash
         * estimator) reaches this threshold. Cuts the S-curve's
         * false-positive tail (a 14×8 plan at ~0.72 still fires on ~2%
-        * of 0.4-similar pairs) at the cost of persisting the numHashes-
-        * long vector per doc instead of the band table (~2.6× the
-        * cache) plus one edge-sized verification join. 0 (default)
+        * of 0.4-similar pairs) at the cost of persisting BOTH the
+        * numHashes-long vector table and the band table derived from it
+        * (~3.6× the reference-mode cache — see [[mark]]'s persist
+        * comment) plus one edge-sized verification join. 0 (default)
         * keeps the reference's any-shared-band semantics. Verification
         * applies to the STAR edge set (member → min-id representative),
-        * so clustering remains CC over verified star edges.
+        * so clustering remains CC over verified star edges; see
+        * [[verifiedEdges]] for the resulting semantics (a pair can be
+        * split when BOTH members verify below threshold against the
+        * group's min-id representative, even if similar to each other).
         */
       verifyThreshold: Double = 0.0
   ) {
@@ -274,6 +278,18 @@ object MinHash {
     df.select(col(idCol).as("id"), vecUdf(col(textCol)).as("sig"))
   }
 
+  /** (id, band_id, band_hash) band table derived from an (id, sig)
+    * vector table — the same per-row fold [[signatures]] computes from
+    * text, minus the corpus scan. One narrow pass; lets a stored vector
+    * snapshot serve every consumer the band table serves.
+    */
+  def bandsFromVectors(vecs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val bandsUdf = udf((m: Seq[Long]) =>
+      if (m == null) null else bandsOfMins(m.toArray, cfg))
+    vecs.select(col("id"),
+      posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+  }
+
   /** Signature-estimated Jaccard of two minhash vectors: the fraction
     * of agreeing permutations (unbiased MinHash estimator, MMDS ch. 3).
     * Codegen'd higher-order functions — no UDF in the verification
@@ -287,6 +303,20 @@ object MinHash {
     * signature-estimated Jaccard reaches `minEst`, cutting the LSH
     * S-curve's false-positive tail before clustering. Returns
     * (src, dst, est_jaccard).
+    *
+    * Semantics note: the edges are the STAR set (member → band-group
+    * min-id rep), so the pairs tested are member/rep, not member/member.
+    * Two genuinely similar docs A and B sharing a band only with each
+    * other cluster fine (one IS the rep); but if a dissimilar doc C
+    * holds the min id of their only shared bucket, both A→C and B→C can
+    * fail the test and A/B end up un-clustered even though a direct
+    * A/B test would pass — a FALSE-NEGATIVE shape that depends on id
+    * assignment. This is the deliberate price of keeping verification
+    * O(members) per bucket instead of O(members²); with 14 bands a true
+    * near-pair gets up to 14 independent rep tests, so the miss needs
+    * every shared bucket to be min'd by a dissimilar doc. Callers who
+    * need pairwise-exact verification must bound the bucket size and
+    * test all pairs — not offered here by design.
     *
     * 100-TB shape: `sigVectors` is corpus-sized (numHashes longs/doc) —
     * it is first semi-join-reduced to the ids that actually appear in
@@ -315,22 +345,64 @@ object MinHash {
   /** Incremental cross-corpus near-dup marking — the crawl-snapshot
     * update path: flag every `newDf` doc whose signature shares ANY band
     * with the REFERENCE corpus, without re-clustering the reference.
-    * `refSigs` is a [[signatures]] table (compute once per corpus
+    * `refSigs` is a [[signatures]] band table OR an (id, sig)
+    * [[sigVectors]] table (detected by schema; compute once per corpus
     * snapshot, store as parquet, reuse across incoming batches — at
-    * 100 TB the reference side is a band-keyed semi-join probe, never a
-    * re-scan of the old corpus text). New-vs-new duplicates are NOT
-    * marked here; compose with [[mark]] for full batch hygiene.
+    * 100 TB the reference side is a band-keyed probe, never a re-scan
+    * of the old corpus text). New-vs-new duplicates are NOT marked
+    * here; compose with [[mark]] for full batch hygiene.
+    *
+    * `cfg.verifyThreshold > 0` applies the same S-curve false-positive
+    * cut as the in-corpus verified mode and REQUIRES a vector-format
+    * `refSigs` (bands alone cannot be Jaccard-tested). The verified
+    * pair set mirrors the in-corpus star semantics: each colliding band
+    * bucket contributes its min-id REFERENCE doc as the verification
+    * counterpart (one rep per bucket keeps the pair count ≤ bands per
+    * new doc — linear, no guard needed), with the same documented
+    * false-negative shape (a true dup can fail to verify against a
+    * bucket rep that is not its actual near-neighbor).
     */
   def markAgainst(newDf: DataFrame, idCol: String, textCol: String,
                   refSigs: DataFrame, cfg: Config = Config(),
                   flagCol: String = "is_minhash_dup"): DataFrame = {
-    val newSigs = signatures(newDf, idCol, textCol, cfg)
-    // left_semi keeps the probe narrow: only (id, band, hash) shuffles,
-    // duplicated band hits collapse via distinct before the mark-back
-    val dupIds = newSigs
-      .join(refSigs.select("band_id", "band_hash"),
-        Seq("band_id", "band_hash"), "left_semi")
-      .select(col("id")).distinct()
+    val refIsVectors = refSigs.columns.contains("sig")
+    val dupIds =
+      if (cfg.verifyThreshold > 0.0) {
+        require(refIsVectors,
+          "verified markAgainst needs an (id, sig) vector snapshot — " +
+            "band-format reference signatures cannot be Jaccard-tested; " +
+            "re-snapshot with MinHash.sigVectors / --write-sigs")
+        // persist: the vector UDF pass over the incoming text has two
+        // consumers (band fold + verification join); materialize the
+        // tiny verified-id set, then drop the cache before returning.
+        val newVecs = sigVectors(newDf, idCol, textCol, cfg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val refReps = bandsFromVectors(refSigs, cfg)
+          .groupBy("band_id", "band_hash").agg(min("id").as("ref_id"))
+        val pairs = bandsFromVectors(newVecs, cfg)
+          .join(refReps, Seq("band_id", "band_hash"))
+          .select(col("id"), col("ref_id")).distinct()
+        val verified = pairs
+          .join(newVecs.select(col("id"), col("sig").as("_sig_n")),
+            Seq("id"))
+          .join(refSigs.select(col("id").as("ref_id"),
+            col("sig").as("_sig_r")), Seq("ref_id"))
+          .filter(estJaccard(col("_sig_n"), col("_sig_r"))
+            >= cfg.verifyThreshold)
+          .select("id").distinct()
+          .transform(graft.SparkUtil.materialize)
+        newVecs.unpersist(false)
+        verified
+      } else {
+        val refBands =
+          if (refIsVectors) bandsFromVectors(refSigs, cfg) else refSigs
+        // left_semi keeps the probe narrow: only (id, band, hash)
+        // shuffles, duplicated band hits collapse via distinct
+        signatures(newDf, idCol, textCol, cfg)
+          .join(refBands.select("band_id", "band_hash"),
+            Seq("band_id", "band_hash"), "left_semi")
+          .select(col("id")).distinct()
+      }
     newDf.join(dupIds.withColumnRenamed("id", "__dup_id"),
         newDf(idCol) === col("__dup_id"), "left")
       .withColumn(flagCol, col("__dup_id").isNotNull)
@@ -714,8 +786,17 @@ object MinHash {
     // exact trap NearDup.simhashPairs documents. The cluster map is
     // O(duplicates)-sized and is counted below anyway, so the eager
     // checkpoint costs nothing extra.
+    // The committed cluster dir encodes the VERIFICATION config: a
+    // resume that flips --minhash-verify on/off (or moves the
+    // threshold) must recompute clusters — reusing an any-shared-band
+    // cluster map under verified semantics (or vice versa) would make
+    // the flag a silent no-op. The signature intermediates are already
+    // mode-split ($d/signatures vs $d/sig_vectors) and stay reusable.
+    val clustersLeaf =
+      if (cfg.verifyThreshold > 0.0) s"clusters_v${cfg.verifyThreshold}"
+      else "clusters"
     val cl = stageDir match {
-      case Some(d) => committed(spark, s"$d/clusters")(computeClusters())
+      case Some(d) => committed(spark, s"$d/$clustersLeaf")(computeClusters())
       case None => computeClusters().transform(graft.SparkUtil.materialize)
     }
     vecs match { // cl is materialized/committed — caches are done

@@ -1001,5 +1001,25 @@ class RunSpec extends SparkSpec {
     assert(docsIn2 < 2000L,
       s"gate did not engage: docs_in $docsIn2 of 3000 (run2: $j2)")
     assert(docsIn2 > 0L)
+    // verified incremental gating: the snapshot is vector-format, so
+    // --minhash-verify composes with --ref-sigs — exact re-crawls
+    // verify at estJaccard 1.0 and the gate still engages
+    val j3 = Run.execute(spark, Map(
+      "synth" -> "3000", "output" -> dir(), "repartition" -> "8",
+      "ref-sigs" -> sigs, "minhash-verify" -> "0.8"))
+    val docsIn3 = """"docs_in":(\d+)""".r.findFirstMatchIn(j3).get.group(1).toLong
+    assert(docsIn3 < 2000L && docsIn3 > 0L,
+      s"verified gate did not engage: docs_in $docsIn3 (run3: $j3)")
+    // a verified run against a legacy BAND-format snapshot dies loudly
+    // instead of silently gating unverified
+    val bandSigs = dir() + "/band_sigs"
+    graft.dedup.MinHash.bandsFromVectors(spark.read.parquet(sigs))
+      .write.parquet(bandSigs)
+    val e = intercept[IllegalArgumentException] {
+      Run.execute(spark, Map(
+        "synth" -> "1000", "output" -> dir(), "repartition" -> "8",
+        "ref-sigs" -> bandSigs, "minhash-verify" -> "0.8"))
+    }
+    assert(e.getMessage.contains("vector snapshot"))
   }
 }

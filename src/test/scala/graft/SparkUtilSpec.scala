@@ -44,9 +44,14 @@ class SparkUtilSpec extends SparkSpec {
       // on cluster deployments
       assert(acc.value === 1000L,
         s"frame evaluated ${acc.value} times; expected once")
-      // the scoped persist must not outlive the call
-      assert(spark.sharedState.cacheManager.isEmpty,
-        "materialize leaked a CacheManager entry")
+      // the scoped persist must not outlive the call. Asserted on THIS
+      // frame (lookupCachedData), not cacheManager.isEmpty: suites share
+      // the session and run concurrently, so another suite's cached
+      // frame can legitimately be live here (LineageSpec pins one).
+      assert(spark.sharedState.cacheManager
+        .lookupCachedData(
+          df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
+        "materialize leaked a CacheManager entry for its input frame")
     } finally setCheckpointDirRaw(None)
   }
 
@@ -66,6 +71,13 @@ class SparkUtilSpec extends SparkSpec {
     (1 to 2).foreach { _ =>
       assert(CorpusPipeline.run(Synth.pages(spark, 200L)).count() === 200L)
     }
+    // eventually-empty: suites share the session and run concurrently,
+    // so a sibling suite's TRANSIENT scoped persist can be live at this
+    // instant — poll briefly. A true leak never clears, so the pin
+    // still fails deterministically on a regression.
+    val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+    while (!spark.sharedState.cacheManager.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(200)
     assert(spark.sharedState.cacheManager.isEmpty,
       "mark/run leaked CacheManager entries on a long-lived session")
   }

@@ -578,6 +578,19 @@ class MinHashSpec extends SparkSpec {
     // so the result is unchanged — but the _SUCCESS marker is restored
     assert(recomputed == fresh)
     assert(java.nio.file.Files.exists(clDir.resolve("_SUCCESS")))
+    // flipping --minhash-verify ON against the same stageDir must NOT
+    // reuse the any-shared-band cluster map: the verified mode commits
+    // under its own leaf (clusters_v<threshold>), so clusters recompute
+    // under the new semantics. df2 has no duplicates, so the verified
+    // run finds none — reusing df1's committed clusters would have
+    // marked 'b' again.
+    val verified = MinHash.mark(df2, "id", "text",
+      cfg = MinHash.Config(verifyThreshold = 0.5), stageDir = Some(dir))
+      .select("id", "is_near_dup").as[(String, Boolean)].collect().toMap
+    assert(verified.values.forall(_ == false),
+      "verified resume reused the unverified cluster map")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "clusters_v0.5", "_SUCCESS")))
   }
 
   test("markKeepBest keeps the highest-scoring cluster member") {
@@ -627,6 +640,42 @@ class MinHashSpec extends SparkSpec {
     val resent = MinHash.markAgainst(
       batch.filter($"id" === "n3"), "id", "text", grown)
     assert(resent.filter($"is_minhash_dup").count() == 1L)
+  }
+
+  test("verified markAgainst Jaccard-tests against a vector snapshot") {
+    implicit val s = spark
+    val refBase = doc(25)
+    val ref = Seq(("r1", refBase), ("r2", doc(26))).toDF("id", "text")
+    val refVecs = MinHash.sigVectors(ref, "id", "text")
+    val batch = Seq(
+      ("n1", refBase), // exact copy: estJaccard 1.0
+      ("n2", refBase + "\nOne extra appended note."), // near-dup
+      ("n3", doc(27)) // fresh
+    ).toDF("id", "text")
+    // a vector snapshot serves the UNVERIFIED path identically to a
+    // band snapshot (bands derive on read)
+    val unverified = MinHash.markAgainst(batch, "id", "text", refVecs)
+      .filter($"is_minhash_dup").select("id").as[String].collect().toSet
+    assert(unverified == Set("n1", "n2"), s"got $unverified")
+    // verified at a moderate threshold: same near-dups survive the
+    // Jaccard test, fresh content stays unmarked
+    val verified = MinHash.markAgainst(batch, "id", "text", refVecs,
+        MinHash.Config(verifyThreshold = 0.5))
+      .filter($"is_minhash_dup").select("id").as[String].collect().toSet
+    assert(verified == Set("n1", "n2"), s"got $verified")
+    // at an impossible threshold only the EXACT copy verifies — the
+    // gate now distinguishes what any-shared-band semantics cannot
+    val strict = MinHash.markAgainst(batch, "id", "text", refVecs,
+        MinHash.Config(verifyThreshold = 1.0))
+      .filter($"is_minhash_dup").select("id").as[String].collect().toSet
+    assert(strict == Set("n1"), s"got $strict")
+    // verification against a band-format snapshot is a loud error
+    val e = intercept[IllegalArgumentException] {
+      MinHash.markAgainst(batch, "id", "text",
+        MinHash.signatures(ref, "id", "text"),
+        MinHash.Config(verifyThreshold = 0.5))
+    }
+    assert(e.getMessage.contains("vector snapshot"))
   }
 
   test("connected components merge chained clusters to one representative") {

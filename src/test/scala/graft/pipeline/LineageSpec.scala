@@ -40,7 +40,11 @@ class LineageSpec extends SparkSpec {
 
   test("crash mid-stage resumes from committed buckets without recompute") {
     val dir = freshDir()
+    // cache scoped to this test (unpersist below): a dangling entry
+    // would outlive the suite on the shared session and trip other
+    // suites' CacheManager-leak pins when scheduled concurrently
     val input = Synth.pages(spark, 400L).cache()
+    try {
     val poison = udf { (u: String) =>
       if (u == null) throw new RuntimeException("poison")
       u
@@ -81,6 +85,7 @@ class LineageSpec extends SparkSpec {
     val a = run2.output.select("url").as[String].collect().sorted
     val b = clean.output.select("url").as[String].collect().sorted
     assert(a.toSeq == b.toSeq)
+    } finally input.unpersist(blocking = false)
   }
 
   test("resume over a bucketed input scans only the missing buckets' files") {
@@ -111,31 +116,19 @@ class LineageSpec extends SparkSpec {
     val committedRows = Lineage.readManifest(dir2).map(_.rowsOut).sum
 
     // resume: count records read from the source during the write job
-    val read = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val run2 = Lineage.runStage(bucketed, dir2, "url", nBuckets = 4,
+    // (shared scoped-listener drain — SparkUtil.measureRecordsRead)
+    val (run2, read) = graft.SparkUtil.measureRecordsRead(spark) {
+      Lineage.runStage(bucketed, dir2, "url", nBuckets = 4,
         bucketsPerCommit = 2)(identity)
-      assert(run2.recomputedBuckets.toSet == Set(2, 3))
-      // listener delivery is async: wait until the counter is stable
-      var last = -1L
-      var spins = 0
-      while (read.get() != last && spins < 50) {
-        last = read.get(); Thread.sleep(100); spins += 1
-      }
-      val expected = total - committedRows // rows living in buckets 2,3
-      assert(read.get() > 0L)
-      assert(read.get() < total,
-        s"resume read ${read.get()} of $total rows — partition pruning " +
-          s"did not engage (expected ~$expected)")
-      // final output complete and identical to the unbucketed path
-      assert(run2.output.count() == 400L)
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(run2.recomputedBuckets.toSet == Set(2, 3))
+    val expected = total - committedRows // rows living in buckets 2,3
+    assert(read > 0L)
+    assert(read < total,
+      s"resume read $read of $total rows — partition pruning " +
+        s"did not engage (expected ~$expected)")
+    // final output complete and identical to the unbucketed path
+    assert(run2.output.count() == 400L)
   }
 
   test("bucketed input: stage fn may drop _bucket (hash recomputed)") {

@@ -40,26 +40,10 @@ class SkipIndexSpec extends SparkSpec {
   }
 
   /** Records read from the source by `action`, via task inputMetrics
-    * (listener delivery is async — wait until the counter is stable).
+    * (shared scoped-listener drain — SparkUtil.measureRecordsRead).
     */
-  private def recordsRead(action: => Unit): Long = {
-    val read = new java.util.concurrent.atomic.AtomicLong(0L)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      action
-      var last = -1L
-      var spins = 0
-      while (read.get() != last && spins < 50) {
-        last = read.get(); Thread.sleep(100); spins += 1
-      }
-      read.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
+  private def recordsRead(action: => Unit): Long =
+    graft.SparkUtil.measureRecordsRead(spark)(action)._2
 
   test("skip-indexed write preserves the row set and writes the skip structures") {
     val dir = java.nio.file.Files.createTempDirectory("skipidx").toString
