@@ -559,11 +559,27 @@ object Run {
     val refGated = a.get("ref-sigs") match {
       case Some(dir) =>
         val rid = rowKey128(col("url"), col("warc_ts"), col("text"))
-        graft.dedup.MinHash.dedupAgainst(
-          robotsGated.withColumn("_ref_id", rid), "_ref_id", "text",
-          spark.read.parquet(dir),
-          cfg = graft.dedup.MinHash.Config(verifyThreshold = minhashVerify))
-          .drop("_ref_id")
+        // inPhase: the verified gate materializes its dup-id set during
+        // pipeline construction (scoped vector cache), so without a
+        // phase tag that work lands unattributed in --task-metrics
+        inPhase(spark, "ref_gate") {
+          // stored per-bucket reps (written by --write-sigs since the
+          // verified-incremental change) spare the per-batch
+          // reference-sized aggregation; older snapshots lack them and
+          // fall back to deriving in-run
+          val repsPath = new org.apache.hadoop.fs.Path(dir, "_band_reps/_SUCCESS")
+          val fs = repsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val reps =
+            if (minhashVerify > 0.0 && fs.exists(repsPath))
+              Some(spark.read.parquet(s"$dir/_band_reps"))
+            else None
+          graft.dedup.MinHash.dedupAgainst(
+            robotsGated.withColumn("_ref_id", rid), "_ref_id", "text",
+            spark.read.parquet(dir),
+            cfg = graft.dedup.MinHash.Config(verifyThreshold = minhashVerify),
+            precomputedReps = reps)
+            .drop("_ref_id")
+        }
       case None => robotsGated
     }
     val pages = a.get("repartition") match {
@@ -1097,6 +1113,12 @@ object Run {
         graft.dedup.MinHash.sigVectors(
             persisted.filter(col("keep")), "url", "scrubbed_text")
           .write.mode("overwrite").parquet(dir)
+        // snapshot-static verification reps, stored under an
+        // underscore leaf (invisible to the vector read): computed ONCE
+        // here from the just-written parquet instead of re-aggregating
+        // the reference-sized band table on every future incoming batch
+        graft.dedup.MinHash.bandReps(spark.read.parquet(dir))
+          .write.mode("overwrite").parquet(s"$dir/_band_reps")
       }
       // --datasheet: ship the release-audit dataset card next to the
       // corpus (Gebru et al. 2021) — per-language composition of the

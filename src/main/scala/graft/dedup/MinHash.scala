@@ -290,6 +290,19 @@ object MinHash {
       posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
   }
 
+  /** (band_id, band_hash, ref_id) per-bucket min-id representatives of
+    * a reference snapshot — the verification counterpart table of
+    * [[markAgainst]]. SNAPSHOT-STATIC: it depends only on the reference,
+    * so compute it once when the snapshot is written (`--write-sigs`
+    * stores it under `_band_reps` next to the vectors) instead of
+    * re-aggregating the reference-sized band table on every incoming
+    * batch — at a 100-TB reference that recomputation is a corpus-sized
+    * shuffle per increment.
+    */
+  def bandReps(refVecs: DataFrame, cfg: Config = Config()): DataFrame =
+    bandsFromVectors(refVecs, cfg)
+      .groupBy("band_id", "band_hash").agg(min("id").as("ref_id"))
+
   /** Signature-estimated Jaccard of two minhash vectors: the fraction
     * of agreeing permutations (unbiased MinHash estimator, MMDS ch. 3).
     * Codegen'd higher-order functions — no UDF in the verification
@@ -364,7 +377,8 @@ object MinHash {
     */
   def markAgainst(newDf: DataFrame, idCol: String, textCol: String,
                   refSigs: DataFrame, cfg: Config = Config(),
-                  flagCol: String = "is_minhash_dup"): DataFrame = {
+                  flagCol: String = "is_minhash_dup",
+                  precomputedReps: Option[DataFrame] = None): DataFrame = {
     val refIsVectors = refSigs.columns.contains("sig")
     val dupIds =
       if (cfg.verifyThreshold > 0.0) {
@@ -377,15 +391,26 @@ object MinHash {
         // tiny verified-id set, then drop the cache before returning.
         val newVecs = sigVectors(newDf, idCol, textCol, cfg)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val refReps = bandsFromVectors(refSigs, cfg)
-          .groupBy("band_id", "band_hash").agg(min("id").as("ref_id"))
+        // per-bucket reps: stored with the snapshot when available
+        // ([[bandReps]] — snapshot-static), else derived here at the
+        // cost of one reference-sized aggregation
+        val refReps = precomputedReps.getOrElse(bandReps(refSigs, cfg))
         val pairs = bandsFromVectors(newVecs, cfg)
           .join(refReps, Seq("band_id", "band_hash"))
           .select(col("id"), col("ref_id")).distinct()
+        // the reference vector table is REDUCED to the reps that
+        // actually appear in pairs before the endpoint join (same
+        // discipline as verifiedEdges): an incremental batch touches a
+        // tiny fraction of a 100-TB reference's buckets, and the
+        // distinct-rep frame is small enough for AQE to broadcast the
+        // semi-join instead of shuffling the full reference
+        val refNeeded = refSigs
+          .join(pairs.select(col("ref_id").as("id")).distinct(),
+            Seq("id"), "left_semi")
         val verified = pairs
           .join(newVecs.select(col("id"), col("sig").as("_sig_n")),
             Seq("id"))
-          .join(refSigs.select(col("id").as("ref_id"),
+          .join(refNeeded.select(col("id").as("ref_id"),
             col("sig").as("_sig_r")), Seq("ref_id"))
           .filter(estJaccard(col("_sig_n"), col("_sig_r"))
             >= cfg.verifyThreshold)
@@ -413,8 +438,10 @@ object MinHash {
     * reference corpus.
     */
   def dedupAgainst(newDf: DataFrame, idCol: String, textCol: String,
-                   refSigs: DataFrame, cfg: Config = Config()): DataFrame =
-    markAgainst(newDf, idCol, textCol, refSigs, cfg)
+                   refSigs: DataFrame, cfg: Config = Config(),
+                   precomputedReps: Option[DataFrame] = None): DataFrame =
+    markAgainst(newDf, idCol, textCol, refSigs, cfg,
+        precomputedReps = precomputedReps)
       .filter(!col("is_minhash_dup")).drop("is_minhash_dup")
 
   /** Salted skew-aware variant of [[candidateEdges]]: the group key is

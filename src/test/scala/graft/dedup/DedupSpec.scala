@@ -676,6 +676,13 @@ class MinHashSpec extends SparkSpec {
         MinHash.Config(verifyThreshold = 0.5))
     }
     assert(e.getMessage.contains("vector snapshot"))
+    // snapshot-static stored reps (bandReps) give identical marks to
+    // the derived-in-run path
+    val withReps = MinHash.markAgainst(batch, "id", "text", refVecs,
+        MinHash.Config(verifyThreshold = 0.5),
+        precomputedReps = Some(MinHash.bandReps(refVecs)))
+      .filter($"is_minhash_dup").select("id").as[String].collect().toSet
+    assert(withReps == verified, s"got $withReps")
   }
 
   test("connected components merge chained clusters to one representative") {
