@@ -642,7 +642,11 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .withColumn("cnt", count(lit(1)).over(n))
         .select(col("doc_id"),
-          (col("rn") <= (col("cnt") * 0.8).cast("int")).as("is_train"))
+          // EXACT integer threshold (cnt*8 div 10), not (cnt*0.8)::int:
+          // Spark's double->int cast truncates while DuckDB's ROUNDS, so
+          // a group count ending in .5 after *0.8 flips the boundary row
+          // (caught by the sf0.1 invariance replay; sf0.01 masked it)
+          (col("rn") <= expr("cnt * 8 div 10")).as("is_train"))
     }),
 
     // Leakage-safe grouped split: every row of a source lands in the
@@ -2480,7 +2484,7 @@ object SparkEntry {
     "q_train_split" ->
       """SELECT doc_id,
         |row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
-        |  <= CAST(count(*) OVER (PARTITION BY lang) * 0.8 AS INT) AS is_train
+        |  <= (count(*) OVER (PARTITION BY lang) * 8) // 10 AS is_train
         |FROM documents""".stripMargin,
 
     // BM25 replay: the same tokenizer ([^a-z0-9']+ on lowercased text,

@@ -81,6 +81,12 @@ object Sampling {
 
   /** Stratified train/val split: within each stratum, the hash-rank
     * fraction below `trainFrac` goes to train. Returns (train, val).
+    *
+    * Boundary semantics: the per-stratum train count is
+    * `floor(n * trainFrac)` — FLOOR, stated explicitly because engines
+    * disagree on double→int casts (Spark truncates, DuckDB rounds; the
+    * sf0.1 invariance replay caught exactly that divergence in
+    * q_train_split, which now uses exact integer `div` instead).
     */
   def trainValSplit(df: DataFrame, stratumCol: String, trainFrac: Double,
                     keyCols: Seq[String], seed: Long = 42L): (DataFrame, DataFrame) = {
@@ -91,7 +97,7 @@ object Sampling {
     val ranked = df
       .withColumn(rn, row_number().over(w))
       .withColumn(cn, count(lit(1)).over(n))
-      .withColumn(tr, col(rn) <= (col(cn) * trainFrac).cast("int"))
+      .withColumn(tr, col(rn) <= floor(col(cn) * trainFrac).cast("int"))
     (ranked.filter(col(tr)).drop(rn, cn, tr),
       ranked.filter(!col(tr)).drop(rn, cn, tr))
   }
