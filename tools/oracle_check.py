@@ -1,7 +1,10 @@
 import duckdb, json, glob, os, pandas as pd, numpy as np
 
-sf = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+# Override via env to replay the contract at other scales / dump dirs —
+# the sf0.1 replay is what caught the q_train_split cast-boundary
+# divergence that the default sf0.01 gate masked.
+sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+out = os.environ.get("ORACLE_OUT_DIR", "/tmp/verify_out")
 con = duckdb.connect()
 for p in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
