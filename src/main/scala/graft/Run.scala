@@ -246,7 +246,9 @@ object Run {
     if (a.contains("bm25-terms") != a.contains("bm25-keep"))
       sys.error("--bm25-terms and --bm25-keep must be used together")
     if (a.contains("compact-target")) {
-      if (a("compact-target").toLong <= 0)
+      // toLongOption, not toLong: a malformed value ('2G') must die
+      // naming the flag, never as a raw NumberFormatException
+      if (!a("compact-target").toLongOption.exists(_ > 0))
         sys.error("--compact-target must be a positive byte count")
       if (a.get("out-format").exists(_ != "parquet"))
         sys.error("--compact-target requires --out-format parquet " +
@@ -256,10 +258,10 @@ object Run {
       // selective salting only exists inside the salted path: without a
       // bucket count > 1 the threshold would silently no-op, and the skew
       // mitigation the caller explicitly requested would never run
-      if (a.get("minhash-salt").forall(_.toInt <= 1))
+      if (!a.get("minhash-salt").exists(_.toIntOption.exists(_ > 1)))
         sys.error("--minhash-salt-hot requires --minhash-salt <buckets> " +
           "with buckets > 1")
-      if (a("minhash-salt-hot").toLong <= 1)
+      if (!a("minhash-salt-hot").toLongOption.exists(_ > 1))
         sys.error("--minhash-salt-hot must be > 1 (a band group of 1 " +
           "member produces no join work to salt)")
     }
@@ -314,10 +316,41 @@ object Run {
         "restamp policies — pass at most one")
     a.get("ppl-corpus").foreach { v =>
       val parts = v.split(",").map(_.trim)
+      // positional range checks at ARGV time, matching trainDistributed's
+      // own requires — a negative minCount (toLongOption accepts it) or
+      // an Int-overflowing maxVocab must die here, not after the kept
+      // corpus has been scored
       require(parts.length >= 1 && parts.length <= 3 &&
-        parts.forall(_.toLongOption.isDefined),
+        parts(0).toIntOption.exists(_ >= 0) &&
+        parts.lift(1).forall(_.toLongOption.exists(_ >= 1)) &&
+        parts.lift(2).forall(_.toLongOption.exists(_ >= 1)),
         "--ppl-corpus takes <maxVocab>[,<minCount>[,<maxRows>]] " +
-          s"(numeric) — got '$v'")
+          s"(maxVocab >= 0 int, minCount/maxRows >= 1) — got '$v'")
+    }
+    // the same argv-time rule for every other mid-pipeline flag value:
+    // these used to parse inside their phase — AFTER the eagerly-executed
+    // dedup/scoring phases — so a malformed value wasted the entire
+    // pre-sink compute before dying (review-caught regression of the
+    // sink-shape rule below)
+    a.get("bm25-keep").foreach { v =>
+      require(v.toIntOption.exists(_ > 0),
+        s"--bm25-keep must be a positive int, got '$v'")
+    }
+    a.get("semdedup").foreach { v =>
+      val parts = v.split(",", -1).map(_.trim)
+      require(parts.length == 2 &&
+        parts(0).toDoubleOption.exists(e => e >= 0.0 && e <= 2.0) &&
+        parts(1).toIntOption.exists(_ >= 1),
+        "--semdedup expects <eps>,<nClusters> (cosine-distance eps in " +
+          s"[0, 2], nClusters >= 1) — got '$v'")
+    }
+    a.get("export-vocab").foreach { v =>
+      require(v.toIntOption.exists(k => k >= 1 && k <= 65535),
+        s"--export-vocab must be in [1, 65535] for u16 shards, got '$v'")
+    }
+    a.get("export-shards").foreach { v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"--export-shards must be a positive int, got '$v'")
     }
     require(!(a.contains("skip-index") && a.contains("sort-by-pos")),
       "--skip-index and --sort-by-pos both choose the kept output's " +

@@ -1876,11 +1876,13 @@ object SparkEntry {
         |                  THEN split_part(url, '://', 2) ELSE url END,
         |             '#', 1) AS rest FROM u),
         |c AS (SELECT doc_id, url, rest,
-        |  split_part(rest, '/', 1) AS hostport FROM p),
+        |  split_part(split_part(rest, '?', 1), '/', 1) AS hostport FROM p),
         |e AS (SELECT doc_id, url, hostport,
         |  split_part(substr(rest, length(hostport) + 1), '?', 1) AS path,
         |  split_part(substr(rest, length(hostport) + 1), '?', 2) AS query,
-        |  split_part(hostport, ':', 1) AS host FROM c)
+        |  regexp_replace(hostport, '^.*@', '') AS hostnouser,
+        |  split_part(regexp_replace(hostport, '^.*@', ''), ':', 1) AS host
+        |  FROM c)
         |SELECT doc_id,
         |  CAST(length(path) AS INT) AS path_len,
         |  CAST(length(path) - length(regexp_replace(path, '/', '', 'g'))
@@ -1895,7 +1897,7 @@ object SparkEntry {
         |      length(regexp_replace(host, '[0-9]', '', 'g'))) / length(host),
         |      4)
         |    ELSE 0.0 END AS host_digit_frac,
-        |  strpos(hostport, ':') > 0 AS has_port,
+        |  strpos(hostnouser, ':') > 0 AS has_port,
         |  starts_with(lower(url), 'https://') AS is_https
         |FROM e""".stripMargin,
 

@@ -62,14 +62,22 @@ object ExactDedup {
     * the check entirely; `Some(false)` routes straight to the windowed
     * mark.
     */
+  /** One narrow aggregation proving `idCol` is a NON-NULL UNIQUE key of
+    * `df`: total count == non-null count == distinct count. The single
+    * definition of the uniqueness gate behind [[markById]],
+    * [[keepLatestById]] and `CorpusPipeline.dedup` — shared so the
+    * sites can never drift. Eager (runs a job); persist `df` first.
+    */
+  def idIsUniqueKey(df: DataFrame, idCol: String): Boolean = {
+    val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
+      countDistinct(col(idCol)).as("nd")).head()
+    u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+  }
+
   def markById(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String],
                idCol: String,
                idIsUnique: Option[Boolean] = None): DataFrame = {
-    val unique = idIsUnique.getOrElse {
-      val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
-        countDistinct(col(idCol)).as("nd")).head()
-      u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
-    }
+    val unique = idIsUnique.getOrElse(idIsUniqueKey(df, idCol))
     if (!unique) return mark(df, dupCols, orderCols)
     val w = Window
       .partitionBy(col("__k"))
@@ -186,11 +194,7 @@ object ExactDedup {
                      tieCols: Seq[String] = Nil,
                      idIsUnique: Option[Boolean] = None): DataFrame = {
     require(keyCols.nonEmpty, "keepLatestById: keyCols must be non-empty")
-    val unique = idIsUnique.getOrElse {
-      val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
-        countDistinct(col(idCol)).as("nd")).head()
-      u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
-    }
+    val unique = idIsUnique.getOrElse(idIsUniqueKey(df, idCol))
     if (!unique) return keepLatest(df, keyCols, tsCol, tieCols)
     val ord = struct(((tsCol +: tieCols) :+ idCol).map(col): _*)
     val winners = df

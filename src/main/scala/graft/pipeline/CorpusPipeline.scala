@@ -295,10 +295,9 @@ object CorpusPipeline {
     // the same uniqueness gate markById runs, hoisted so one check
     // serves both stages AND the single-pass join-back below (a dead row
     // sharing a url with an alive duplicate must never inherit its mark)
-    val u = scored.agg(count(lit(1)).as("n"), count(col("url")).as("nn"),
-      countDistinct(col("url")).as("nd")).head()
-    val unique = u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
-    if (unique) dedupById(scored, cfg) else dedupByWindow(scored, cfg)
+    if (graft.dedup.ExactDedup.idIsUniqueKey(scored, "url"))
+      dedupById(scored, cfg)
+    else dedupByWindow(scored, cfg)
   }
 
   /** Single-sink-pass dedup for unique ids: narrow mark tables, one

@@ -91,6 +91,13 @@ object TokenShards {
     val w = width(dtype)
     require(numShards >= 1 && numShards <= MaxShards,
       s"TokenShards: numShards=$numShards outside [1, $MaxShards]")
+    // this sink writes destination files directly from tasks (no commit
+    // protocol): a speculative duplicate attempt would interleave bytes
+    // into the same part-N path while Spark discards only its STATS —
+    // silent shard corruption. Enforce the documented precondition.
+    require(!df.sparkSession.conf.get("spark.speculation", "false").toBoolean,
+      "TokenShards.write is a direct-write sink outside Spark's commit " +
+        "protocol — disable spark.speculation for this job")
     // u32 is capped at Int.MaxValue so ids survive the array<int>
     // round-trip unsigned-exactly; negative ints map above either cap
     // and fail the loud range check below
@@ -166,6 +173,10 @@ object TokenShards {
         nTok = 0L
       }
       rows.foreach { r =>
+        // a null id (or a non-numeric one the long cast nulled) would
+        // read as 0 through InternalRow.getLong — a silent id collision
+        require(!r.isNullAt(0),
+          "TokenShards: null seq_id (id column null or not long-castable)")
         val seqId = r.getLong(0)
         require(!r.isNullAt(1),
           s"TokenShards: null token array at seq_id=$seqId")

@@ -118,11 +118,21 @@ object UrlNorm {
     val afterScheme = split_part(urlCol, lit("://"), lit(2))
     val rest0 = when(length(afterScheme) > 0, afterScheme).otherwise(urlCol)
     val rest = split_part(rest0, lit("#"), lit(1))
-    val hostPort = split_part(rest, lit("/"), lit(1))
+    // authority ends at the FIRST of '/' or '?' — a path-less URL like
+    // https://example.com?sid=1 is a real crawl shape, and splitting on
+    // '/' alone would absorb its query into the host (inflating
+    // host_len/host_digit_frac and zeroing query_len/n_params)
+    val hostPort = split_part(split_part(rest, lit("?"), lit(1)),
+      lit("/"), lit(1))
     val pathQ = rest.substr(length(hostPort) + 1, length(rest))
     val path = split_part(pathQ, lit("?"), lit(1))
     val query = split_part(pathQ, lit("?"), lit(2))
-    val host = split_part(hostPort, lit(":"), lit(1))
+    // userinfo (user:pw@host) is cut before the host/port reads: it is
+    // not part of the host, and its ':' must not read as a port.
+    // hostPort can no longer contain '/?#', so greedy ^.*@ strips to the
+    // last '@' exactly
+    val hostNoUser = regexp_replace(hostPort, "^.*@", "")
+    val host = split_part(hostNoUser, lit(":"), lit(1))
     val hostDigits = length(host) - length(regexp_replace(host, "[0-9]", ""))
     struct(
       length(path).as("path_len"),
@@ -135,7 +145,7 @@ object UrlNorm {
       when(length(host) > 0,
         round(hostDigits.cast("double") / length(host).cast("double"), 4))
         .otherwise(0.0).as("host_digit_frac"),
-      (instr(hostPort, ":") > 0).as("has_port"),
+      (instr(hostNoUser, ":") > 0).as("has_port"),
       lower(urlCol).startsWith("https://").as("is_https"))
   }
 }

@@ -489,6 +489,13 @@ class UrlFeaturesSpec extends graft.SparkSpec {
       ((0, 0, 0, 0, 11, round(8.0 / 11, 4), false, false)))
     // schemeless: treated host-first
     assert(feats("example.org/x") == ((2, 1, 0, 0, 11, 0.0, false, false)))
+    // path-less URL with a query: the '?' ends the authority — the query
+    // must NOT be absorbed into the host (review-caught defect)
+    assert(feats("https://example.com?sessionid=123") ==
+      ((0, 0, 13, 1, 11, 0.0, false, true)))
+    // userinfo is not host, and its ':' is not a port; the real port is
+    assert(feats("http://user:pw@example.com:8080/a") ==
+      ((2, 1, 0, 0, 11, 0.0, true, false)))
   }
 
   private def round(v: Double, dp: Int): Double =
