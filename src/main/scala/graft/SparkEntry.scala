@@ -491,6 +491,19 @@ object SparkEntry {
         .select(col("vec_id"), col("embed_cluster"), col("is_embed_dup"))
     }),
 
+    // Perceptual-hash image near-dup: the embedding vectors stand in as
+    // pre-resized 8x8 luminance grids (the post-decode shape a real
+    // pipeline feeds the kernel); dHash via a 64-term Column expression
+    // (no UDF), candidates via the shared salted 4x16-bit Hamming-band
+    // join, exact bit_count verification. FULLY oracle-checked: the
+    // DuckDB SQL replays the same 64 comparison terms, band keys, and
+    // Hamming filter (PerceptualHash.dhashSqlExpr generates both sides
+    // from one bit layout).
+    "q_phash_neardup" -> ((s, dir) =>
+      analytics.PerceptualHash.nearDups(t(s, dir, "embeddings"),
+        "vec_id", "embedding", maxHamming = 24)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+
     // ---- text analysis ------------------------------------------------
 
     // Heuristic language ID via marker-word voting (oracle-checked)
@@ -1444,6 +1457,22 @@ object SparkEntry {
         |  AS sim
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // the 64 dHash comparison terms are generated from the same bit
+    // layout as the Spark Column expression (one definition, zero drift);
+    // band keys mask to the low 16 bits so arithmetic-vs-logical shift
+    // of the signed sig cannot differ
+    "q_phash_neardup" ->
+      s"""WITH s AS (SELECT vec_id AS id,
+        |  ${analytics.PerceptualHash.dhashSqlExpr("embedding")} AS sig
+        |  FROM embeddings),
+        |b AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS key
+        |      FROM s, (SELECT unnest(range(4)) AS band)),
+        |p AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+        |        CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+        |      FROM b a JOIN b c
+        |        ON a.band = c.band AND a.key = c.key AND a.id < c.id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 24""".stripMargin,
 
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -72,8 +72,24 @@ object NearDup {
                    maxHamming: Int = 3, saltBuckets: Int = 8,
                    hotKeyThreshold: Long = 4096L): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"),
-      graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig"))
+    hamming64Pairs(
+      df.select(col(idCol).as("id"),
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sig")),
+      maxHamming, saltBuckets, hotKeyThreshold)
+  }
+
+  /** The salted 4×16-bit-band Hamming join over ANY 64-bit signature
+    * table `(id, sig)` — the blocking/verify engine behind
+    * [[simhashPairs]] and [[PerceptualHash.nearDups]] (one definition so
+    * the skew discipline can never drift between signature families).
+    * Emits `(id_a, id_b, hamming)` for every pair sharing at least one
+    * band with verified Hamming distance ≤ `maxHamming` (guaranteed
+    * complete for distance ≤ 3 by pigeonhole; farther pairs only when a
+    * band happens to collide — deterministic either way).
+    */
+  def hamming64Pairs(sigs: DataFrame,
+                     maxHamming: Int = 3, saltBuckets: Int = 8,
+                     hotKeyThreshold: Long = 4096L): DataFrame = {
     val banded = (0 until 4).map { b =>
       sigs.select(col("id"), col("sig"), lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
