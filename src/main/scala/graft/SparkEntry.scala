@@ -504,6 +504,20 @@ object SparkEntry {
         "vec_id", "embedding", maxHamming = 24)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
+    // Image decontamination: every-7th grid plays the benchmark/eval
+    // reference set; the rest of the corpus probes its dhash snapshot
+    // through the band join. Oracle-checked end to end (same generated
+    // 64-term kernel on both sides).
+    "q_phash_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ref = analytics.PerceptualHash.dhashSigs(
+        emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      analytics.PerceptualHash.markAgainst(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        ref, maxHamming = 24)
+        .select(col("vec_id"), col("is_phash_dup"), col("phash_hamming"))
+    }),
+
     // ---- text analysis ------------------------------------------------
 
     // Heuristic language ID via marker-word voting (oracle-checked)
@@ -1473,6 +1487,27 @@ object SparkEntry {
         |      FROM b a JOIN b c
         |        ON a.band = c.band AND a.key = c.key AND a.id < c.id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 24""".stripMargin,
+
+    "q_phash_decontaminate" ->
+      s"""WITH s AS (SELECT vec_id AS id,
+        |  ${analytics.PerceptualHash.dhashSqlExpr("embedding")} AS sig
+        |  FROM embeddings),
+        |corp AS (SELECT * FROM s WHERE id % 7 <> 0),
+        |ref AS (SELECT * FROM s WHERE id % 7 = 0),
+        |cb AS (SELECT id, sig, band, (sig >> (band * 16)) & 65535 AS key
+        |       FROM corp, (SELECT unnest(range(4)) AS band)),
+        |rb AS (SELECT DISTINCT band, (sig >> (band * 16)) & 65535 AS key,
+        |         sig AS sig_b
+        |       FROM ref, (SELECT unnest(range(4)) AS band)),
+        |h AS (SELECT cb.id,
+        |        min(CAST(bit_count(xor(cb.sig, rb.sig_b)) AS INT))
+        |          AS phash_hamming
+        |      FROM cb JOIN rb ON cb.band = rb.band AND cb.key = rb.key
+        |      WHERE bit_count(xor(cb.sig, rb.sig_b)) <= 24
+        |      GROUP BY cb.id)
+        |SELECT c.id AS vec_id, h.phash_hamming IS NOT NULL AS is_phash_dup,
+        |  h.phash_hamming
+        |FROM corp c LEFT JOIN h ON c.id = h.id""".stripMargin,
 
     "q_stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -140,6 +140,36 @@ object NearDup {
     pairs
   }
 
+  /** Cross-set form of [[hamming64Pairs]]: for every signature in
+    * `sigs` `(id, sig)`, the minimum Hamming distance to any REFERENCE
+    * signature within `maxHamming` — the decontamination shape (corpus
+    * probes a stored reference snapshot; the reference is band-keyed,
+    * never re-scanned). Emits `(id, hamming)` for hits only; candidates
+    * come from 4×16-bit band equality (complete for distance ≤ 3 by
+    * pigeonhole), verified by exact bit_count. Both joined sides are
+    * narrow (id, sig, band key ≈ 28 B/row); reference-side hot bands
+    * (e.g. a flat-image sig shared by millions) are AQE skew-join
+    * territory — this probe has no corpus-side explosion to salt.
+    */
+  def hamming64Against(sigs: DataFrame, refSigs: DataFrame,
+                       maxHamming: Int = 3): DataFrame = {
+    def bands(df: DataFrame, sigName: String): DataFrame =
+      (0 until 4).map { b =>
+        df.select(col("id"), col("sig"), lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))
+      }.reduce(_ unionByName _)
+        .withColumnRenamed("sig", sigName)
+    bands(sigs, "sig_a")
+      .join(bands(refSigs.select(col("id"), col("sig")), "sig_b")
+          .select("band", "key", "sig_b").distinct(),
+        Seq("band", "key"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id").agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Exact word n-gram Jaccard between two texts (verification kernel). */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
     def grams(t: String): Set[String] = {

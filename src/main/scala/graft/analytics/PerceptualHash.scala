@@ -161,6 +161,33 @@ object PerceptualHash {
       df.select(col(idCol).as("id"), dhashColumn(col(vecCol)).as("sig")),
       maxHamming, saltBuckets, hotKeyThreshold)
 
+  /** The `(id, sig)` snapshot table of a grid-vector corpus — compute
+    * once per reference corpus, store as parquet, probe across incoming
+    * batches (the [[markAgainst]] reference format; the image twin of
+    * `MinHash.sigVectors`).
+    */
+  def dhashSigs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), dhashColumn(col(vecCol)).as("sig"))
+
+  /** Image DECONTAMINATION: flag every corpus grid whose dHash lands
+    * within `maxHamming` of ANY reference signature (benchmark images,
+    * eval-set figures, a previous crawl's kept images). The reference
+    * rides as a stored [[dhashSigs]] snapshot — band-keyed probe, never
+    * a re-scan. Appends `flagCol` (boolean) and `phash_hamming` (min
+    * distance to the reference for hits, null otherwise).
+    */
+  def markAgainst(df: DataFrame, idCol: String, vecCol: String,
+                  refSigs: DataFrame, maxHamming: Int = 3,
+                  flagCol: String = "is_phash_dup"): DataFrame = {
+    val hits = NearDup.hamming64Against(
+      dhashSigs(df, idCol, vecCol), refSigs, maxHamming)
+      .withColumnRenamed("hamming", "phash_hamming")
+      .withColumnRenamed("id", "__ph_id")
+    df.join(hits, col(idCol) === col("__ph_id"), "left")
+      .withColumn(flagCol, col("phash_hamming").isNotNull)
+      .drop("__ph_id")
+  }
+
   /** The DuckDB form of [[dhashColumn]] over a 1-based list column
     * `vecExpr` — generated term for term from the same bit layout, so
     * the Spark query and its oracle can never drift. Bit 63's constant

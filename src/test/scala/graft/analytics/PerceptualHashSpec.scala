@@ -113,6 +113,38 @@ class PerceptualHashSpec extends graft.SparkSpec {
       s"stranger pair leaked: ${pairs.filter(p => p._2 - p._1 != 1000L).toSeq}")
   }
 
+  test("markAgainst: planted reference leaks flagged, strangers clean") {
+    val rnd = new scala.util.Random(77)
+    val corpus = Seq.fill(40)(Array.fill(64)(rnd.nextDouble()))
+    // reference = twins of corpus grids 0..9 (one comparison nudged,
+    // hamming <= 2) + 20 unrelated grids
+    val refGrids = corpus.take(10).map { g =>
+      val t = g.clone(); t(9) = -1.0; t
+    } ++ Seq.fill(20)(Array.fill(64)(rnd.nextDouble()))
+    val corpusDf = corpus.zipWithIndex
+      .map { case (g, i) => (i.toLong, g.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val refSigs = PerceptualHash.dhashSigs(
+      refGrids.zipWithIndex
+        .map { case (g, i) => ((i + 5000).toLong, g.map(_.toFloat)) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val out = PerceptualHash.markAgainst(
+      corpusDf, "vec_id", "embedding", refSigs, maxHamming = 3)
+      .select("vec_id", "is_phash_dup", "phash_hamming")
+      .as[(Long, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 40, "every corpus row keeps exactly one verdict")
+    (0 until 10).foreach { i =>
+      assert(out(i.toLong)._1 && out(i.toLong)._2.exists(_ <= 3),
+        s"planted leak $i not flagged: ${out(i.toLong)}")
+    }
+    (10 until 40).foreach { i =>
+      assert(!out(i.toLong)._1 && out(i.toLong)._2.isEmpty,
+        s"stranger $i wrongly flagged")
+    }
+  }
+
   test("nearDups: fully-salted run emits the identical pair set") {
     val rnd = new scala.util.Random(9)
     val df = Seq.fill(80)(Array.fill(64)(rnd.nextFloat()))
