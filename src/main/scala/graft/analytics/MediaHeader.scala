@@ -85,10 +85,17 @@ object MediaHeader {
     MediaInfo("jpeg", None, None, None)
   }
 
-  /** GIF87a/89a: logical-screen width/height as little-endian u16 at 6/8. */
+  /** GIF87a/89a: logical-screen width/height as little-endian u16 at 6/8.
+    * Zero dims (a zero-filled or truncated-then-padded header) return
+    * null like the PNG/BMP paths — the file-wide parser contract.
+    */
   private def parseGif(b: Array[Byte]): MediaInfo =
     if (b.length < 10) MediaInfo("gif", None, None, None)
-    else MediaInfo("gif", Some(le16(b, 6)), Some(le16(b, 8)), None)
+    else {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w == 0 || h == 0) MediaInfo("gif", None, None, None)
+      else MediaInfo("gif", Some(w), Some(h), None)
+    }
 
   /** BMP: DIB header size at 14 selects the layout — BITMAPCOREHEADER (12)
     * carries u16 dims at 18/20; BITMAPINFOHEADER+ (>=40) carries i32 dims at
@@ -122,7 +129,13 @@ object MediaHeader {
     if (b.length < 16) return none
     if (ascii(b, 12, "VP8 ")) {
       if (b.length < 30 || u8(b, 23) != 0x9D || u8(b, 24) != 0x01 || u8(b, 25) != 0x2A) none
-      else MediaInfo("webp", Some(le16(b, 26) & 0x3FFF), Some(le16(b, 28) & 0x3FFF), None)
+      else {
+        // zero 14-bit dims = hostile/zeroed frame header -> null dims
+        // (VP8L/VP8X are minus-one coded and cannot encode zero)
+        val w = le16(b, 26) & 0x3FFF; val h = le16(b, 28) & 0x3FFF
+        if (w == 0 || h == 0) none
+        else MediaInfo("webp", Some(w), Some(h), None)
+      }
     } else if (ascii(b, 12, "VP8L")) {
       if (b.length < 25 || u8(b, 20) != 0x2F) none
       else {

@@ -115,7 +115,8 @@ object PerceptualHash {
     if (b.isEmpty) return out
     var i = 0
     while (i < out.length) {
-      out(i) = (b(i * b.length / out.length) & 0xFF) / 255.0
+      // long arithmetic: i * b.length overflows Int past ~2 MB payloads
+      out(i) = (b((i.toLong * b.length / out.length).toInt) & 0xFF) / 255.0
       i += 1
     }
     out

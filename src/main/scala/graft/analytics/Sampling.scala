@@ -97,7 +97,12 @@ object Sampling {
     val ranked = df
       .withColumn(rn, row_number().over(w))
       .withColumn(cn, count(lit(1)).over(n))
-      .withColumn(tr, col(rn) <= floor(col(cn) * trainFrac).cast("int"))
+      // cast("long"), not "int": floor(n * frac) of a 3B-row stratum
+      // overflows Int and wraps negative — the whole stratum would land
+      // in val silently. (row_number's own Int ceiling is the next
+      // limit in that regime; per-stratum rows stay below it in any
+      // sharded deployment.)
+      .withColumn(tr, col(rn) <= floor(col(cn) * trainFrac).cast("long"))
     (ranked.filter(col(tr)).drop(rn, cn, tr),
       ranked.filter(!col(tr)).drop(rn, cn, tr))
   }
@@ -262,8 +267,15 @@ object Sampling {
           .orderBy(col(oc) +: tieCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val cum = fresh(withKeys, "_c")
+        // coalesce inside the window: a leading all-null-token prefix of
+        // the boundary bucket would sum to null here (the bucket-local
+        // frame has no non-null values yet) and `null <= x` drops the
+        // rows — while the naive GLOBAL window's frame still holds the
+        // earlier buckets' non-null values and keeps them. null = 0-cost
+        // on both paths, explicitly.
         val boundaryKept = withKeys.filter(col(bc) === lit(bb))
-          .withColumn(cum, sum(col(tokenCol).cast("long")).over(w))
+          .withColumn(cum,
+            sum(coalesce(col(tokenCol).cast("long"), lit(0L))).over(w))
           .filter(col(cum) <= lit(budget - acc))
           .drop(cum)
         wholesale.unionByName(boundaryKept)

@@ -33,7 +33,12 @@ object Similarity {
     val dot = aggregate(zip_with(dv, q, (a, b) => a * b), lit(0.0), _ + _)
     val nv = sqrt(aggregate(zip_with(dv, dv, (a, b) => a * b), lit(0.0), _ + _))
     val nq = math.sqrt(query.map(x => x * x).sum)
-    dot / (nv * lit(nq))
+    // zero-norm guard (the cosineAgainst convention): 0/0 = NaN and NaN
+    // sorts GREATEST in Spark, so unguarded zero vectors (the hashed
+    // embedding of an empty doc) would outrank every true neighbor in
+    // topK. Incomparable pairs score 0.0.
+    if (nq == 0.0) lit(0.0)
+    else when(nv > 0.0, dot / (nv * lit(nq))).otherwise(lit(0.0))
   }
 
   /** Exact brute-force top-k: one narrow scan + one top-k reduce. */
@@ -227,7 +232,13 @@ object Similarity {
     candidates
       .join(vecs.select(col("_vid").as("id_a"), col("_v").as("va")), "id_a")
       .join(vecs.select(col("_vid").as("id_b"), col("_v").as("vb")), "id_b")
-      .withColumn("sim", round(dot / (na * nb), 4))
+      // zero-norm guard: lshBucket puts every all-zero vector in the
+      // same bucket in EVERY band (d >= 0 sets each bit), and unguarded
+      // 0/0 = NaN passes `>= minSim` under NaN-greatest ordering — a
+      // corpus with many empty-doc embeddings would emit O(n²) bogus
+      // NaN pairs. Incomparable pairs score 0.0 (cosineAgainst's rule).
+      .withColumn("sim", when(na > 0.0 && nb > 0.0,
+        round(dot / (na * nb), 4)).otherwise(lit(0.0)))
       .filter(col("sim") >= minSim)
       .select("id_a", "id_b", "sim")
   }

@@ -52,15 +52,20 @@ object TextAnalysis {
     * /root/reference/fasttext/mult_infer.py:105) without a model.
     */
   def qualityScore(textCol: Column): Column = {
-    val words = size(split(textCol, "\\s+"))
+    val words = wsTokens(textCol)
     val lenScore = least(lit(1.0), words.cast("double") / 100.0)
     val stopScore = least(lit(1.0),
       markerHits(textCol, Markers("en")).cast("double") / 5.0)
     round(lenScore * (lit(0.5) + stopScore * 0.5), 4)
   }
 
-  /** Whitespace token count (the TokensCounter surface, SURVEY §2.2 P21). */
-  def wsTokens(textCol: Column): Column = size(split(textCol, "\\s+"))
+  /** Whitespace token count (the TokensCounter surface, SURVEY §2.2 P21).
+    * The empty leading element `split` produces for empty or
+    * leading-whitespace text is filtered: `wsTokens("")` is 0, not 1 —
+    * the QualitySignals convention.
+    */
+  def wsTokens(textCol: Column): Column =
+    size(filter(split(textCol, "\\s+"), w => length(w) > 0))
 
   /** BPE-ish subword-budget estimate: word-char count / 4 + punct count —
     * the standard chars/4 budget heuristic, as a codegen'd expression.

@@ -192,6 +192,11 @@ object StreamingPipeline {
     import spark.implicits._
     val keyed = pages
       .withColumn("key", xxhash64(col(textCol)))
+      // a null event time cannot participate in watermark semantics, and
+      // withWatermark does NOT drop it for flatMapGroupsWithState — it
+      // would reach the state function and NPE on .getTime, a permanent
+      // poison pill (the checkpoint replays the same file on restart)
+      .filter(col("warc_ts").isNotNull)
       .withWatermark("warc_ts", watermark)
       .select(col("key"), col("url"), col("warc_ts"), lit(0L).as("dups_seen"))
       .as[KeyedDoc]

@@ -9,6 +9,29 @@ class SimilaritySpec extends SparkSpec {
 
   private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
 
+  test("zero-norm vectors score 0.0, never NaN (topK + nearPairs pins)") {
+    // all-zero embeddings (the hashed embedding of an empty doc): 0/0 =
+    // NaN, and NaN sorts GREATEST in Spark — unguarded, the zero docs
+    // win every top-k and lshBucket pairs them all with sim = NaN
+    val rnd = new scala.util.Random(5)
+    val zeros = (0 until 12).map(i => (i.toLong, Seq.fill(64)(0.0f)))
+    val reals = (100 until 110).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat())))
+    val df = (zeros ++ reals).toDF("vec_id", "embedding")
+    val q = Array.tabulate(64)(_ => rnd.nextDouble())
+    val top = Similarity.topK(df, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect()
+    assert(top.forall(!_._2.isNaN), s"NaN sim in topK: ${top.toSeq}")
+    assert(top.forall(_._1 >= 100L),
+      s"zero vectors outrank real neighbors: ${top.toSeq}")
+    val pairs = Similarity.nearPairs(df, "vec_id", "embedding",
+      minSim = 0.1).as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => !p._3.isNaN && p._3 >= 0.1),
+      s"NaN/bogus pair leaked: ${pairs.filter(p => p._1 < 100 || p._2 < 100).toSeq}")
+    assert(pairs.forall(p => p._1 >= 100L && p._2 >= 100L),
+      "zero-vector pairs must not be emitted")
+  }
+
   test("brute-force cosine top-k matches manual computation") {
     val df = Seq(
       (1L, vec(1, 0, 0)), (2L, vec(0.9, 0.1, 0)), (3L, vec(0, 1, 0)),
@@ -396,6 +419,15 @@ class NearDupSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("wsTokens: empty and leading-whitespace text count no phantom token") {
+    // split("\\s+") yields a leading "" element for these shapes; the
+    // unfiltered size() credited empty docs with one token
+    val got = Seq("", " ", " foo bar", "foo bar", "\tx\n")
+      .toDF("t").select(TextAnalysis.wsTokens($"t")).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 2, 2, 1), s"got $got")
+  }
+  import spark.implicits._
+
   test("heuristic language id votes by markers") {
     val df = Seq(
       ("the cat of the house and it is big", "en"),
@@ -749,6 +781,21 @@ class SamplingSpec extends SparkSpec {
     }
     // sanity: a mid budget keeps a strict subset
     assert(scaled(total / 3).nonEmpty && scaled(total / 3).size < 300)
+  }
+
+  test("token budget: null-token row LEADING the boundary bucket is kept " +
+      "(naive-window parity pin)") {
+    // bucket '0' (rows 00,01) fits the budget whole; bucket '1' is the
+    // boundary and its FIRST row (10) has null tokens. The bucket-local
+    // window's frame holds no non-null values yet, so an un-coalesced
+    // sum gives null and `null <= x` silently dropped the row — while
+    // the naive global window (frame includes bucket 0) keeps it.
+    val df = Seq(("00", Some(5L)), ("01", Some(5L)),
+      ("10", None: Option[Long]), ("11", Some(7L)))
+      .toDF("k", "toks")
+    val kept = Sampling.tokenBudget(df, "toks", budget = 12L,
+      col("k"), Seq("k")).select("k").as[String].collect().toSet
+    assert(kept == Set("00", "01", "10"), s"got $kept")
   }
 
   test("deterministic shuffle is a permutation, matches the naive window, " +

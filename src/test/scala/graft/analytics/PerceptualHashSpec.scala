@@ -71,6 +71,15 @@ class PerceptualHashSpec extends graft.SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 4)
   }
 
+  test("decodeGrayStub: payloads past the Int-multiply overflow point") {
+    // 3 MB payload: i * b.length overflows Int at i ~ 716 — the index
+    // went negative and threw AIOOBE before the long-arithmetic fix
+    val big = new Array[Byte](3 * 1024 * 1024)
+    java.util.Arrays.fill(big, 0x2A.toByte)
+    val g = PerceptualHash.decodeGrayStub(big)
+    assert(g.length == 32 * 32 && g.forall(_ == (0x2A & 0xFF) / 255.0))
+  }
+
   test("imageDhash stamps the stub+kernel hash; identical bytes agree") {
     val rnd = new scala.util.Random(3)
     val payload = Array.fill(512)(rnd.nextInt().toByte)

@@ -167,6 +167,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._2 == 0L) == 59)
   }
 
+  test("first-seen dedup survives a null event-time row (poison-pill pin)") {
+    val in = Files.createTempDirectory("stream_fs_null_in").toString
+    val pages = Synth.pages(spark, 10L)
+    // one landing row with a null warc_ts: withWatermark does NOT drop
+    // it for flatMapGroupsWithState — unguarded, the state function
+    // NPEs on .getTime and the checkpoint replays it forever
+    pages.unionByName(
+      pages.limit(1).withColumn("url", lit("https://null-ts.example.com/"))
+        .withColumn("warc_ts", lit(null).cast("timestamp"))
+        .withColumn("text", lit("a unique null timestamp body")))
+      .write.mode("append").parquet(in)
+    val q = StreamingPipeline.dedupFirstSeenStream(
+      StreamingPipeline.readPages(spark, in))
+      .writeStream.format("memory").queryName("fs_null_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // unguarded: this THROWS StreamingQueryException
+    val urls = spark.sql("SELECT url FROM fs_null_out")
+      .as[String].collect().toSet
+    assert(!urls.contains("https://null-ts.example.com/"),
+      "null event-time row must be excluded, not emitted")
+    assert(urls.size == 10, s"real rows all emitted, got ${urls.size}")
+  }
+
   test("first-seen dedup state survives batch boundaries within the TTL") {
     val in = Files.createTempDirectory("stream_fs2_in").toString
     val out = Files.createTempDirectory("stream_fs2_out").toString
