@@ -2458,7 +2458,7 @@ object SparkEntry {
         |      FROM w),
         |d AS (SELECT doc_id, list_concat(lines, lines[1:1]) AS lns FROM l)
         |SELECT doc_id, array_to_string(
-        |  list_filter(lns, (x, i) -> list_position(lns, x) = i),
+        |  list_filter(lns, (x, i) -> x = '' OR list_position(lns, x) = i),
         |  chr(10)) AS deduped
         |FROM d""".stripMargin,
 

@@ -104,21 +104,31 @@ object Decontaminate {
       })
       df.withColumn("is_contaminated", probe(col(textCol)))
     } else {
+      // fresh working names (the stripPositions discipline): a caller
+      // frame already carrying _k/_g would hit an ambiguous-reference
+      // error on the join-back — the broadcast path has no such
+      // restriction, and the two must be drop-in interchangeable
+      def freshName(base: String): String = {
+        var nm = base
+        while (df.columns.contains(nm)) nm = nm + "_"
+        nm
+      }
+      val (kN, gN) = (freshName("_k"), freshName("_g"))
       val gramUdf = udf((t: String) => gramHashes(t, n))
-      val benchGrams = bench.select(explode(gramUdf(col(benchTextCol))).as("_g"))
+      val benchGrams = bench.select(explode(gramUdf(col(benchTextCol))).as(gN))
         .distinct()
       val docGrams = df.select(col(textCol).as("_t"))
         // uniquely tag rows by the full text hash: the join-back key.
         // (Callers with an id column can pre-project; text hash keeps the
         // API symmetric with the broadcast path.)
-        .withColumn("_k", xxhash64(col("_t")))
-        .select(col("_k"), explode(gramUdf(col("_t"))).as("_g"))
-      val contaminatedKeys = docGrams.join(benchGrams, "_g")
-        .select("_k").distinct()
+        .withColumn(kN, xxhash64(col("_t")))
+        .select(col(kN), explode(gramUdf(col("_t"))).as(gN))
+      val contaminatedKeys = docGrams.join(benchGrams, gN)
+        .select(kN).distinct()
       df.join(contaminatedKeys,
-          xxhash64(col(textCol)) === contaminatedKeys("_k"), "left")
-        .withColumn("is_contaminated", col("_k").isNotNull)
-        .drop("_k")
+          xxhash64(col(textCol)) === contaminatedKeys(kN), "left")
+        .withColumn("is_contaminated", col(kN).isNotNull)
+        .drop(kN)
     }
   }
 

@@ -238,7 +238,14 @@ object MinHash {
       xxhash64(slice :+ lit(b): _*)
     }: _*)
 
-    df.select(col(idCol).as("id"),
+    // null text emits NO rows, matching the UDF path exactly (its band
+    // UDF returns null and posexplode drops the doc): unfiltered, the
+    // shingles() fallback branch would give every null-text doc ONE null
+    // shingle and therefore an IDENTICAL signature — the SQL path would
+    // mark all null-text docs near-dups of each other while the primary
+    // path marks none, breaking the documented bit-identity
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
         explode(shingles(col(textCol), cfg.shingleSize)).as("shingle"))
       .select(col("id"), xxhash64(col("shingle")).as("sh_hash"))
       .groupBy("id").agg(mins.head, mins.tail: _*)
@@ -631,6 +638,11 @@ object MinHash {
       .transform(graft.SparkUtil.materialize)
     var converged = false
     var iter = 0
+    // try/finally: the maxIter throw (or any task failure inside the
+    // loop) must not leak the persisted edge frame into a long-lived
+    // session's CacheManager — the error path is exactly where a caller
+    // catches and continues
+    try {
     while (!converged) {
       if (iter >= maxIter)
         throw new IllegalStateException(
@@ -665,7 +677,7 @@ object MinHash {
       converged = changed == 0
       iter += 1
     }
-    e.unpersist(false)
+    } finally e.unpersist(false)
     // operational breadcrumb for large-run logs: the round count is the
     // O(log diameter) evidence (a 2%-of-corpus giant cluster should still
     // converge in single-digit rounds; see the DedupSpec 200-hop pin)
@@ -777,15 +789,12 @@ object MinHash {
       })
     val sigs = vecs match {
       case Some(v) =>
-        val bandsUdf = udf((m: Seq[Long]) =>
-          if (m == null) null else bandsOfMins(m.toArray, cfg))
         // persisted too: candidateEdges consumes the band table twice
         // (aggregation + join probe), and without this the band fold +
         // posexplode re-run over the cached vectors per consumer — a
         // duplicated corpus-sized stage. Narrow (id + 2 longs × bands),
         // same cache footprint the reference-mode path already pays.
-        v.select(col("id"),
-          posexplode(bandsUdf(col("sig"))).as(Seq("band_id", "band_hash")))
+        bandsFromVectors(v, cfg)
           .persist(StorageLevel.MEMORY_AND_DISK)
       case None => stageDir match {
         case Some(d) => committed(spark, s"$d/signatures")(
@@ -822,17 +831,21 @@ object MinHash {
     val clustersLeaf =
       if (cfg.verifyThreshold > 0.0) s"clusters_v${cfg.verifyThreshold}"
       else "clusters"
-    val cl = stageDir match {
-      case Some(d) => committed(spark, s"$d/$clustersLeaf")(computeClusters())
-      case None => computeClusters().transform(graft.SparkUtil.materialize)
-    }
-    vecs match { // cl is materialized/committed — caches are done
-      case Some(v) =>
-        sigs.unpersist(false) // the derived band table, always persisted
-        if (stageDir.isEmpty) v.unpersist(false) // else parquet-backed
-      case None =>
-        if (stageDir.isEmpty) sigs.unpersist(false)
-    }
+    // finally: a computeClusters failure (verifiedEdges require, CC
+    // maxIter, any task error) must release the corpus-sized signature
+    // caches too — a caller that catches and continues on a long-lived
+    // session would otherwise accumulate one leaked entry per failure
+    val cl =
+      try stageDir match {
+        case Some(d) => committed(spark, s"$d/$clustersLeaf")(computeClusters())
+        case None => computeClusters().transform(graft.SparkUtil.materialize)
+      } finally vecs match { // cl is materialized/committed — caches done
+        case Some(v) =>
+          sigs.unpersist(false) // the derived band table, always persisted
+          if (stageDir.isEmpty) v.unpersist(false) // else parquet-backed
+        case None =>
+          if (stageDir.isEmpty) sigs.unpersist(false)
+      }
     val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
     val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
     df.join(clJoin, Seq(idCol), "left")

@@ -189,7 +189,9 @@ object SpanDedup {
   def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
                            minWords: Int = 3): DataFrame =
     removeDuplicate(df, idCol, textCol,
-      t => t.split("\n", -1),
+      // null guard like every sibling chunker (wordSpans/sentenceSpans):
+      // a null-text row otherwise NPEs inside the chunk UDF
+      t => if (t == null) Array.empty[String] else t.split("\n", -1),
       s => graft.text.TextStats.countWords(s) >= minWords,
       "\n")
 
@@ -254,11 +256,20 @@ object SpanDedup {
     * [[removeDuplicateLines]]; this one never looks outside the row.
     * Lines split/rejoin with "\n"; no eligibility floor — within one
     * document a repeated short line ("home") is just as much template
-    * noise as a long one.
+    * noise as a long one. EMPTY lines are exempt (dolma's
+    * dedupe-paragraphs skips empty paragraphs): they are structure, not
+    * content — a blanket distinct would collapse every blank-line
+    * paragraph separator after the first and merge the document's
+    * paragraphs. Null text stays null.
     */
   def dedupLinesWithinDoc(textCol: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    concat_ws("\n", array_distinct(split(textCol, "\n", -1)))
+      : org.apache.spark.sql.Column = {
+    val arr = split(textCol, "\n", -1)
+    when(textCol.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", filter(arr,
+        (x, i) => (x === lit("")) ||
+          (array_position(arr, x) === i.cast("long") + lit(1L)))))
+  }
 
   /** Per-word FNV-1a then polynomial rolling combine over every SLIDING
     * n-word window — O(words) total, vs O(words × n) for re-hashing

@@ -51,10 +51,18 @@ object CcNet {
       while (df.columns.contains(n)) { i += 1; n = s"$base$i" }
       n
     }
-    val (rc, nc, lk) =
-      (freshName("_ppl_rank"), freshName("_lang_n"), freshName("_lang_k"))
-    val ranked = Ranking.rankInGroup(df, Seq(langCol),
-      scoreCol +: tieCols, rc, numPartitions)
+    val (rc, nc, lk, sn) =
+      (freshName("_ppl_rank"), freshName("_lang_n"), freshName("_lang_k"),
+        freshName("_ppl_scored"))
+    // null scores rank LAST (tail), not first: Spark's ascending sort is
+    // nulls-first, so an unscored doc (e.g. a language with no trained
+    // LM) would otherwise outrank every scored doc and land in `head` —
+    // shipping precisely the docs with no fluency evidence under a
+    // keep-head recipe. The 0/1 sentinel leads the order key.
+    val ranked = Ranking.rankInGroup(
+      df.withColumn(sn, when(col(scoreCol).isNull, 1).otherwise(0)),
+      Seq(langCol), sn +: scoreCol +: tieCols, rc, numPartitions)
+      .drop(sn)
     // O(#languages) size table, broadcast; null-safe equi-join so a null
     // language (its own rank group) joins its own size too
     val sizes = broadcast(

@@ -124,7 +124,7 @@ object JudgeScorer {
     * the monitor by design: every waiter is rate-bound anyway, and a
     * single queue keeps wakeups fair-enough for a per-process API cap.
     */
-  final class TokenBucket(ratePerSec: Double,
+  final class TokenBucket(val ratePerSec: Double,
                           nanoTime: () => Long = () => System.nanoTime(),
                           sleep: Long => Unit = Thread.sleep) {
     require(ratePerSec > 0.0, "ratePerSec must be positive")
@@ -183,9 +183,18 @@ object JudgeScorer {
       def apply(batch: Seq[String]): Seq[Option[Int]] = {
         var attempt = 0
         while (attempt <= maxRetries) {
-          if (ratePerSec > 0.0)
-            limiters.computeIfAbsent(limiterId,
-              _ => new TokenBucket(ratePerSec, nanoTime, sleep)).acquire()
+          if (ratePerSec > 0.0) {
+            val bucket = limiters.computeIfAbsent(limiterId,
+              _ => new TokenBucket(ratePerSec, nanoTime, sleep))
+            // the registry keys on limiterId only: a second transport
+            // re-using the id with a DIFFERENT rate would silently
+            // inherit the first bucket's rate — fail loudly instead
+            require(bucket.ratePerSec == ratePerSec,
+              s"rate limiter '$limiterId' already registered at " +
+                s"${bucket.ratePerSec}/s (requested $ratePerSec/s) — use " +
+                "a distinct limiterId for a different rate")
+            bucket.acquire()
+          }
           val answer =
             try {
               val a = inner(batch)

@@ -164,7 +164,14 @@ class FastTextModel(
     * incomparable and keep it).
     */
   def embed(text: String): Array[Double] = {
-    val h = hidden(features(if (text == null) "" else text))
+    // enforce the documented contract explicitly: charFeatures pads with
+    // boundary spaces, so even "" produces 3 space-n-gram features and a
+    // NONZERO pooled vector — and two empty docs would then pass the
+    // semantic stages' zero-norm guards with cosine ~= 1 and dedup
+    // against each other instead of being kept as incomparable
+    if (text == null || text.trim.isEmpty)
+      return new Array[Double](dim)
+    val h = hidden(features(text))
     val out = new Array[Double](h.length)
     var i = 0
     while (i < h.length) { out(i) = h(i).toDouble; i += 1 }

@@ -32,7 +32,11 @@ object QualityDistill {
             dim: Int = 32, epochs: Int = 5,
             wordNgrams: Int = 2, seed: Long = 42L): FastTextModel = {
     val labeled = df
-      .filter(col(scoreCol) >= hi || col(scoreCol) <= lo)
+      // null text must not reach the collected sample: the deterministic
+      // sortBy and FastTextModel.features both dereference the string —
+      // one null-text row with a qualifying score NPE'd the whole stage
+      .filter(col(textCol).isNotNull &&
+        (col(scoreCol) >= hi || col(scoreCol) <= lo))
       .withColumn("_qd_lbl",
         when(col(scoreCol) >= hi, lit(HiLabel)).otherwise(lit(LoLabel)))
     val capped = graft.analytics.Sampling.stratifiedQuota(

@@ -143,6 +143,21 @@ class CcNetSpec extends SparkSpec {
     assert(headMax <= tailMin)
   }
 
+  test("null scores rank LAST (tail), never head") {
+    // Spark's ascending sort is nulls-first: unguarded, a doc with no
+    // fluency evidence (untrained language -> null perplexity) ranked
+    // ahead of every scored doc and shipped under a keep-head recipe
+    val df = ((1 to 9).map(i => (i.toLong, "en", Some(i * 10))) ++
+      Seq((100L, "en", None: Option[Int]), (101L, "en", None: Option[Int]),
+        (102L, "en", None: Option[Int])))
+      .toDF("doc_id", "lang", "ppl")
+    val got = graft.filters.CcNet.buckets(df, "ppl", "lang", Seq("doc_id"))
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(Seq(100L, 101L, 102L).forall(got(_) == "tail"),
+      s"null-score docs must land in tail: $got")
+    assert((1 to 4).forall(i => got(i.toLong) == "head"), s"got $got")
+  }
+
   test("k > group size yields one row per bucket; generic labels") {
     val df = Seq((1L, "en", 2.0), (2L, "en", 1.0))
       .toDF("doc_id", "lang", "ppl")

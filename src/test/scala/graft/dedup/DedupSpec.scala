@@ -395,19 +395,38 @@ class SpanDedupSpec extends SparkSpec {
     val df = Seq(
       (1L, "nav bar\nbody text\nnav bar\nfooter\nbody text"),
       (2L, "only line"),
-      (3L, "a\n\nb\n\na")  // empty lines dedup like any line
+      // EMPTY lines are exempt (dolma dedupe-paragraphs): they are
+      // paragraph separators, not content — review-caught: a blanket
+      // distinct merged every paragraph after the second
+      (3L, "a\n\nb\n\na"),
+      (4L, "para1\n\npara2\n\npara3"),
+      (5L, null.asInstanceOf[String]) // null text stays null
     ).toDF("doc_id", "text")
     val once = df.select($"doc_id",
       SpanDedup.dedupLinesWithinDoc($"text").as("t"))
     val got = once.as[(Long, String)].collect().toMap
     assert(got(1L) == "nav bar\nbody text\nfooter")
     assert(got(2L) == "only line")
-    assert(got(3L) == "a\n\nb")
+    assert(got(3L) == "a\n\nb\n")
+    assert(got(4L) == "para1\n\npara2\n\npara3",
+      "paragraph separators must survive")
+    assert(got(5L) == null)
     // idempotence: a deduped doc passes through unchanged
     val twice = once.select($"doc_id",
       SpanDedup.dedupLinesWithinDoc($"t").as("t"))
       .as[(Long, String)].collect().toMap
     assert(twice == got)
+  }
+
+  test("cross-doc line dedup and distillation tolerate null text") {
+    val df = Seq((1L, "one two three\nfour five six"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "one two three\nseven eight nine"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateLines(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(2L) == null, "null text must pass through untouched")
+    assert(out(3L) == "seven eight nine", "dup line removed")
   }
 }
 
@@ -421,7 +440,12 @@ class MinHashSpec extends SparkSpec {
   test("fast per-doc signatures are bit-identical to the Catalyst path") {
     val rows = (0 until 30).map(i => (s"id$i", doc(100L + i, 3 + i % 8))) ++
       Seq(("short", "tiny doc"), ("ws", "  leading and trailing  "),
-        ("empty", ""))
+        ("empty", ""),
+        // null text: NO rows on either path — unfiltered, the SQL
+        // path's shingle fallback gave every null-text doc an identical
+        // signature (review-caught divergence)
+        ("nulldoc", null.asInstanceOf[String]),
+        ("nulldoc2", null.asInstanceOf[String]))
     val df = rows.toDF("id", "text")
     def collect(sigs: org.apache.spark.sql.DataFrame) =
       sigs.select("id", "band_id", "band_hash")
@@ -429,6 +453,8 @@ class MinHashSpec extends SparkSpec {
     val fast = collect(MinHash.signatures(df, "id", "text"))
     val sql = collect(MinHash.signaturesSql(df, "id", "text"))
     assert(fast == sql)
+    assert(!fast.exists(_._1.startsWith("nulldoc")),
+      "null-text docs must emit no signature rows")
   }
 
   test("identical docs always share every band") {

@@ -197,6 +197,19 @@ class LangIdSpec extends AnyFunSuite {
     }
   }
 
+  test("embed: empty/whitespace/null text yields the ZERO vector") {
+    // the documented incomparable contract: charFeatures pads with
+    // boundary spaces, so unguarded even "" produced 3 space-n-gram
+    // features and a nonzero vector — two empty docs then deduped
+    // against each other semantically instead of both being kept
+    Seq("", "   ", "\t\n", null).foreach { t =>
+      val v = model.embed(t)
+      assert(v.length == model.dim && v.forall(_ == 0.0),
+        s"embed(${Option(t).map(x => s"'$x'").getOrElse("null")}) nonzero")
+    }
+    assert(model.embed("real words here").exists(_ != 0.0))
+  }
+
   test("training is deterministic") {
     val m2 = FastTextTrainer.train(Synth.langSamples(50), dim = 8,
       buckets = 1 << 12, epochs = 2, lr = 0.25)

@@ -17,6 +17,19 @@ class QualityDistillSpec extends SparkSpec {
     (0 until 30).map(_ => vocab(r.nextInt(vocab.length))).mkString(" ")
   }
 
+  test("train tolerates null-text rows with qualifying scores") {
+    // a null-text row with judge_score >= hi survived the label filter
+    // and NPE'd the driver-side sort / feature pass (review-caught)
+    val train = ((0 until 40).map(i =>
+      (i.toLong, doc(100L + i, edu = i % 2 == 0), if (i % 2 == 0) 5 else 0))
+      ++ Seq((1000L, null.asInstanceOf[String], 5),
+        (1001L, null.asInstanceOf[String], 0)))
+      .toDF("doc_id", "text", "judge_score")
+    val model = QualityDistill.train(train, "text", "judge_score",
+      dim = 8, epochs = 2)
+    assert(model.labels.length == 2)
+  }
+
   test("distilled classifier recovers the judge's quality signal") {
     // deterministic "judge": 5 for edu docs, 0 for spam — the distilled
     // classifier must generalize that to held-out docs
