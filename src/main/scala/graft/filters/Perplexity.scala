@@ -280,34 +280,86 @@ object KneserNeyLM {
   def trainDistributed(df: org.apache.spark.sql.DataFrame, textCol: String,
                        discount: Double = 0.75, maxVocab: Int = 0,
                        minCount: Long = 1L,
-                       maxCollectedRows: Long = 4000000L): KneserNeyLM = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum, udf}
+                       maxCollectedRows: Long = 4000000L,
+                       partialAggEntries: Int = 1 << 20): KneserNeyLM = {
+    import org.apache.spark.sql.functions.{col, lit, sum, udf}
     val spark = df.sparkSession
     import spark.implicits._
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(maxVocab >= 0,
       s"maxVocab must be >= 0 (0 = unbounded), got $maxVocab")
-    // Emission is one `("<s>", null)` marker per doc plus the bigram
-    // stream — NOT a unigram row per token. Every token position i >= 1
-    // is exactly one bigram's w2, so uni(w) for w != "<s>" re-derives
-    // from the (already aggregated, small) bigram table as
-    // `groupBy(w2).sum(c)`, and uni("<s>") is the marker count (which
-    // also covers zero-token docs). This halves the emitted tuple
-    // volume of the only corpus-sized stage; "<s>" cannot collide with
-    // a real token (the tokenizer's alphabet is [a-z0-9'], so literal
-    // "<s>" in text tokenizes to "s").
+    require(partialAggEntries >= 1,
+      s"partialAggEntries must be >= 1, got $partialAggEntries")
+    // Emission is one `("<s>", null, nDocs)` marker row per partition
+    // flush plus PRE-AGGREGATED `(w1, w2, c)` bigram rows — NOT a tuple
+    // per token. Every token position i >= 1 is exactly one bigram's
+    // w2, so uni(w) for w != "<s>" re-derives from the (already
+    // aggregated, small) bigram table as `groupBy(w2).sum(c)`, and
+    // uni("<s>") is the marker total (which also covers zero-token
+    // docs). "<s>" cannot collide with a real token (the tokenizer's
+    // alphabet is [a-z0-9'], so literal "<s>" in text tokenizes to
+    // "s").
+    //
+    // The in-partition pre-aggregation exists for allocation pressure,
+    // not shuffle volume (Tungsten's partial hash-agg already dedups
+    // map-side): emitting a Tuple2 per token costs a tuple + two
+    // UTF8String row conversions per OCCURRENCE, and the 8M-doc
+    // LmBench measured exactly that allocation churn as the 32-thread
+    // scaling ceiling (0.68, BENCH.md). Counting into a two-level
+    // java.util.HashMap with a long[1] cell makes the steady-state
+    // per-token cost two map probes and zero allocations; each
+    // DISTINCT pair crosses the row boundary once per flush. The map
+    // is bounded by `partialAggEntries` (~1M pairs ≈ low hundreds of
+    // MB with key strings) and drains to the downstream agg when full,
+    // which re-sums duplicate pairs across flushes — so the totals are
+    // flush-invariant (pinned by DistributedPerplexitySpec at a
+    // cap of 8).
     val pairs = df.select(col(textCol).cast("string")).as[String]
       .mapPartitions { it =>
         val tok = new KneserNeyLM(Map.empty, Map.empty, Map.empty,
           Map.empty, 1L)
-        it.flatMap { t =>
-          val toks = "<s>" +: tok.tokenize(if (t == null) "" else t)
-          Iterator.single(("<s>", null: String)) ++
-            (1 until toks.length).iterator
-              .map(i => (toks(i - 1), toks(i)))
+        new Iterator[(String, String, Long)] {
+          private val agg = new java.util.HashMap[
+            String, java.util.HashMap[String, Array[Long]]]()
+          private var entries = 0
+          private var markers = 0L
+          private var out: Iterator[(String, String, Long)] = Iterator.empty
+          private def fill(): Unit = {
+            while (!out.hasNext && (it.hasNext || markers > 0 || entries > 0)) {
+              while (it.hasNext && entries < partialAggEntries) {
+                val t = it.next()
+                markers += 1L
+                var prev = "<s>"
+                val toks = tok.tokenize(if (t == null) "" else t)
+                var i = 0
+                while (i < toks.length) {
+                  val w = toks(i)
+                  var sub = agg.get(prev)
+                  if (sub == null) {
+                    sub = new java.util.HashMap[String, Array[Long]]()
+                    agg.put(prev, sub)
+                  }
+                  val cell = sub.get(w)
+                  if (cell == null) { sub.put(w, Array(1L)); entries += 1 }
+                  else cell(0) += 1L
+                  prev = w
+                  i += 1
+                }
+              }
+              val buf = new scala.collection.mutable.ArrayBuffer[
+                (String, String, Long)](entries + 1)
+              agg.forEach((w1, sub) =>
+                sub.forEach((w2, c) => buf += ((w1, w2, c(0)))))
+              if (markers > 0) buf += (("<s>", null: String, markers))
+              agg.clear(); entries = 0; markers = 0L
+              out = buf.iterator
+            }
+          }
+          def hasNext: Boolean = { fill(); out.hasNext }
+          def next(): (String, String, Long) = { fill(); out.next() }
         }
-      }.toDF("w1", "w2")
-    val grouped = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      }.toDF("w1", "w2", "c")
+    val grouped = pairs.groupBy("w1", "w2").agg(sum(col("c")).as("c"))
     val biCounts = grouped.filter(col("w2").isNotNull)
     val counts = grouped.filter(col("w2").isNull) // the <s> marker row
       .unionByName(biCounts.groupBy(col("w2").as("w1"))

@@ -426,6 +426,19 @@ class DistributedPerplexitySpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("maxCollectedRows"))
   }
+
+  test("model is invariant to the partial-agg flush cap") {
+    // A cap of 8 forces hundreds of mid-partition drains (the corpus has
+    // far more distinct bigrams); duplicate pair rows across flushes must
+    // re-sum to the same totals as the single-drain default.
+    val a = KneserNeyLM.trainDistributed(corpus, "text")
+    val b = KneserNeyLM.trainDistributed(corpus, "text",
+      partialAggEntries = 8)
+    assert(a.unigram == b.unigram)
+    assert(a.bigramByW1 == b.bigramByW1)
+    assert(a.contLeft == b.contLeft && a.contRight == b.contRight)
+    assert(a.bigramTypes == b.bigramTypes)
+  }
 }
 
 class PiiAuditSpec extends graft.SparkSpec {
