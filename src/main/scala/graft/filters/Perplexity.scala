@@ -67,13 +67,25 @@ class KneserNeyLM(
     * lower to non-matching chars either way, so per-char lowering stays
     * token-equivalent to full-string lowering.
     */
-  def tokenize(text: String): Array[String] = {
+  def tokenize(text: String): Array[String] = tokenize(text, null)
+
+  /** [[tokenize]] with an optional per-task [[KneserNeyLM.TokenInterner]]:
+    * interning is EXACT (char-for-char compare before reuse), so the
+    * token stream is identical to the uninterned one — what changes is
+    * that a Zipf-distributed stream allocates (and hashes) each distinct
+    * token once per task instead of once per occurrence. Pass null to
+    * skip interning.
+    */
+  def tokenize(text: String, interner: KneserNeyLM.TokenInterner): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder(16)
     @inline def take(c: Char): Unit =
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '\'')
         sb.append(c)
-      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      else if (sb.length > 0) {
+        out += (if (interner == null) sb.toString else interner.intern(sb))
+        sb.setLength(0)
+      }
     var i = 0
     val n = text.length
     while (i < n) {
@@ -88,7 +100,8 @@ class KneserNeyLM(
       }
       i += 1
     }
-    if (sb.length > 0) out += sb.toString
+    if (sb.length > 0)
+      out += (if (interner == null) sb.toString else interner.intern(sb))
     out.toArray
   }
 
@@ -97,8 +110,15 @@ class KneserNeyLM(
     * are carried from step i to i+1, so scoring costs one map probe set
     * per token.
     */
-  def perplexity(text: String): Double = {
-    val toks = tokenize(text)
+  def perplexity(text: String): Double = perplexity(text, null)
+
+  /** [[perplexity]] with an optional per-task interner (see
+    * [[tokenize]]): bit-identical scores — interned tokens are
+    * char-identical strings, and as a bonus their cached hashCode
+    * amortizes across every map probe of every later occurrence.
+    */
+  def perplexity(text: String, interner: KneserNeyLM.TokenInterner): Double = {
+    val toks = tokenize(text, interner)
     if (toks.isEmpty) return Double.MaxValue
     var w1 = "<s>"
     var c1 = unigram.getOrElse(w1, 0L)
@@ -122,17 +142,71 @@ class KneserNeyLM(
 
 object KneserNeyLM {
 
+  /** Per-task EXACT string-interning dictionary for scoring hot loops:
+    * an open-addressing table keyed on the token's chars, probed with an
+    * FNV-1a hash and confirmed by a char-for-char compare — so a reused
+    * string is always char-identical to what `sb.toString` would have
+    * produced, and interning cannot change any downstream value. On a
+    * Zipf token stream (any natural-language corpus) the hit rate is
+    * ≥99%, which removes both the per-occurrence String allocation and
+    * the per-fresh-string hashCode pass that every model-map probe pays
+    * (an interned instance caches its hashCode after the first probe,
+    * for the rest of the task).
+    *
+    * Bounded and total: above ~70% fill new tokens are returned without
+    * being stored (allocation-as-before fallback, never an error), and
+    * the probe loop is capped at one sweep. NOT thread-safe by design —
+    * one instance per task closure, the [[perplexityFn]] deserialization
+    * pattern.
+    */
+  final class TokenInterner(capBits: Int = 16) {
+    require(capBits >= 4 && capBits <= 24, s"capBits out of range: $capBits")
+    private val mask = (1 << capBits) - 1
+    private val keys = new Array[String](1 << capBits)
+    private var used = 0
+    private val maxUsed = (1 << capBits) * 7 / 10
+
+    def intern(sb: java.lang.StringBuilder): String = {
+      var h = -2128831035 // FNV-1a over UTF-16 code units
+      var i = 0
+      val n = sb.length
+      while (i < n) { h = (h ^ sb.charAt(i)) * 16777619; i += 1 }
+      var idx = h & mask
+      var probes = 0
+      while (probes <= mask) {
+        val k = keys(idx)
+        if (k == null) {
+          val s = sb.toString
+          if (used < maxUsed) { keys(idx) = s; used += 1 }
+          return s
+        }
+        if (k.length == n) {
+          var j = 0
+          while (j < n && k.charAt(j) == sb.charAt(j)) j += 1
+          if (j == n) return k
+        }
+        idx = (idx + 1) & mask
+        probes += 1
+      }
+      sb.toString // unreachable below maxUsed fill; total regardless
+    }
+  }
+
   /** Perplexity scorer for use inside a `udf`, reading the broadcast ONCE
     * per task (via a transient lazy val re-initialized at closure
     * deserialization). Calling `bc.value` per row is a trap: the broadcast
     * caches through a SoftReference, and under allocation pressure every
     * clear sends 32 threads through a global lock plus a full LM
     * re-deserialization — measured at 3× CPU inflation on the ppl stage.
+    * The per-task [[TokenInterner]] rides the same deserialization
+    * pattern: one instance per task, single-threaded use.
     */
   def perplexityFn(bc: org.apache.spark.broadcast.Broadcast[KneserNeyLM]): String => Double =
     new (String => Double) with Serializable {
       @transient private lazy val lm = bc.value
-      def apply(t: String): Double = lm.perplexity(if (t == null) "" else t)
+      @transient private lazy val interner = new TokenInterner()
+      def apply(t: String): Double =
+        lm.perplexity(if (t == null) "" else t, interner)
     }
 
   /** Precompiled tokenizer pattern — a per-call `String.split(regex)`
@@ -221,10 +295,11 @@ object KneserNeyLM {
       : (String, String) => Option[Double] =
     new ((String, String) => Option[Double]) with Serializable {
       @transient private lazy val models = bc.value
+      @transient private lazy val interner = new TokenInterner()
       def apply(lang: String, text: String): Option[Double] =
         if (lang == null) None
         else models.get(lang)
-          .map(_.perplexity(if (text == null) "" else text))
+          .map(_.perplexity(if (text == null) "" else text, interner))
     }
 
   /** Pipeline-flavored own-language scorer: unlike [[perplexityByLangFn]]
@@ -240,9 +315,10 @@ object KneserNeyLM {
       : (String, String) => Double =
     new ((String, String) => Double) with Serializable {
       @transient private lazy val v = bc.value
+      @transient private lazy val interner = new TokenInterner()
       def apply(lang: String, text: String): Double = {
         val m = if (lang == null) v._2 else v._1.getOrElse(lang, v._2)
-        m.perplexity(if (text == null) "" else text)
+        m.perplexity(if (text == null) "" else text, interner)
       }
     }
 

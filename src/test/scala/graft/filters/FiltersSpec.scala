@@ -363,6 +363,39 @@ class PerplexitySpec extends AnyFunSuite {
     val p = lm.perplexity("the river and the stone of the valley.")
     assert(p > 1.0 && p.isFinite)
   }
+
+  test("interned tokenize and perplexity are bit-identical to plain") {
+    val cases = Seq(
+      "the river and the stone of the valley",
+      "The RIVER, and (the) stone-of THE valley!!",
+      "İstanbul naïve café ' '' don't 'quoted'",
+      "ΣΙΓΜΑ τέλος σ ς mixed ascii 123",
+      "", "   ", "a", "'", "İİİ",
+      (1 to 500).map(i => s"tok$i").mkString(" "), // all-distinct stream
+      List.fill(200)("repeat me often").mkString(" "))
+    val interner = new KneserNeyLM.TokenInterner()
+    cases.foreach { t =>
+      assert(lm.tokenize(t, interner).toSeq == lm.tokenize(t).toSeq, t)
+      val a = lm.perplexity(t, interner)
+      val b = lm.perplexity(t)
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b), t)
+    }
+    // repeated occurrences return the SAME instance (the point of it)
+    val t1 = lm.tokenize("alpha beta alpha", interner)
+    assert(t1(0) eq t1(2))
+  }
+
+  test("tiny interner stays exact under forced collisions and overflow") {
+    // capBits=4 -> 16 slots, maxUsed=11: hundreds of distinct tokens force
+    // every probe path (collision chains, full-sweep, no-store fallback)
+    val tiny = new KneserNeyLM.TokenInterner(capBits = 4)
+    val text = (1 to 300).map(i => s"w$i").mkString(" ") + " w5 w5 w250"
+    assert(lm.tokenize(text, tiny).toSeq == lm.tokenize(text).toSeq)
+    val a = lm.perplexity(text, tiny)
+    assert(java.lang.Double.doubleToLongBits(a) ==
+      java.lang.Double.doubleToLongBits(lm.perplexity(text)))
+  }
 }
 
 class DistributedPerplexitySpec extends graft.SparkSpec {
