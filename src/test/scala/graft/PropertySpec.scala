@@ -54,6 +54,34 @@ object TextProperties extends Properties("text") {
     CleanText(once) == once
   }
 
+  // textGen plus URL-shaped and "http"-prefix-adversarial tokens, so the
+  // fused scrub's hand-rolled `http\S+` branch is exercised on partial
+  // matches, mid-word matches, and bare-"http"-before-whitespace edges
+  private val urlWordGen: Gen[String] = Gen.frequency(
+    5 -> wordGen,
+    2 -> Gen.oneOf("http://x.com/a?b=1", "https://site.example/p%20q",
+      "xhttp://tail", "httphttp://twice", "http", "htt", "httpx",
+      "ahttp", "httpv", "HTTP://UPPER.example"),
+    1 -> Gen.const("see http://a.b, then!"))
+  private val urlTextGen: Gen[String] = for {
+    n <- Gen.choose(0, 80)
+    ws <- Gen.listOfN(n, urlWordGen)
+    seps <- Gen.listOfN(n, sepGen)
+  } yield ws.zip(seps).map { case (w, s) => w + s }.mkString
+
+  property("fused scrub == three-regex reference chain") =
+    forAll(urlTextGen) { t =>
+      // the fused scan replaces the regex chain AFTER lowercase+fold;
+      // pin equivalence on exactly that intermediate
+      val folded = graft.text.AsciiFold(t.toLowerCase(java.util.Locale.ROOT))
+      CleanText.scrub(folded) == CleanText.scrubReference(folded)
+    }
+
+  property("fused scrub == reference on raw unfolded adversarial input") =
+    forAll(urlTextGen) { t =>
+      CleanText.scrub(t) == CleanText.scrubReference(t)
+    }
+
   property("doc-stats fractions stay in [0,1]") = forAll(textGen) { t =>
     val st = TextStats.compute(t)
     val fracs = Seq(st.bulletLineFrac, st.ellipsisLineFrac,
