@@ -102,7 +102,14 @@ object ProfileBench {
       }),
       "minhash_bands" -> (() => t =>
         graft.dedup.MinHash.bandHashesOf(t, mhCfg).sum),
-      "simhash64" -> (() => t => graft.analytics.NearDup.simhash64(t)))
+      "simhash64" -> (() => t => graft.analytics.NearDup.simhash64(t)),
+      // remaining regex-bearing per-doc operators, watched for the same
+      // thread-scaling collapse the clean_text chain had
+      "pii_scrub_extended" -> (() => t => Pii.scrubExtended(t).length.toLong),
+      "segment_sentences" -> (() => t =>
+        graft.text.Segmenter.sentences(t).length.toLong),
+      "textstats_compute" -> (() => t =>
+        graft.text.TextStats.compute(t).nWords.toLong))
 
     // global warmup: every component over a slice, twice, so C2 compiles
     // all hot loops before any lap is timed
