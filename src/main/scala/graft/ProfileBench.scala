@@ -42,18 +42,26 @@ object ProfileBench {
                            (mk: () => String => Long): Double = {
     def oneLap(): Double = {
       val hole = new java.util.concurrent.atomic.AtomicLong(0L)
+      // a worker crash must FAIL the bench, not shorten the lap into a
+      // plausible-but-bogus timing — first failure is rethrown after join
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { tid =>
         val th = new Thread(() => {
-          val f = mk()
-          var acc = 0L
-          var i = tid
-          while (i < docs.length) { acc ^= f(docs(i)); i += threads }
-          hole.addAndGet(acc)
+          try {
+            val f = mk()
+            var acc = 0L
+            var i = tid
+            while (i < docs.length) { acc ^= f(docs(i)); i += threads }
+            hole.addAndGet(acc)
+          } catch {
+            case e: Throwable => failure.compareAndSet(null, e)
+          }
         })
         th.start(); th
       }
       ts.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
       if (hole.get() == Long.MinValue) println("") // keep `hole` live
       (System.nanoTime() - t0) / 1e9
     }
@@ -94,12 +102,11 @@ object ProfileBench {
         .normalize(t, java.text.Normalizer.Form.NFD).length.toLong),
       "ascii_fold" -> (() => t =>
         graft.text.AsciiFold(t.toLowerCase(java.util.Locale.ROOT)).length.toLong),
-      "clean_regex_chain" -> (() => {
-        val url = "http\\S+".r; val nw = "[^a-z0-9\\s,.!?']".r
-        val ws = "\\s+".r
-        t => ws.replaceAllIn(
-          nw.replaceAllIn(url.replaceAllIn(t, ""), ""), " ").length.toLong
-      }),
+      // the retained reference implementation itself (shared compiled
+      // patterns, exactly what production ran before the fusion) — the
+      // regression sentinel cannot drift from what it claims to measure
+      "clean_regex_chain" -> (() => t =>
+        graft.text.CleanText.scrubReference(t).length.toLong),
       "minhash_bands" -> (() => t =>
         graft.dedup.MinHash.bandHashesOf(t, mhCfg).sum),
       "simhash64" -> (() => t => graft.analytics.NearDup.simhash64(t)),

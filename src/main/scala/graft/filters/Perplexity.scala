@@ -357,7 +357,7 @@ object KneserNeyLM {
                        discount: Double = 0.75, maxVocab: Int = 0,
                        minCount: Long = 1L,
                        maxCollectedRows: Long = 4000000L,
-                       partialAggEntries: Int = 1 << 20): KneserNeyLM = {
+                       partialAggEntries: Int = 1 << 18): KneserNeyLM = {
     import org.apache.spark.sql.functions.{col, lit, sum, udf}
     val spark = df.sparkSession
     import spark.implicits._
@@ -385,15 +385,24 @@ object KneserNeyLM {
     // java.util.HashMap with a long[1] cell makes the steady-state
     // per-token cost two map probes and zero allocations; each
     // DISTINCT pair crosses the row boundary once per flush. The map
-    // is bounded by `partialAggEntries` (~1M pairs ≈ low hundreds of
-    // MB with key strings) and drains to the downstream agg when full,
-    // which re-sums duplicate pairs across flushes — so the totals are
-    // flush-invariant (pinned by DistributedPerplexitySpec at a
-    // cap of 8).
+    // is UNMANAGED heap (outside Spark's memory manager, unlike the
+    // Tungsten partial agg it bypasses), so the cap must be sized to
+    // the executor: the default 2^18 entries is ~40-75 MB with key
+    // strings — safe at 8 task slots in a 4 GB executor — and on a
+    // Zipf vocabulary still covers the overwhelming mass of
+    // occurrences; a bigger cap only saves re-summing duplicate pairs
+    // across flushes, because totals are flush-INVARIANT (pinned by
+    // DistributedPerplexitySpec at a cap of 8). Budget roughly
+    // 300 B/entry × partialAggEntries × concurrent tasks per executor.
     val pairs = df.select(col(textCol).cast("string")).as[String]
       .mapPartitions { it =>
         val tok = new KneserNeyLM(Map.empty, Map.empty, Map.empty,
           Map.empty, 1L)
+        // task-local exact interner: repeated tokens reuse one String
+        // instance, so map probes hit a cached hashCode and sb.toString
+        // only runs once per distinct token (same churn the emission
+        // rewrite targets; interning is char-exact, see TokenInterner)
+        val interner = new KneserNeyLM.TokenInterner()
         new Iterator[(String, String, Long)] {
           private val agg = new java.util.HashMap[
             String, java.util.HashMap[String, Array[Long]]]()
@@ -401,12 +410,14 @@ object KneserNeyLM {
           private var markers = 0L
           private var out: Iterator[(String, String, Long)] = Iterator.empty
           private def fill(): Unit = {
-            while (!out.hasNext && (it.hasNext || markers > 0 || entries > 0)) {
+            // every drain zeroes markers/entries, so leftover state never
+            // survives into a re-check — input is the only refill source
+            while (!out.hasNext && it.hasNext) {
               while (it.hasNext && entries < partialAggEntries) {
                 val t = it.next()
                 markers += 1L
                 var prev = "<s>"
-                val toks = tok.tokenize(if (t == null) "" else t)
+                val toks = tok.tokenize(if (t == null) "" else t, interner)
                 var i = 0
                 while (i < toks.length) {
                   val w = toks(i)
