@@ -172,14 +172,19 @@ object Bench {
         // dilution alone) → 40×. Round 3's PII gating + LongMap
         // presizing halved per-doc cost AGAIN (1.6M docs = ~15 s on the
         // 16-core side, back in scheduling territory; one disturbed
-        // round measured 0.52 with cpu_util confirming dilution), so the
-        // default is now 80× the flagship size (~2 min lo / ~30 s hi).
+        // round measured 0.52 with cpu_util confirming dilution), so
+        // r3-r5 ran 80× the flagship size (~2 min lo / ~30 s hi). The
+        // r5-final per-doc cuts (C4 identity stat-reuse, interner)
+        // pushed the hi side back to ~25 s and measured efficiency
+        // 0.98 → 0.83 from overhead dilution alone (lo-side docs/s
+        // +23%, hi +4%, both sides' cpu_util ≥ 0.92) — so the default
+        // doubles again to 160× (~85 s lo / ~25+25 s hi).
         // Pairing: cpus/8 → cpus/2 (4→16 on the 32-core sandbox) — still
         // N vs 4N, but leaving headroom dodges the shared VM's all-core
         // frequency / neighbor asymmetry that makes full-machine runs
         // swing 2×.
         val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N",
-          (synthN * 80).toString).toLong
+          (synthN * 160).toString).toLong
         val nLo = math.max(cpus / 8, 1)
         val nHi = math.max(cpus / 2, 4 * nLo)
         val ratio = nHi.toDouble / nLo

@@ -134,7 +134,12 @@ object Heuristics {
       return AnalyzeResult(DropStage.FineWeb, null, 0, st.nWords, st.nChars,
         st.nLines, st.nSentences)
     val finalText = Pii.scrub(c4Text)
-    AnalyzeResult(null, finalText, TextStats.countWords(finalText),
+    // same identity-reuse as st2: when the PII scrub changed nothing,
+    // st2.nWords IS countWords(finalText) (compute's nWords and
+    // countWords share the \s+ word definition, property-pinned)
+    val nTok =
+      if (finalText == c4Text) st2.nWords else TextStats.countWords(finalText)
+    AnalyzeResult(null, finalText, nTok,
       st.nWords, st.nChars, st.nLines, st.nSentences)
   }
 }
