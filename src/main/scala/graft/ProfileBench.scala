@@ -94,6 +94,13 @@ object ProfileBench {
         java.lang.Double.doubleToLongBits(models.lang.predict(t)._2)),
       "heuristics_analyze" -> (() => t =>
         Heuristics.analyze(t, heurCfg).n_tokens.toLong),
+      // same docs with a citation-scrubbed line appended: C4 rewrites
+      // every doc, so this times the NON-identity path (line-level
+      // FineWeb pass instead of a full second compute)
+      "heuristics_analyze_rewrite" -> (() => t =>
+        Heuristics.analyze(
+          t + "\nthe result was shown [citation needed] here today.",
+          heurCfg).n_tokens.toLong),
       "pii_scrub" -> (() => t => Pii.scrub(t).length.toLong),
       "clean_text" -> (() => t => graft.text.CleanText(t).length.toLong),
       // clean_text sub-components, isolated: NFD normalization, the fold

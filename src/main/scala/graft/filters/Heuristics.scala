@@ -107,6 +107,20 @@ object Heuristics {
     false
   }
 
+  /** Same decision over the line-level-only stats pass — the post-C4
+    * check needs nothing else, so the expensive n-gram maps are skipped
+    * ([[graft.text.TextStats.computeFineWeb]], field-equal by property
+    * pin).
+    */
+  def fineWeb(fw: graft.text.TextStats.FineWebStats,
+              cfg: HeuristicConfig): Boolean = {
+    if (fw.linePunctRatio < cfg.fwLinePunctRatio) return true
+    if (fw.shortLineFrac > cfg.fwShortLineFrac) return true
+    if (fw.dupLineCharFrac > cfg.fwDupLineCharFrac) return true
+    if (fw.newLineRatio > cfg.fwNewLineRatio) return true
+    false
+  }
+
   /** Single-pass analysis: one DocStats on the raw text drives stages 2–3,
     * C4 produces the scrubbed bytes, one DocStats on the scrubbed text
     * drives stage 5, and PII/toxicity scrubbing finalizes the output bytes.
@@ -125,20 +139,28 @@ object Heuristics {
     if (c4Drop)
       return AnalyzeResult(DropStage.C4, null, 0, st.nWords, st.nChars,
         st.nLines, st.nSentences)
-    // compute is pure, so when the C4 pass changed nothing (the common
+    // stats are pure, so when the C4 pass changed nothing (the common
     // clean-doc case) the raw-text stats ARE the post-C4 stats — an O(n)
-    // equality probe replaces the second ~equal-cost stats pass
-    // (ProfileBench: compute is 37 of analyze's 77 µs/doc)
-    val st2 = if (c4Text == t) st else TextStats.compute(c4Text)
-    if (fineWeb(st2, cfg))
+    // equality probe replaces the second stats pass entirely; when it
+    // DID rewrite, FineWeb reads only four line-level fields, so a
+    // line-level-only pass (no n-gram maps — the bulk of compute's
+    // 36 µs/doc, ProfileBench) replaces the full recompute
+    val c4Identity = c4Text == t
+    val (fwDrop, c4Words) =
+      if (c4Identity) (fineWeb(st, cfg), st.nWords)
+      else {
+        val fw = TextStats.computeFineWeb(c4Text)
+        (fineWeb(fw, cfg), fw.nWords)
+      }
+    if (fwDrop)
       return AnalyzeResult(DropStage.FineWeb, null, 0, st.nWords, st.nChars,
         st.nLines, st.nSentences)
     val finalText = Pii.scrub(c4Text)
-    // same identity-reuse as st2: when the PII scrub changed nothing,
-    // st2.nWords IS countWords(finalText) (compute's nWords and
-    // countWords share the \s+ word definition, property-pinned)
+    // same identity-reuse: when the PII scrub changed nothing, the
+    // post-C4 word count IS countWords(finalText) (compute/countWords
+    // share the \s+ word definition, property-pinned)
     val nTok =
-      if (finalText == c4Text) st2.nWords else TextStats.countWords(finalText)
+      if (finalText == c4Text) c4Words else TextStats.countWords(finalText)
     AnalyzeResult(null, finalText, nTok,
       st.nWords, st.nChars, st.nLines, st.nSentences)
   }

@@ -252,6 +252,37 @@ object TextStats {
     dupChars.toDouble / totWordChars
   }
 
+  /** Exactly the stats the FineWeb filter reads (plus the word count the
+    * downstream token-count reuse needs) — all line-level, none of the
+    * n-gram maps that dominate [[compute]]'s cost. Field definitions
+    * mirror [[compute]]'s term for term (property-pinned equal), so a
+    * caller that only gates on FineWeb can skip the full pass.
+    */
+  final case class FineWebStats(nWords: Int, linePunctRatio: Double,
+                                shortLineFrac: Double,
+                                dupLineCharFrac: Double,
+                                newLineRatio: Double)
+
+  def computeFineWeb(text: String): FineWebStats = {
+    val nWords = countWords(text)
+    val nonEmptyLines = lines(text).filter(_.trim.nonEmpty)
+    val nLines = nonEmptyLines.length
+    var punctEnd = 0; var short = 0
+    nonEmptyLines.foreach { l =>
+      val t = l.trim
+      if (t.nonEmpty && PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
+      if (l.length < 30) short += 1
+    }
+    val (_, dlcf) = dupFractions(nonEmptyLines.map(_.trim))
+    FineWebStats(
+      nWords = nWords,
+      linePunctRatio = if (nLines == 0) 0.0 else punctEnd.toDouble / nLines,
+      shortLineFrac = if (nLines == 0) 0.0 else short.toDouble / nLines,
+      dupLineCharFrac = dlcf,
+      newLineRatio =
+        if (nWords == 0) 0.0 else countOcc(text, "\n").toDouble / nWords)
+  }
+
   def compute(text: String): DocStats = {
     val ws = words(text)
     val hs = wordHashes(ws)

@@ -82,6 +82,17 @@ object TextProperties extends Properties("text") {
       CleanText.scrub(t) == CleanText.scrubReference(t)
     }
 
+  property("computeFineWeb fields == compute's (line-level fast pass)") =
+    forAll(textGen) { t =>
+      val full = TextStats.compute(t)
+      val fw = TextStats.computeFineWeb(t)
+      fw.nWords == full.nWords &&
+        fw.linePunctRatio == full.linePunctRatio &&
+        fw.shortLineFrac == full.shortLineFrac &&
+        fw.dupLineCharFrac == full.dupLineCharFrac &&
+        fw.newLineRatio == full.newLineRatio
+    }
+
   property("doc-stats fractions stay in [0,1]") = forAll(textGen) { t =>
     val st = TextStats.compute(t)
     val fracs = Seq(st.bulletLineFrac, st.ellipsisLineFrac,
