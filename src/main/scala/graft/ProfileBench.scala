@@ -94,13 +94,12 @@ object ProfileBench {
         java.lang.Double.doubleToLongBits(models.lang.predict(t)._2)),
       "heuristics_analyze" -> (() => t =>
         Heuristics.analyze(t, heurCfg).n_tokens.toLong),
-      // same docs with a citation-scrubbed line appended: C4 rewrites
-      // every doc, so this times the NON-identity path (line-level
-      // FineWeb pass instead of a full second compute)
+      // rewriteDocs (see below): C4 rewrites every doc, so this times
+      // the NON-identity path (line-level FineWeb pass instead of a
+      // full second compute); the suffix is pre-appended outside the
+      // timed region so the closure shape matches heuristics_analyze
       "heuristics_analyze_rewrite" -> (() => t =>
-        Heuristics.analyze(
-          t + "\nthe result was shown [citation needed] here today.",
-          heurCfg).n_tokens.toLong),
+        Heuristics.analyze(t, heurCfg).n_tokens.toLong),
       "pii_scrub" -> (() => t => Pii.scrub(t).length.toLong),
       "clean_text" -> (() => t => graft.text.CleanText(t).length.toLong),
       // clean_text sub-components, isolated: NFD normalization, the fold
@@ -125,17 +124,25 @@ object ProfileBench {
       "textstats_compute" -> (() => t =>
         graft.text.TextStats.compute(t).nWords.toLong))
 
+    // heuristics_analyze_rewrite gets its own pre-built input (identical
+    // docs plus a citation-scrubbed line) so the timed closure never
+    // pays a per-call string concat the production path doesn't
+    val rewriteDocs = docs.map(
+      _ + "\nthe result was shown [citation needed] here today.")
+    def inputFor(name: String): Array[String] =
+      if (name == "heuristics_analyze_rewrite") rewriteDocs else docs
+
     // global warmup: every component over a slice, twice, so C2 compiles
     // all hot loops before any lap is timed
-    val warmSlice = docs.take(math.min(nDocs, 20000))
     (1 to 2).foreach { _ =>
-      components.foreach { case (_, mk) =>
-        val f = mk(); warmSlice.foreach(f(_))
+      components.foreach { case (name, mk) =>
+        val f = mk()
+        inputFor(name).take(math.min(nDocs, 20000)).foreach(f(_))
       }
     }
 
     val results = components.map { case (name, mk) =>
-      name -> timeComponent(docs, threads)(mk)
+      name -> timeComponent(inputFor(name), threads)(mk)
     }
     val js = results
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")

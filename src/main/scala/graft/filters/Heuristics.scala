@@ -76,6 +76,12 @@ object Heuristics {
     // "citation needed" (case-insensitively, a superset of the regex's
     // case-sensitive match) skip Pattern matching entirely, which on this
     // hot path is the dominant per-line cost at 32 executor threads.
+    // `changed` tracks whether any line was dropped or scrubbed: when
+    // nothing was, split-then-join is the identity, so the ORIGINAL
+    // string returns as-is — no mkString rebuild, and the caller's
+    // identity probe hits String.equals' reference fast path (analyze
+    // reuses the raw-text stats on exactly this case)
+    var changed = false
     val kept = TextStats.lines(text).flatMap { line =>
       val t = line.trim
       if (t.isEmpty) Some(line)
@@ -85,32 +91,28 @@ object Heuristics {
           if (lw.contains("citation needed")) CitationRe.replaceAllIn(line, "")
           else line
         val wc = TextStats.countWords(cleaned)
-        if (wc < cfg.c4MinWordsPerLine) None
-        else if (PolicyPhrases.exists(lw.contains)) None
+        if (wc < cfg.c4MinWordsPerLine) { changed = true; None }
+        else if (PolicyPhrases.exists(lw.contains)) { changed = true; None }
         else if (cfg.c4FilterNoTerminalPunct &&
-                 !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) None
-        else Some(cleaned)
+                 !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) {
+          changed = true; None
+        } else {
+          if (cleaned ne line) changed = true
+          Some(cleaned)
+        }
       }
     }
-    val scrubbed = kept.mkString("\n")
+    val scrubbed = if (changed) kept.mkString("\n") else text
     var sentences = 0
     scrubbed.foreach(c => if (c == '.' || c == '!' || c == '?') sentences += 1)
     (scrubbed, sentences < cfg.c4MinSentences)
   }
 
-  /** FineWebQualityFilter (findweb.py:111-113), evaluated on post-C4 text. */
-  def fineWeb(st: graft.text.DocStats, cfg: HeuristicConfig): Boolean = {
-    if (st.linePunctRatio < cfg.fwLinePunctRatio) return true
-    if (st.shortLineFrac > cfg.fwShortLineFrac) return true
-    if (st.dupLineCharFrac > cfg.fwDupLineCharFrac) return true
-    if (st.newLineRatio > cfg.fwNewLineRatio) return true
-    false
-  }
-
-  /** Same decision over the line-level-only stats pass — the post-C4
-    * check needs nothing else, so the expensive n-gram maps are skipped
-    * ([[graft.text.TextStats.computeFineWeb]], field-equal by property
-    * pin).
+  /** FineWebQualityFilter (findweb.py:111-113), evaluated on post-C4
+    * text. One body for both stats shapes: the [[graft.text.TextStats
+    * .FineWebStats]] overload is the decision, and the DocStats form
+    * projects into it so the identity and rewrite paths can never
+    * apply different rules.
     */
   def fineWeb(fw: graft.text.TextStats.FineWebStats,
               cfg: HeuristicConfig): Boolean = {
@@ -120,6 +122,10 @@ object Heuristics {
     if (fw.newLineRatio > cfg.fwNewLineRatio) return true
     false
   }
+
+  def fineWeb(st: graft.text.DocStats, cfg: HeuristicConfig): Boolean =
+    fineWeb(graft.text.TextStats.FineWebStats(st.nWords, st.linePunctRatio,
+      st.shortLineFrac, st.dupLineCharFrac, st.newLineRatio), cfg)
 
   /** Single-pass analysis: one DocStats on the raw text drives stages 2–3,
     * C4 produces the scrubbed bytes, one DocStats on the scrubbed text

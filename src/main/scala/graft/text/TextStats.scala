@@ -265,22 +265,33 @@ object TextStats {
 
   def computeFineWeb(text: String): FineWebStats = {
     val nWords = countWords(text)
-    val nonEmptyLines = lines(text).filter(_.trim.nonEmpty)
-    val nLines = nonEmptyLines.length
-    var punctEnd = 0; var short = 0
-    nonEmptyLines.foreach { l =>
+    val ls = lines(text)
+    // one pass, one trim per line (compute() trims repeatedly but
+    // amortizes against its n-gram maps; this pass has nothing to hide
+    // behind); newline count == segments - 1 for a "\n" split with -1
+    // limit, so no countOcc rescan
+    val trimmed = Array.newBuilder[String]
+    var punctEnd = 0; var short = 0; var nLines = 0
+    var i = 0
+    while (i < ls.length) {
+      val l = ls(i)
       val t = l.trim
-      if (t.nonEmpty && PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
-      if (l.length < 30) short += 1
+      if (t.nonEmpty) {
+        nLines += 1
+        if (PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
+        if (l.length < 30) short += 1
+        trimmed += t
+      }
+      i += 1
     }
-    val (_, dlcf) = dupFractions(nonEmptyLines.map(_.trim))
+    val (_, dlcf) = dupFractions(trimmed.result())
     FineWebStats(
       nWords = nWords,
       linePunctRatio = if (nLines == 0) 0.0 else punctEnd.toDouble / nLines,
       shortLineFrac = if (nLines == 0) 0.0 else short.toDouble / nLines,
       dupLineCharFrac = dlcf,
       newLineRatio =
-        if (nWords == 0) 0.0 else countOcc(text, "\n").toDouble / nWords)
+        if (nWords == 0) 0.0 else (ls.length - 1).toDouble / nWords)
   }
 
   def compute(text: String): DocStats = {
