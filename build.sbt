@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle/spill scratch space: this sandbox's root FS pays ~8x CPU on
+  // shuffle-file operations (measured: one 70k-row exchange map stage
+  // 9.1s -> 1.1s executor CPU by moving local.dir to tmpfs), so default
+  // to /dev/shm locally. Spark's standard SPARK_LOCAL_DIRS env still
+  // takes precedence, which is how real clusters point this at their
+  // fast local disks.
+  "-Dspark.local.dir=/dev/shm/spark-local",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

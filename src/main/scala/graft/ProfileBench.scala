@@ -80,69 +80,84 @@ object ProfileBench {
     val mhCfg = graft.dedup.MinHash.Config()
     val lm = models.lm
 
-    // name -> per-thread consumer factory (returns Long so results fold
-    // into the blackhole without boxing)
-    val components: Seq[(String, () => String => Long)] = Seq(
-      "tokenize" -> (() => t => lm.tokenize(t).length.toLong),
-      "perplexity_plain" -> (() => t =>
-        java.lang.Double.doubleToLongBits(lm.perplexity(t))),
-      "perplexity_interned" -> (() => {
-        val interner = new KneserNeyLM.TokenInterner()
-        t => java.lang.Double.doubleToLongBits(lm.perplexity(t, interner))
-      }),
-      "langid_predict" -> (() => t =>
-        java.lang.Double.doubleToLongBits(models.lang.predict(t)._2)),
-      "heuristics_analyze" -> (() => t =>
-        Heuristics.analyze(t, heurCfg).n_tokens.toLong),
-      // rewriteDocs (see below): C4 rewrites every doc, so this times
-      // the NON-identity path (line-level FineWeb pass instead of a
-      // full second compute); the suffix is pre-appended outside the
-      // timed region so the closure shape matches heuristics_analyze
-      "heuristics_analyze_rewrite" -> (() => t =>
-        Heuristics.analyze(t, heurCfg).n_tokens.toLong),
-      "pii_scrub" -> (() => t => Pii.scrub(t).length.toLong),
-      "clean_text" -> (() => t => graft.text.CleanText(t).length.toLong),
-      // clean_text sub-components, isolated: NFD normalization, the fold
-      // loop (includes NFD), and the three-regex scrub chain alone
-      "nfd_normalize" -> (() => t => java.text.Normalizer
-        .normalize(t, java.text.Normalizer.Form.NFD).length.toLong),
-      "ascii_fold" -> (() => t =>
-        graft.text.AsciiFold(t.toLowerCase(java.util.Locale.ROOT)).length.toLong),
-      // the retained reference implementation itself (shared compiled
-      // patterns, exactly what production ran before the fusion) — the
-      // regression sentinel cannot drift from what it claims to measure
-      "clean_regex_chain" -> (() => t =>
-        graft.text.CleanText.scrubReference(t).length.toLong),
-      "minhash_bands" -> (() => t =>
-        graft.dedup.MinHash.bandHashesOf(t, mhCfg).sum),
-      "simhash64" -> (() => t => graft.analytics.NearDup.simhash64(t)),
-      // remaining regex-bearing per-doc operators, watched for the same
-      // thread-scaling collapse the clean_text chain had
-      "pii_scrub_extended" -> (() => t => Pii.scrubExtended(t).length.toLong),
-      "segment_sentences" -> (() => t =>
-        graft.text.Segmenter.sentences(t).length.toLong),
-      "textstats_compute" -> (() => t =>
-        graft.text.TextStats.compute(t).nWords.toLong))
-
     // heuristics_analyze_rewrite gets its own pre-built input (identical
     // docs plus a citation-scrubbed line) so the timed closure never
     // pays a per-call string concat the production path doesn't
     val rewriteDocs = docs.map(
       _ + "\nthe result was shown [citation needed] here today.")
-    def inputFor(name: String): Array[String] =
-      if (name == "heuristics_analyze_rewrite") rewriteDocs else docs
+
+    // name, input docs, per-thread consumer factory (returns Long so
+    // results fold into the blackhole without boxing). Inputs are paired
+    // DIRECTLY with their component — the old name-string dispatch meant
+    // a key rename silently timed the wrong input (ADVICE r5).
+    def c(name: String, mk: () => String => Long,
+          input: Array[String] = docs): (String, Array[String], () => String => Long) =
+      (name, input, mk)
+    val components: Seq[(String, Array[String], () => String => Long)] = Seq(
+      c("tokenize", () => t => lm.tokenize(t).length.toLong),
+      c("perplexity_plain", () => t =>
+        java.lang.Double.doubleToLongBits(lm.perplexity(t))),
+      c("perplexity_interned", () => {
+        val interner = new KneserNeyLM.TokenInterner()
+        t => java.lang.Double.doubleToLongBits(lm.perplexity(t, interner))
+      }),
+      c("langid_predict", () => t =>
+        java.lang.Double.doubleToLongBits(models.lang.predict(t)._2)),
+      c("heuristics_analyze", () => t =>
+        Heuristics.analyze(t, heurCfg).n_tokens.toLong),
+      // rewriteDocs: C4 rewrites every doc, so this times the
+      // NON-identity path (line-level FineWeb pass instead of a full
+      // second compute); the suffix is pre-appended outside the timed
+      // region so the closure shape matches heuristics_analyze
+      c("heuristics_analyze_rewrite", () => t =>
+        Heuristics.analyze(t, heurCfg).n_tokens.toLong, rewriteDocs),
+      c("pii_scrub", () => t => Pii.scrub(t).length.toLong),
+      c("clean_text", () => t => graft.text.CleanText(t).length.toLong),
+      // clean_text sub-components, isolated: NFD normalization, the fold
+      // loop (includes NFD), and the three-regex scrub chain alone
+      c("nfd_normalize", () => t => java.text.Normalizer
+        .normalize(t, java.text.Normalizer.Form.NFD).length.toLong),
+      c("ascii_fold", () => t =>
+        graft.text.AsciiFold(t.toLowerCase(java.util.Locale.ROOT)).length.toLong),
+      // the retained reference implementation itself (shared compiled
+      // patterns, exactly what production ran before the fusion) — the
+      // regression sentinel cannot drift from what it claims to measure
+      c("clean_regex_chain", () => t =>
+        graft.text.CleanText.scrubReference(t).length.toLong),
+      c("minhash_bands", () => t =>
+        graft.dedup.MinHash.bandHashesOf(t, mhCfg).sum),
+      c("simhash64", () => t => graft.analytics.NearDup.simhash64(t)),
+      // remaining regex-bearing per-doc operators, watched for the same
+      // thread-scaling collapse the clean_text chain had
+      c("pii_scrub_extended", () => t => Pii.scrubExtended(t).length.toLong),
+      c("segment_sentences", () => t =>
+        graft.text.Segmenter.sentences(t).length.toLong),
+      c("textstats_compute", () => t =>
+        graft.text.TextStats.compute(t).nWords.toLong),
+      // flagship INPUT-SIDE cost: one full Synth row (url/ts/html/text/
+      // labels) per call — the generation work every filterScrub lap
+      // pays before any scoring; the input string is ignored, a
+      // per-thread counter drives the row index
+      c("synth_row", () => {
+        var i = 0L
+        t => {
+          i += 1
+          val r = Synth.row(i, 1000000L, Synth.DefaultSeed)
+          r.text.length.toLong + r.html.length
+        }
+      }))
 
     // global warmup: every component over a slice, twice, so C2 compiles
     // all hot loops before any lap is timed
     (1 to 2).foreach { _ =>
-      components.foreach { case (name, mk) =>
+      components.foreach { case (_, input, mk) =>
         val f = mk()
-        inputFor(name).take(math.min(nDocs, 20000)).foreach(f(_))
+        input.take(math.min(nDocs, 20000)).foreach(f(_))
       }
     }
 
-    val results = components.map { case (name, mk) =>
-      name -> timeComponent(inputFor(name), threads)(mk)
+    val results = components.map { case (name, input, mk) =>
+      name -> timeComponent(input, threads)(mk)
     }
     val js = results
       .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")

@@ -69,9 +69,18 @@ object ExactDedup {
     * sites can never drift. Eager (runs a job); persist `df` first.
     */
   def idIsUniqueKey(df: DataFrame, idCol: String): Boolean = {
-    val u = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn"),
-      countDistinct(col(idCol)).as("nd")).head()
-    u.getLong(0) == u.getLong(1) && u.getLong(1) == u.getLong(2)
+    // r6: single groupBy instead of count+countDistinct — the distinct
+    // aggregate planned an Expand (2× rows through the exchange) plus an
+    // extra aggregate phase. "non-null unique key" ⟺ no null ids AND
+    // every id group is a singleton, which one keyed aggregation answers
+    // with map-side combining and half the shuffle bytes.
+    val u = df.select(col(idCol).as("__id"))
+      .groupBy("__id").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(1L)).as("mx"), // empty: trivially unique
+        coalesce(sum(when(col("__id").isNull, col("c")).otherwise(lit(0L))),
+          lit(0L)).as("nulls"))
+      .head()
+    u.getLong(0) == 1L && u.getLong(1) == 0L
   }
 
   def markById(df: DataFrame, dupCols: Seq[String], orderCols: Seq[String],

@@ -157,10 +157,7 @@ object MinHash {
     val Seed = 42L
     val nh = cfg.numHashes
     val mins = Array.fill(nh)(Long.MaxValue)
-    def addShingle(s: String): Unit = {
-      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val shHash =
-        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed)
+    def addHash(shHash: Long): Unit = {
       val base = XXH64.hashLong(shHash, Seed) // xxhash64(sh_hash, i) step 1
       var i = 0
       while (i < nh) {
@@ -173,19 +170,45 @@ object MinHash {
     val ws = graft.text.TextStats.words(text)
     val k = cfg.shingleSize
     if (ws.length >= k) {
-      val sb = new java.lang.StringBuilder
+      // r6: hash the shingle's UTF-8 bytes out of a reusable buffer fed
+      // by per-word byte arrays encoded ONCE — the StringBuilder →
+      // toString → getBytes form allocated two objects per shingle and
+      // re-encoded every word k times (each word sits in up to k
+      // windows). Bytes are identical, so shHash (and the 112 mixes
+      // derived from it alone) are bit-identical to the SQL path.
+      val wb = new Array[Array[Byte]](ws.length)
+      var wi = 0
+      var winBytes = 0 // rolling window payload size, words only
+      var maxWin = 0
+      while (wi < ws.length) {
+        val b = ws(wi).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        wb(wi) = b
+        winBytes += b.length
+        if (wi >= k) winBytes -= wb(wi - k).length
+        if (wi >= k - 1 && winBytes > maxWin) maxWin = winBytes
+        wi += 1
+      }
+      val buf = new Array[Byte](maxWin + (k - 1)) // + separators
       var i = 0
       while (i + k <= ws.length) {
-        sb.setLength(0)
+        var len = 0
         var j = 0
         while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(ws(i + j)); j += 1
+          if (j > 0) { buf(len) = ' '; len += 1 }
+          val b = wb(i + j)
+          System.arraycopy(b, 0, buf, len, b.length)
+          len += b.length
+          j += 1
         }
-        addShingle(sb.toString)
+        addHash(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET,
+          len, Seed))
         i += 1
       }
-    } else addShingle(text)
+    } else {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      addHash(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, Seed))
+    }
     mins
   }
 
@@ -216,8 +239,23 @@ object MinHash {
                  cfg: Config = Config()): DataFrame = {
     val bandsUdf = udf((t: String) =>
       if (t == null) null else bandHashesOf(t, cfg))
-    df.select(col(idCol).as("id"),
+    parallelized(df).select(col(idCol).as("id"),
       posexplode(bandsUdf(col(textCol))).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Input-skew remedy for the per-doc hash passes (optimization guide
+    * §2.5: "one huge unsplittable file … repartition immediately after
+    * the read"): a small parquet table arrives as ONE split (row groups
+    * don't subdivide), serializing the signature UDF on a single core
+    * while the rest idle. Repartition only when the input has fewer
+    * partitions than half the available parallelism — on a real corpus
+    * (thousands of splits) this is a no-op, so no shuffle is added at
+    * scale; locally it turns a 1-task 200 ms UDF stage into 32 tasks.
+    * Results are unaffected: every consumer is id-keyed or aggregated.
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par) else df
   }
 
   /** The fully declarative Catalyst formulation (north-star shape:
@@ -282,7 +320,7 @@ object MinHash {
                  cfg: Config = Config()): DataFrame = {
     val vecUdf = udf((t: String) =>
       if (t == null) null else minVectorOf(t, cfg))
-    df.select(col(idCol).as("id"), vecUdf(col(textCol)).as("sig"))
+    parallelized(df).select(col(idCol).as("id"), vecUdf(col(textCol)).as("sig"))
   }
 
   /** (id, band_id, band_hash) band table derived from an (id, sig)
@@ -393,11 +431,13 @@ object MinHash {
           "verified markAgainst needs an (id, sig) vector snapshot — " +
             "band-format reference signatures cannot be Jaccard-tested; " +
             "re-snapshot with MinHash.sigVectors / --write-sigs")
-        // persist: the vector UDF pass over the incoming text has two
-        // consumers (band fold + verification join); materialize the
-        // tiny verified-id set, then drop the cache before returning.
+        // materialized: the vector UDF pass over the incoming text has
+        // two consumers (band fold + verification join) — an eager
+        // checkpoint guarantees one execution (the lazy persist raced
+        // under AQE's concurrent exchange materialization; see
+        // clusterTable) and needs no unpersist bookkeeping.
         val newVecs = sigVectors(newDf, idCol, textCol, cfg)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.SparkUtil.materialize)
         // per-bucket reps: stored with the snapshot when available
         // ([[bandReps]] — snapshot-static), else derived here at the
         // cost of one reference-sized aggregation
@@ -423,7 +463,6 @@ object MinHash {
             >= cfg.verifyThreshold)
           .select("id").distinct()
           .transform(graft.SparkUtil.materialize)
-        newVecs.unpersist(false)
         verified
       } else {
         val refBands =
@@ -576,9 +615,13 @@ object MinHash {
 
   /** Distributed-CC result: labels (id, cluster) plus the number of
     * propagation rounds actually run (0 on the fast paths). Exposed so
-    * tests can pin the O(log n) convergence bound.
+    * tests can pin the O(log n) convergence bound. `localSize` is the
+    * label count when it is already known driver-side (the union-find
+    * fast path returns a LocalRelation it just built) — callers can skip
+    * both a materializing checkpoint and a counting job on it.
     */
-  case class CcResult(labels: DataFrame, rounds: Int)
+  case class CcResult(labels: DataFrame, rounds: Int,
+                      localSize: Option[Long] = None)
 
   /** Connected components over the (undirected) candidate edges.
     * Returns (id, cluster) for every vertex of the duplicate graph;
@@ -615,6 +658,45 @@ object MinHash {
                         driverMaxEdges: Long = DriverCcMaxEdges,
                         maxIter: Int = DefaultCcMaxIter): CcResult = {
     val e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    // r6: ONE action decides the path AND feeds the fast path. The old
+    // count-then-collect ran two full jobs over the edge pipeline; a
+    // collect limited to driverMaxEdges+1 rows answers "small enough?"
+    // and, when yes (the overwhelmingly common case — candidate edges
+    // are O(duplicates)), IS the edge list the union-find needs. Above
+    // the cap the distributed loop takes over exactly as before, with
+    // the persisted frame re-counted only for its log line / throw text.
+    if (driverMaxEdges > 0 &&
+        e.schema("src").dataType == org.apache.spark.sql.types.StringType) {
+      val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
+      // scoped conf: without it the limited collect walks Spark's take
+      // ladder (1 → 4 → 16 → … partitions, one sequential job each,
+      // since the limit is never reached in the common case); with all
+      // partitions in the first round it is ONE parallel job, the same
+      // shape as the count it replaces
+      val conf = e.sparkSession.conf
+      val key = "spark.sql.limit.initialNumPartitions"
+      val prev = conf.getOption(key)
+      conf.set(key, Int.MaxValue.toString)
+      val rows =
+        try e.limit(cap + 1).collect()
+        finally prev match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
+      if (rows.length <= cap) {
+        e.unpersist(false)
+        if (rows.isEmpty)
+          return CcResult(e.sparkSession.createDataFrame(
+            e.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                e.schema("src").dataType),
+              org.apache.spark.sql.types.StructField("cluster",
+                e.schema("src").dataType)))), 0, Some(0L))
+        val (out, n) = driverUnionFind(e.sparkSession, rows)
+        return CcResult(out, 0, Some(n))
+      }
+    }
     val nEdges = e.count()
     if (nEdges == 0) {
       e.unpersist(false)
@@ -624,13 +706,7 @@ object MinHash {
           org.apache.spark.sql.types.StructField("id",
             e.schema("src").dataType),
           org.apache.spark.sql.types.StructField("cluster",
-            e.schema("src").dataType)))), 0)
-    }
-    if (nEdges <= driverMaxEdges &&
-        e.schema("src").dataType == org.apache.spark.sql.types.StringType) {
-      val out = driverUnionFind(e)
-      e.unpersist(false)
-      return CcResult(out, 0)
+            e.schema("src").dataType)))), 0, Some(0L))
     }
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -688,10 +764,14 @@ object MinHash {
 
   /** Path-compressed union-find over a collected edge list (small-graph
     * fast path). Representative = lexicographic min of the component,
-    * matching the distributed loop bit-for-bit.
+    * matching the distributed loop bit-for-bit. Takes the already-
+    * collected rows (the caller's path-decision collect doubles as the
+    * edge fetch) and returns the label frame plus its size, known
+    * driver-side for free.
     */
-  private def driverUnionFind(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
+  private def driverUnionFind(spark: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row])
+      : (DataFrame, Long) = {
     import scala.collection.mutable
     val parent = mutable.HashMap.empty[String, String]
     def find(x: String): String = {
@@ -701,7 +781,7 @@ object MinHash {
       while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    e.select("src", "dst").collect().foreach { row =>
+    rows.foreach { row =>
       val (a, b) = (row.getString(0), row.getString(1))
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) {
@@ -712,7 +792,7 @@ object MinHash {
     }
     val pairs = parent.keysIterator.map(v => (v, find(v))).toSeq
     import spark.implicits._
-    pairs.toDF("id", "cluster")
+    (pairs.toDF("id", "cluster"), pairs.size.toLong)
   }
 
   /** Ids to drop: every clustered node except its component representative
@@ -769,41 +849,67 @@ object MinHash {
   def mark(df: DataFrame, idCol: String, textCol: String,
            cfg: Config = Config(), stageDir: Option[String] = None)
           (implicit spark: SparkSession): DataFrame = {
-    // persist the narrow signature table (id + 2 longs, ~30 MB per 1M
-    // docs): candidateEdges consumes it twice and the min-hash UDF pass
-    // over the corpus text is the expensive part. With a stageDir the
-    // table is parquet-backed instead (committed = durable resume point
-    // AND materialization in one), so no persist is needed.
-    // persisted base: the narrow band table in reference mode; when
-    // verification is on, the full numHashes-long vector table AND the
-    // band table derived from it (bands derive from the vector per-row,
-    // so the text scans once either way — verification trades ~3.6×
-    // cache for the false-positive cut)
+    val (cl, clSize) = clusterTable(df, idCol, textCol, cfg, stageDir)
+    val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
+    val clJoin =
+      if (clSize.getOrElse(cl.count()) <= BroadcastClustersMaxRows)
+        broadcast(clSel)
+      else clSel
+    df.join(clJoin, Seq(idCol), "left")
+      .withColumn("is_near_dup",
+        col("minhash_cluster").isNotNull && col(idCol) =!= col("minhash_cluster"))
+  }
+
+  /** The (id, cluster) map behind [[mark]] — every clustered doc with its
+    * component-min representative — plus its row count when known
+    * driver-side for free (union-find fast path). Exposed (r6) so callers
+    * that only need the verdict columns (CorpusPipeline's single-pass
+    * dedup) can join this O(duplicates) table directly instead of going
+    * through [[mark]]'s full-frame join and re-executing their input
+    * subtree a second time.
+    */
+  def clusterTable(df: DataFrame, idCol: String, textCol: String,
+                   cfg: Config = Config(), stageDir: Option[String] = None)
+                  (implicit spark: SparkSession): (DataFrame, Option[Long]) = {
+    // materialize the narrow signature table (id + 2 longs per band,
+    // ~30 MB per 1M docs): candidateEdges consumes it twice and the
+    // min-hash UDF pass over the corpus text is the expensive part.
+    // r6: an eager checkpoint (SparkUtil.materialize) instead of the r5
+    // lazy persist — AQE materializes candidateEdges' two exchanges
+    // (aggregation + join probe) CONCURRENTLY, and the job probe showed
+    // both branches recomputing the full signature subtree (corpus scan
+    // + hash UDF, twice) despite the registered persist: concurrent
+    // cold-cache population + AQE's plan rewriting defeat
+    // InMemoryRelation reuse here. The checkpoint guarantees exactly
+    // one execution by construction, stores the same executor-local
+    // blocks, and needs no unpersist bookkeeping (ContextCleaner-
+    // managed). With a stageDir the table is parquet-backed instead
+    // (committed = durable resume point AND materialization in one).
+    // Same for the verification-mode vector table and the band table
+    // derived from it.
     val vecs: Option[DataFrame] =
       if (cfg.verifyThreshold <= 0.0) None
       else Some(stageDir match {
         case Some(d) => committed(spark, s"$d/sig_vectors")(
           sigVectors(df, idCol, textCol, cfg))
         case None => sigVectors(df, idCol, textCol, cfg)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.SparkUtil.materialize)
       })
     val sigs = vecs match {
       case Some(v) =>
-        // persisted too: candidateEdges consumes the band table twice
-        // (aggregation + join probe), and without this the band fold +
-        // posexplode re-run over the cached vectors per consumer — a
-        // duplicated corpus-sized stage. Narrow (id + 2 longs × bands),
-        // same cache footprint the reference-mode path already pays.
-        bandsFromVectors(v, cfg)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialized too: candidateEdges consumes the band table
+        // twice, and the band fold + posexplode would otherwise re-run
+        // over the vector table per consumer. Narrow (id + 2 longs ×
+        // bands), same footprint the reference-mode path already pays.
+        bandsFromVectors(v, cfg).transform(graft.SparkUtil.materialize)
       case None => stageDir match {
         case Some(d) => committed(spark, s"$d/signatures")(
           signatures(df, idCol, textCol, cfg))
         case None => signatures(df, idCol, textCol, cfg)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.SparkUtil.materialize)
       }
     }
-    def computeClusters(): DataFrame = {
+    def computeClusters(): CcResult = {
       val edges0 =
         if (cfg.saltBuckets > 1 && cfg.hotBandThreshold > 0)
           candidateEdgesSaltedHot(sigs, cfg.saltBuckets, cfg.hotBandThreshold)
@@ -814,7 +920,7 @@ object MinHash {
           verifiedEdges(edges0, v, cfg.verifyThreshold).select("src", "dst")
         case None => edges0
       }
-      clusters(edges, cfg.driverCcMaxEdges)
+      clustersWithStats(edges, cfg.driverCcMaxEdges)
     }
     // materialize, NOT persist: the returned frame references cl, so a
     // persist here could never be unpersisted inline and leaked one
@@ -831,26 +937,28 @@ object MinHash {
     val clustersLeaf =
       if (cfg.verifyThreshold > 0.0) s"clusters_v${cfg.verifyThreshold}"
       else "clusters"
-    // finally: a computeClusters failure (verifiedEdges require, CC
-    // maxIter, any task error) must release the corpus-sized signature
-    // caches too — a caller that catches and continues on a long-lived
-    // session would otherwise accumulate one leaked entry per failure
-    val cl =
-      try stageDir match {
-        case Some(d) => committed(spark, s"$d/$clustersLeaf")(computeClusters())
-        case None => computeClusters().transform(graft.SparkUtil.materialize)
-      } finally vecs match { // cl is materialized/committed — caches done
-        case Some(v) =>
-          sigs.unpersist(false) // the derived band table, always persisted
-          if (stageDir.isEmpty) v.unpersist(false) // else parquet-backed
+    // r6: the union-find fast path returns a LocalRelation it just built
+    // on the driver (localSize known) — checkpointing it would launch a
+    // job to re-materialize data that is already local, and counting it
+    // for the broadcast decision another; both are skipped. The
+    // distributed path keeps the materialize exactly as before. No
+    // unpersist bookkeeping remains: the signature intermediates are
+    // eager checkpoints (ContextCleaner-managed), released when the
+    // frames go out of scope even on the failure path.
+    val (cl, clSize): (DataFrame, Option[Long]) =
+      stageDir match {
+        case Some(d) =>
+          (committed(spark, s"$d/$clustersLeaf")(computeClusters().labels),
+            None)
         case None =>
-          if (stageDir.isEmpty) sigs.unpersist(false)
+          val res = computeClusters()
+          res.localSize match {
+            case s @ Some(_) => (res.labels, s)
+            case None =>
+              (res.labels.transform(graft.SparkUtil.materialize), None)
+          }
       }
-    val clSel = cl.select(col("id").as(idCol), col("cluster").as("minhash_cluster"))
-    val clJoin = if (cl.count() <= BroadcastClustersMaxRows) broadcast(clSel) else clSel
-    df.join(clJoin, Seq(idCol), "left")
-      .withColumn("is_near_dup",
-        col("minhash_cluster").isNotNull && col(idCol) =!= col("minhash_cluster"))
+    (cl, clSize)
   }
 
   /** Quality-aware representative selection: like [[mark]], but each

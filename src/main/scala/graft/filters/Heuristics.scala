@@ -63,13 +63,61 @@ object Heuristics {
     false
   }
 
+  /** Allocation-free `hay.toLowerCase(ROOT).contains(needle)` for pure
+    * ASCII `hay` and lowercase-ASCII `needle`. Callers must verify `hay`
+    * is all-ASCII first: exotic mappings (Kelvin sign K → k) lower INTO
+    * ascii, so a blind per-char fold would diverge from the String
+    * lowering on such inputs — the non-ASCII fallback keeps byte-exact
+    * parity with the original construction.
+    */
+  private def containsCiAscii(hay: String, needle: String): Boolean = {
+    val n = needle.length
+    if (n == 0) return true
+    val max = hay.length - n
+    val c0 = needle.charAt(0)
+    var i = 0
+    while (i <= max) {
+      var c = hay.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if (c == c0) {
+        var j = 1
+        var ok = true
+        while (ok && j < n) {
+          var h = hay.charAt(i + j)
+          if (h >= 'A' && h <= 'Z') h = (h + 32).toChar
+          if (h != needle.charAt(j)) ok = false else j += 1
+        }
+        if (ok) return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  @inline private def isAllAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 128) return false
+      i += 1
+    }
+    true
+  }
+
   /** C4QualityFilter (findweb.py:107-110) — line-level edit + doc filter.
     * Returns (scrubbedText, docDropped). Terminal-punct line filtering is
     * disabled in the reference run (filter_no_terminal_punct=False).
+    *
+    * r6: the case-insensitive phrase probes run allocation-free on ASCII
+    * text (the overwhelming majority after langid) — the old form built
+    * one lowercase copy of the whole document plus one per line; ASCII
+    * lines now scan in place, non-ASCII lines keep the exact original
+    * lowering ([[containsCiAscii]]).
     */
   def c4Process(text: String, cfg: HeuristicConfig): (String, Boolean) = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    if (lower.contains("lorem ipsum") || text.contains("{")) return (text, true)
+    val docHasLorem =
+      if (isAllAscii(text)) containsCiAscii(text, "lorem ipsum")
+      else text.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum")
+    if (docHasLorem || text.contains("{")) return (text, true)
     // single flatMap: the citation scrub runs AT MOST ONCE per line (the
     // old filter+map shape ran the regex twice per kept line), and the
     // regex is gated on a cheap substring probe — lines without
@@ -86,13 +134,17 @@ object Heuristics {
       val t = line.trim
       if (t.isEmpty) Some(line)
       else {
-        val lw = t.toLowerCase(java.util.Locale.ROOT)
+        // ASCII lines probe in place; non-ASCII keep the exact lowering
+        val lw =
+          if (isAllAscii(t)) null else t.toLowerCase(java.util.Locale.ROOT)
+        @inline def has(needle: String): Boolean =
+          if (lw == null) containsCiAscii(t, needle) else lw.contains(needle)
         val cleaned =
-          if (lw.contains("citation needed")) CitationRe.replaceAllIn(line, "")
+          if (has("citation needed")) CitationRe.replaceAllIn(line, "")
           else line
         val wc = TextStats.countWords(cleaned)
         if (wc < cfg.c4MinWordsPerLine) { changed = true; None }
-        else if (PolicyPhrases.exists(lw.contains)) { changed = true; None }
+        else if (PolicyPhrases.exists(has)) { changed = true; None }
         else if (cfg.c4FilterNoTerminalPunct &&
                  !(t.nonEmpty && TerminalPunct.contains(t.charAt(t.length - 1)))) {
           changed = true; None

@@ -34,8 +34,16 @@ class FastTextModel(
     val wordNgrams: Int = 1
 ) extends Serializable {
 
+  // power-of-two fast path: for b = 2^k, (h & (b-1)) equals the
+  // mathematical mod ((h % b + b) % b) for every h (two's complement), so
+  // the two 64-bit divisions per feature — ~3 features per char in the
+  // lid shape — become one mask. Identical bucket values either way.
+  private val bucketMask: Long =
+    if (buckets > 0 && (buckets & (buckets - 1)) == 0) buckets - 1L else -1L
+
   @inline private def bucket(h: Long): Int =
-    ((h % buckets + buckets) % buckets).toInt
+    if (bucketMask >= 0) (h & bucketMask).toInt
+    else ((h % buckets + buckets) % buckets).toInt
 
   /** Feature bag: char n-grams for the lid shape, word n-grams for the
     * classifier shape (see [[wordNgrams]]).
@@ -46,11 +54,53 @@ class FastTextModel(
 
   /** Hashed char n-grams (n = 1..3) over the first `maxChars` chars of the
     * lowercased text with boundary padding — the lid-style feature space.
+    *
+    * ASCII fast path (r6): when the first min(len, maxChars) chars are
+    * all ASCII, the lowered prefix equals the per-char A–Z fold of that
+    * prefix (ASCII chars lower context-free and 1:1; Java's only
+    * contextual mapping, Greek final sigma, and every length-changing
+    * mapping involve non-ASCII input chars), so the features are
+    * computed over a VIRTUAL " " + folded + " " string — no lowercase
+    * copy, no concat copy. Any non-ASCII char falls back to the exact
+    * original construction.
     */
   private def charFeatures(text: String, maxChars: Int): Array[Int] = {
-    val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(maxChars) + " "
+    val m = math.min(text.length, maxChars)
+    var ascii = true
+    var p = 0
+    while (p < m && ascii) {
+      if (text.charAt(p) >= 128) ascii = false
+      p += 1
+    }
+    if (!ascii)
+      return charFeaturesGeneral(text, maxChars)
+    val len = m + 2 // virtual boundary spaces
+    @inline def ch(pos: Int): Char =
+      if (pos == 0 || pos == len - 1) ' '
+      else {
+        val c = text.charAt(pos - 1)
+        if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      }
     // raw int array (an ArrayBuffer[Int] boxes every element — ~3 boxed
     // Integers per char adds up at 50k docs/s): exact capacity is ≤ 3L-3
+    val buf = new Array[Int](len * 3)
+    var k = 0
+    var i = 0
+    while (i < len) {
+      var h1 = 1125899906842597L
+      var n = 0
+      while (n < 3 && i + n < len) {
+        h1 = h1 * 31 + ch(i + n)
+        buf(k) = bucket(h1); k += 1
+        n += 1
+      }
+      i += 1
+    }
+    if (k == buf.length) buf else java.util.Arrays.copyOf(buf, k)
+  }
+
+  private def charFeaturesGeneral(text: String, maxChars: Int): Array[Int] = {
+    val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(maxChars) + " "
     val buf = new Array[Int](t.length * 3)
     var k = 0
     var i = 0

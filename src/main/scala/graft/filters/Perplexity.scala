@@ -167,9 +167,17 @@ object KneserNeyLM {
     private val maxUsed = (1 << capBits) * 7 / 10
 
     def intern(sb: java.lang.StringBuilder): String = {
+      val n = sb.length
+      // over-long tokens are returned uninterned (r6, ADVICE): crawled
+      // corpora carry base64/hash blobs that tokenize to single large
+      // [a-z0-9'] tokens; interning caps entry COUNT but not bytes, so
+      // ~45k mostly-distinct large strings could stay retained for the
+      // whole task. Zipf mass sits in short tokens — the hit-rate loss
+      // above 32 chars is negligible, and the skipped strings stay
+      // GC-able exactly like the pre-interner path.
+      if (n > 32) return sb.toString
       var h = -2128831035 // FNV-1a over UTF-16 code units
       var i = 0
-      val n = sb.length
       while (i < n) { h = (h ^ sb.charAt(i)) * 16777619; i += 1 }
       var idx = h & mask
       var probes = 0
@@ -409,29 +417,43 @@ object KneserNeyLM {
           private var entries = 0
           private var markers = 0L
           private var out: Iterator[(String, String, Long)] = Iterator.empty
+          // mid-doc resume state (r6, ADVICE): the flush cap is enforced
+          // INSIDE the per-token loop, so one pathological doc (huge,
+          // mostly-distinct bigrams) can no longer push the unmanaged
+          // map arbitrarily past partialAggEntries. A doc split across
+          // flushes keeps `curPrev` alive, so the straddling bigram is
+          // still emitted and the output multiset is flush-invariant;
+          // markers count docs at entry, once.
+          private var curToks: Array[String] = null
+          private var curI = 0
+          private var curPrev = "<s>"
           private def fill(): Unit = {
             // every drain zeroes markers/entries, so leftover state never
             // survives into a re-check — input is the only refill source
-            while (!out.hasNext && it.hasNext) {
-              while (it.hasNext && entries < partialAggEntries) {
-                val t = it.next()
-                markers += 1L
-                var prev = "<s>"
-                val toks = tok.tokenize(if (t == null) "" else t, interner)
-                var i = 0
-                while (i < toks.length) {
-                  val w = toks(i)
-                  var sub = agg.get(prev)
+            while (!out.hasNext && (it.hasNext || curToks != null)) {
+              while (entries < partialAggEntries &&
+                     (curToks != null || it.hasNext)) {
+                if (curToks == null) {
+                  val t = it.next()
+                  markers += 1L
+                  curPrev = "<s>"
+                  curToks = tok.tokenize(if (t == null) "" else t, interner)
+                  curI = 0
+                }
+                while (curI < curToks.length && entries < partialAggEntries) {
+                  val w = curToks(curI)
+                  var sub = agg.get(curPrev)
                   if (sub == null) {
                     sub = new java.util.HashMap[String, Array[Long]]()
-                    agg.put(prev, sub)
+                    agg.put(curPrev, sub)
                   }
                   val cell = sub.get(w)
                   if (cell == null) { sub.put(w, Array(1L)); entries += 1 }
                   else cell(0) += 1L
-                  prev = w
-                  i += 1
+                  curPrev = w
+                  curI += 1
                 }
+                if (curI >= curToks.length) curToks = null
               }
               val buf = new scala.collection.mutable.ArrayBuffer[
                 (String, String, Long)](entries + 1)

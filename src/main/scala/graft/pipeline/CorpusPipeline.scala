@@ -311,25 +311,41 @@ object CorpusPipeline {
     val aliveN = scored.filter(col("drop_stage").isNull)
       .select(col("url"), col("warc_ts"), col("scrubbed_text"))
     // exact keep-first over (id, content-hash, order) — ~100 B/row
-    // through the window shuffle, never the text
-    val exactDupIds: Option[DataFrame] =
+    // through the window shuffle, never the text. MATERIALIZED (r6):
+    // the dup-id set has two consumers (the anti-join gating the
+    // near-dup stage and the final verdict join) and without a
+    // checkpoint the whole cache-scan + window subtree executed once
+    // per consumer; the materialized table is O(exact duplicates) and
+    // its known count drives an explicit broadcast hint below — the
+    // scored side of the verdict join then never shuffles (the r5 form
+    // left the join to AQE, which first materialized a full sort-merge
+    // exchange of the corpus-width side because an RDD-backed cache
+    // reports no size statistics).
+    val exactDupIds: Option[(DataFrame, Long)] =
       if (!cfg.exactDedup) None
       else {
         val w = Window.partitionBy(col("_k"))
           .orderBy(col("warc_ts"), col("url"))
-        Some(aliveN
+        val x = aliveN
           .select(col("url"), col("warc_ts"),
             ExactDedup.key(Seq(col("scrubbed_text"))).as("_k"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") > 1)
-          .select(col("url").as("_xd_id")))
+          .select(col("url").as("_xd_id"))
+          .transform(graft.SparkUtil.materialize)
+        Some((x, x.count()))
       }
     val stillAliveN = exactDupIds match {
-      case Some(x) => aliveN.join(x, aliveN("url") === x("_xd_id"),
+      case Some((x, _)) => aliveN.join(x, aliveN("url") === x("_xd_id"),
         "left_anti")
       case None => aliveN
     }
-    val nearTbl: Option[DataFrame] =
+    // near-dup verdicts straight from the O(duplicates) cluster map
+    // (id, cluster): every column the pipeline needs derives from the
+    // map alone, so the r5 detour through MinHash.mark's full-frame
+    // join — which re-executed the stillAliveN window/anti-join subtree
+    // a second time just to project three columns back out — is gone.
+    val nearTbl: Option[(DataFrame, Option[Long])] =
       if (!cfg.minhashDedup) None
       else {
         val mhCfg = MinHash.Config(cfg.minhashBands, cfg.minhashRowsPerBand,
@@ -337,19 +353,26 @@ object CorpusPipeline {
           hotBandThreshold = cfg.minhashHotBandThreshold,
           driverCcMaxEdges = cfg.ccDriverMaxEdges,
           verifyThreshold = cfg.minhashVerifyThreshold)
-        Some(MinHash.mark(stillAliveN, "url", "scrubbed_text", mhCfg,
-            stageDir = cfg.dedupStageDir)
-          .filter(col("minhash_cluster").isNotNull)
-          .select(col("url").as("_mh_id"),
-            col("minhash_cluster").cast("string").as("_mh_cluster"),
-            col("is_near_dup").as("_mh_dup")))
+        val (cl, clSize) = MinHash.clusterTable(stillAliveN, "url",
+          "scrubbed_text", mhCfg, stageDir = cfg.dedupStageDir)
+        Some((cl.select(col("id").as("_mh_id"),
+          col("cluster").cast("string").as("_mh_cluster"),
+          (col("id") =!= col("cluster")).as("_mh_dup")), clSize))
       }
     var out = scored
-    exactDupIds.foreach { x =>
-      out = out.join(x, out("url") === x("_xd_id"), "left")
+    exactDupIds.foreach { case (x, n) =>
+      val side =
+        if (n <= MinHash.BroadcastClustersMaxRows) broadcast(x) else x
+      out = out.join(side, out("url") === x("_xd_id"), "left")
     }
-    nearTbl.foreach { nt =>
-      out = out.join(nt, out("url") === nt("_mh_id"), "left")
+    nearTbl.foreach { case (nt, sz) =>
+      // broadcast only on a KNOWN-small count; size-unknown maps (the
+      // distributed-CC and stageDir paths) are parquet/RDD-backed and
+      // left to AQE's own statistics
+      val side =
+        if (sz.exists(_ <= MinHash.BroadcastClustersMaxRows)) broadcast(nt)
+        else nt
+      out = out.join(side, out("url") === nt("_mh_id"), "left")
     }
     val withStage = out.withColumn("drop_stage", coalesce(
       Seq(col("drop_stage")) ++

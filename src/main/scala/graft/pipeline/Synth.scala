@@ -126,29 +126,71 @@ object Synth {
   /** One sentence that passes every heuristic: 8–14 words, capitalized,
     * '.'-terminated; for English, "the"/"of"/"and" are woven in so the
     * Gopher stop-word gate is satisfied by construction.
+    *
+    * Streamed into `sb` (r6): the original Array.fill + mkString + "."
+    * form allocated a word array, a joined string and a re-copied final
+    * string per sentence — at 32 executor threads the generator's
+    * allocation churn measured 121 µs·core/doc (ProfileBench synth_row),
+    * a visible slice of every filterScrub lap. The rng call sequence
+    * (one nextInt(7) + n vocab picks) and the emitted characters are
+    * IDENTICAL: picks at word slots 1/3/5 are still drawn and then
+    * shadowed by the/of/and when `english`, and word 0's capitalize is
+    * the same single-char toUpper (all-lowercase vocab).
     */
-  def sentence(rng: Random, vocab: IndexedSeq[String], english: Boolean): String = {
-    val n = 8 + rng.nextInt(7)
-    val ws = Array.fill(n)(pick(rng, vocab))
-    if (english) {
-      ws(1 % n) = "the"
-      ws(3 % n) = "of"
-      ws(5 % n) = "and"
+  private def appendSentence(sb: java.lang.StringBuilder, rng: Random,
+                             vocab: IndexedSeq[String],
+                             english: Boolean): Unit = {
+    val n = 8 + rng.nextInt(7) // n >= 8, so slots 1%n/3%n/5%n are 1/3/5
+    var j = 0
+    while (j < n) {
+      val p = pick(rng, vocab) // always drawn — rng sequence preserved
+      val w =
+        if (english && j == 1) "the"
+        else if (english && j == 3) "of"
+        else if (english && j == 5) "and"
+        else p
+      if (j > 0) sb.append(' ')
+      if (j == 0) {
+        sb.append(Character.toUpperCase(w.charAt(0)))
+        sb.append(w, 1, w.length)
+      } else sb.append(w)
+      j += 1
     }
-    ws(0) = ws(0).capitalize
-    ws.mkString(" ") + "."
+    sb.append('.')
+    ()
+  }
+
+  def sentence(rng: Random, vocab: IndexedSeq[String], english: Boolean): String = {
+    val sb = new java.lang.StringBuilder(96)
+    appendSentence(sb, rng, vocab, english)
+    sb.toString
   }
 
   /** A clean multi-line document: `nLines` distinct sentences, one per
-    * line — passes the full heuristic stack by construction.
+    * line — passes the full heuristic stack by construction. One
+    * StringBuilder for the whole document (see [[appendSentence]]).
     */
   def cleanDoc(rng: Random, vocab: IndexedSeq[String], nLines: Int,
-               english: Boolean = true): String =
-    Array.fill(nLines)(sentence(rng, vocab, english)).mkString("\n")
+               english: Boolean = true): String = {
+    val sb = new java.lang.StringBuilder(nLines * 96)
+    var l = 0
+    while (l < nLines) {
+      if (l > 0) sb.append('\n')
+      appendSentence(sb, rng, vocab, english)
+      l += 1
+    }
+    sb.toString
+  }
 
   // --- urls / timestamps --------------------------------------------------
 
-  private def pad(idx: Long): String = f"$idx%08d"
+  // hand-rolled zero-pad (f"$idx%08d" re-parses the format string per
+  // call — measurable at generator rates); identical output for the
+  // non-negative ids Synth uses, including >8-digit ones
+  private def pad(idx: Long): String = {
+    val s = java.lang.Long.toString(idx)
+    if (s.length >= 8) s else "00000000".substring(s.length) + s
+  }
 
   /** ~30% of pages share one hot domain — the planted domain skew. */
   def urlOf(idx: Long): String = {
@@ -200,6 +242,23 @@ object Synth {
 
   import graft.model.DropStage._
 
+  private val HtmlPrefix = "<html><body>".getBytes("UTF-8")
+  private val HtmlSuffix = "</body></html>".getBytes("UTF-8")
+
+  /** `"<html><body>" + text + "</body></html>"` as UTF-8 bytes, built
+    * without the interpolated-String intermediate (one encode + one
+    * array instead of two full char copies + encode). Byte-identical.
+    */
+  private def htmlBytes(text: String): Array[Byte] = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](HtmlPrefix.length + tb.length + HtmlSuffix.length)
+    System.arraycopy(HtmlPrefix, 0, out, 0, HtmlPrefix.length)
+    System.arraycopy(tb, 0, out, HtmlPrefix.length, tb.length)
+    System.arraycopy(HtmlSuffix, 0, out, HtmlPrefix.length + tb.length,
+      HtmlSuffix.length)
+    out
+  }
+
   def row(idx: Long, n: Long, seed: Long): SynthRow = {
     val rng = rngFor(seed, idx)
     val block = idx / 100
@@ -207,8 +266,7 @@ object Synth {
 
     def mk(text: String, lang: String, keep: Boolean, stage: String,
            scrubbed: String, cluster: Long = -1L): SynthRow =
-      SynthRow(urlOf(idx), tsOf(idx),
-        s"<html><body>$text</body></html>".getBytes("UTF-8"),
+      SynthRow(urlOf(idx), tsOf(idx), htmlBytes(text),
         text, lang, keep, stage, scrubbed, cluster)
 
     m match {

@@ -106,14 +106,27 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash signatures are narrow; dedup flow shuffles only on bands") {
-    val pages = SparkEntry.pagesFromDocs(spark, sfDir)
+    // adequately-partitioned input (the 100-TB shape: thousands of input
+    // splits): the signature pass must stay shuffle-free
+    val par = spark.sparkContext.defaultParallelism
+    val pages = SparkEntry.pagesFromDocs(spark, sfDir).repartition(par)
     val sigs = dedup.MinHash.signatures(pages, "url", "text")
-    assert(!planOf(sigs).contains("Exchange"),
-      s"signatures shuffled:\n${planOf(sigs)}")
+    val sigPlan = planOf(sigs)
+    // the input's own repartition is visible; signatures must add NO
+    // exchange of its own on top
+    val sigEx = "Exchange".r.findAllIn(sigPlan).size
+    assert(sigEx <= 1, s"signatures shuffled beyond the input:\n$sigPlan")
     val edges = dedup.MinHash.candidateEdges(sigs)
     // banding groupBy + candidate join + distinct are the only exchanges
     val nEx = "Exchange".r.findAllIn(planOf(edges)).size
-    assert(nEx <= 6, s"too many shuffles ($nEx):\n${planOf(edges)}")
+    assert(nEx <= 7, s"too many shuffles ($nEx):\n${planOf(edges)}")
+    // single-split input (small-file artifact, optimization guide §2.5):
+    // signatures repairs the starved scan with ONE round-robin
+    // repartition so the per-doc hash pass parallelizes
+    val one = SparkEntry.pagesFromDocs(spark, sfDir).coalesce(1)
+    val onePlan = planOf(dedup.MinHash.signatures(one, "url", "text"))
+    assert("RoundRobinPartitioning".r.findAllIn(onePlan).size == 1,
+      s"single-split input not re-parallelized exactly once:\n$onePlan")
   }
 
   test("near-pairs bucket shuffle carries ids only, never vectors") {

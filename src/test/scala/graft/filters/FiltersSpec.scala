@@ -256,6 +256,37 @@ class LangIdSpec extends AnyFunSuite {
     val fNeg = model.features("beta alpha").toSeq
     assert(fPos.toSet != fNeg.toSet, "n-gram features insensitive to order")
   }
+
+  test("charFeatures ASCII fast path matches the padded-lowercase reference") {
+    val model = graft.pipeline.CorpusPipeline.defaultModels.lang
+    // reference construction: " " + lower(text).take(1000) + " ", rolling
+    // 31-hash of 1..3-grams, mathematical mod into buckets
+    def ref(text: String): Seq[Int] = {
+      val t = " " + text.toLowerCase(java.util.Locale.ROOT).take(1000) + " "
+      val out = Seq.newBuilder[Int]
+      for (i <- t.indices; n <- 1 to 3; if i + n <= t.length) {
+        var h = 1125899906842597L
+        for (j <- i until i + n) h = h * 31 + t.charAt(j)
+        out += ((h % model.buckets + model.buckets) % model.buckets).toInt
+      }
+      out.result()
+    }
+    val cases = Seq(
+      "", "x", "The Quick BROWN fox. 123!",
+      "plain ascii with Capitals and punctuation?!",
+      "mixed ascii then café latté",          // non-ASCII → general path
+      "İstanbul STRASSE groß",                // expanding/special mappings
+      "ΣΟΦΟΣ",                                // Greek final sigma context
+      "a" * 1500,                             // beyond maxChars
+      ("b" * 990) + " café",                  // non-ASCII inside window
+      ("c" * 1100) + "é")                     // non-ASCII past the window
+    cases.foreach { s =>
+      val got = model.features(s).toSeq
+      val want = ref(s)
+      // reference enumerates in (pos, n) order, same as the impl
+      assert(got == want, s"features diverge for ${s.take(40)}")
+    }
+  }
 }
 
 class PerLangPerplexitySpec extends graft.SparkSpec {
