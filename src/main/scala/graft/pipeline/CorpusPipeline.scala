@@ -294,10 +294,63 @@ object CorpusPipeline {
         .withColumn("scrubbed_text", when(col("keep"), col("scrubbed_text")))
     // the same uniqueness gate markById runs, hoisted so one check
     // serves both stages AND the single-pass join-back below (a dead row
-    // sharing a url with an alive duplicate must never inherit its mark)
-    if (graft.dedup.ExactDedup.idIsUniqueKey(scored, "url"))
-      dedupById(scored, cfg)
-    else dedupByWindow(scored, cfg)
+    // sharing a url with an alive duplicate must never inherit its mark).
+    // r6: the exact-dup window subtree does not depend on the gate's
+    // OUTCOME (it computes content-keyed dup ids either way; only the
+    // id join-back needs uniqueness), so its materialization runs on a
+    // second thread WHILE the gate aggregation runs — Spark schedules
+    // concurrent jobs FIFO and the second job back-fills the first's
+    // tail (optimization guide §2.6). On the rare non-unique route the
+    // speculative table is simply discarded (checkpoint blocks are
+    // ContextCleaner-managed); its failure, if any, is ignored there
+    // because the windowed fallback recomputes from scratch anyway.
+    val specX: Option[java.util.concurrent.FutureTask[(DataFrame, Long)]] =
+      if (cfg.exactDedup) {
+        val task = new java.util.concurrent.FutureTask(
+          () => exactDupIdsTable(scored))
+        val th = new Thread(task, "graft-dedup-exact-spec")
+        th.setDaemon(true)
+        th.start()
+        Some(task)
+      } else None
+    val unique =
+      try graft.dedup.ExactDedup.idIsUniqueKey(scored, "url")
+      catch { case t: Throwable =>
+        specX.foreach(f => try f.get() catch { case _: Throwable => () })
+        throw t
+      }
+    if (unique)
+      dedupById(scored, cfg,
+        specX.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // surface the real Spark failure, not the wrapper
+          }))
+    else {
+      specX.foreach(f => try f.get() catch { case _: Throwable => () })
+      dedupByWindow(scored, cfg)
+    }
+  }
+
+  /** The exact keep-first dup-id table over the alive rows of `scored`:
+    * (url) of every non-first member of a content-hash group, with its
+    * count — ~100 B/row through the window shuffle, never the text.
+    * MATERIALIZED (r6): two consumers (the near-dup stage's anti-join
+    * gate and the final verdict join), and the known count drives the
+    * broadcast hint in [[dedupById]].
+    */
+  private def exactDupIdsTable(scored: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("warc_ts"), col("url"))
+    val x = scored.filter(col("drop_stage").isNull)
+      .select(col("url"), col("warc_ts"),
+        ExactDedup.key(Seq(col("scrubbed_text"))).as("_k"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("url").as("_xd_id"))
+      .transform(graft.SparkUtil.materialize)
+    (x, x.count())
   }
 
   /** Single-sink-pass dedup for unique ids: narrow mark tables, one
@@ -305,36 +358,17 @@ object CorpusPipeline {
     * fractions; MinHash.mark's own cluster join-back has the explicit
     * `BroadcastClustersMaxRows` gate).
     */
-  private[graft] def dedupById(scored: DataFrame, cfg: PipelineConfig)
+  private[graft] def dedupById(scored: DataFrame, cfg: PipelineConfig,
+                               precomputedX: Option[(DataFrame, Long)] = None)
                        (implicit spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val aliveN = scored.filter(col("drop_stage").isNull)
       .select(col("url"), col("warc_ts"), col("scrubbed_text"))
-    // exact keep-first over (id, content-hash, order) — ~100 B/row
-    // through the window shuffle, never the text. MATERIALIZED (r6):
-    // the dup-id set has two consumers (the anti-join gating the
-    // near-dup stage and the final verdict join) and without a
-    // checkpoint the whole cache-scan + window subtree executed once
-    // per consumer; the materialized table is O(exact duplicates) and
-    // its known count drives an explicit broadcast hint below — the
-    // scored side of the verdict join then never shuffles (the r5 form
-    // left the join to AQE, which first materialized a full sort-merge
-    // exchange of the corpus-width side because an RDD-backed cache
-    // reports no size statistics).
+    // exact keep-first dup ids ([[exactDupIdsTable]]) — normally handed
+    // in by [[dedup]], which materialized them concurrently with the
+    // uniqueness gate; computed here only when called directly (tests).
     val exactDupIds: Option[(DataFrame, Long)] =
       if (!cfg.exactDedup) None
-      else {
-        val w = Window.partitionBy(col("_k"))
-          .orderBy(col("warc_ts"), col("url"))
-        val x = aliveN
-          .select(col("url"), col("warc_ts"),
-            ExactDedup.key(Seq(col("scrubbed_text"))).as("_k"))
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") > 1)
-          .select(col("url").as("_xd_id"))
-          .transform(graft.SparkUtil.materialize)
-        Some((x, x.count()))
-      }
+      else precomputedX.orElse(Some(exactDupIdsTable(scored)))
     val stillAliveN = exactDupIds match {
       case Some((x, _)) => aliveN.join(x, aliveN("url") === x("_xd_id"),
         "left_anti")
