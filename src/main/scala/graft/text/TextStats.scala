@@ -204,19 +204,19 @@ object TextStats {
   /** Character share of the single most frequent word n-gram (counted over
     * all its occurrences) relative to total word characters.
     */
-  private def topNgramCharFrac(ws: Array[String], hs: Array[Long], n: Int,
+  private def topNgramCharFrac(wl: Array[Int], hs: Array[Long], n: Int,
                                totWordChars: Int): Double = {
-    if (ws.length < n || totWordChars == 0) return 0.0
+    if (wl.length < n || totWordChars == 0) return 0.0
     // presized to 2× the n-gram count: LongMap repacks at ~50% load, so
     // exact-count sizing still rehashed once at the end (confirmed by a
     // second jstack pass); 2× clears the load factor for the whole doc
-    val counts = new mutable.LongMap[Int](2 * (ws.length - n + 1))
+    val counts = new mutable.LongMap[Int](2 * (wl.length - n + 1))
     var best = 0.0
     var i = 0
-    while (i + n <= ws.length) {
+    while (i + n <= wl.length) {
       var chars = 0
       var j = 0
-      while (j < n) { chars += ws(i + j).length; j += 1 }
+      while (j < n) { chars += wl(i + j); j += 1 }
       val k = ngramKey(hs, i, n)
       val c = counts.getOrElse(k, 0) + 1
       counts.update(k, c)
@@ -232,13 +232,13 @@ object TextStats {
   /** Character fraction of words covered by non-first occurrences of any
     * duplicated n-gram (overlap-deduped by word index).
     */
-  private def dupNgramCharFrac(ws: Array[String], hs: Array[Long], n: Int,
+  private def dupNgramCharFrac(wl: Array[Int], hs: Array[Long], n: Int,
                                totWordChars: Int, dupWordIdx: Array[Boolean]): Double = {
-    if (ws.length < n || totWordChars == 0) return 0.0
+    if (wl.length < n || totWordChars == 0) return 0.0
     java.util.Arrays.fill(dupWordIdx, false)
-    val seen = new mutable.LongMap[Boolean](2 * (ws.length - n + 1)) // see above
+    val seen = new mutable.LongMap[Boolean](2 * (wl.length - n + 1)) // see above
     var i = 0
-    while (i + n <= ws.length) {
+    while (i + n <= wl.length) {
       val k = ngramKey(hs, i, n)
       if (seen.contains(k)) {
         var j2 = 0
@@ -248,7 +248,7 @@ object TextStats {
     }
     var dupChars = 0
     i = 0
-    while (i < ws.length) { if (dupWordIdx(i)) dupChars += ws(i).length; i += 1 }
+    while (i < wl.length) { if (dupWordIdx(i)) dupChars += wl(i); i += 1 }
     dupChars.toDouble / totWordChars
   }
 
@@ -294,15 +294,57 @@ object TextStats {
         if (nWords == 0) 0.0 else (ls.length - 1).toDouble / nWords)
   }
 
+  /** Word spans (starts, ends) between `\s+` runs — the allocation-free
+    * core of [[words]]; identical boundaries, no substrings.
+    */
+  private[text] def wordSpans(text: String): (Array[Int], Array[Int]) = {
+    val starts = new mutable.ArrayBuilder.ofInt
+    val ends = new mutable.ArrayBuilder.ofInt
+    var start = -1
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isWs(text.charAt(i))) {
+        if (start >= 0) { starts += start; ends += i; start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { starts += start; ends += n }
+    (starts.result(), ends.result())
+  }
+
+  // stable order for the stopword bitmask fold; ≤ 64 entries by the
+  // bitCount contract below (StopWords is 8)
+  private val StopWordsArr: Array[String] = StopWords.toArray.sorted
+  private val MaxStopLen: Int = StopWordsArr.map(_.length).max
+
   def compute(text: String): DocStats = {
-    val ws = words(text)
-    val hs = wordHashes(ws)
-    val dupIdx = new Array[Boolean](ws.length)
+    // r6: span-based word pass — the old `words(text)` form allocated a
+    // substring per word (plus a lettersLower string and a HashSet entry
+    // per stop-word probe) just to read lengths, hashes and letter
+    // folds that all derive directly from (text, start, end). Word
+    // boundaries, hash values and every downstream statistic are
+    // unchanged (the brute-force n-gram pin and the property suite
+    // cover the equivalence).
+    val (wStarts, wEnds) = wordSpans(text)
+    val nWords = wStarts.length
+    val wl = new Array[Int](nWords)
+    val hs = new Array[Long](nWords)
+    var totWordChars = 0
+    var wi = 0
+    while (wi < nWords) {
+      val s = wStarts(wi); val e = wEnds(wi)
+      wl(wi) = e - s
+      totWordChars += e - s
+      var h = 1125899906842597L
+      var j = s
+      while (j < e) { h = h * 31 + text.charAt(j); j += 1 }
+      hs(wi) = h
+      wi += 1
+    }
+    val dupIdx = new Array[Boolean](nWords)
     val ls = lines(text)
     val ps = paragraphs(text)
-    val nWords = ws.length
-    var totWordChars = 0
-    ws.foreach(totWordChars += _.length)
     val meanWordLen = if (nWords == 0) 0.0 else totWordChars.toDouble / nWords
 
     val nHash = countOcc(text, "#")
@@ -310,31 +352,83 @@ object TextStats {
     val hashRatio = if (nWords == 0) 0.0 else nHash.toDouble / nWords
     val ellipsisRatio = if (nWords == 0) 0.0 else nEll.toDouble / nWords
 
-    val nonEmptyLines = ls.filter(_.trim.nonEmpty)
+    // one trim per line (r6): the old shape trimmed in the non-empty
+    // filter, again in the stats loop, and a third time inside
+    // dupFractions — ~3 allocations per line on the hottest corpus path
+    val neLines = Array.newBuilder[String]   // untrimmed, trim non-empty
+    val neTrimmed = Array.newBuilder[String] // trimmed counterparts
+    var li = 0
+    while (li < ls.length) {
+      val t = ls(li).trim
+      if (t.nonEmpty) { neLines += ls(li); neTrimmed += t }
+      li += 1
+    }
+    val nonEmptyLines = neLines.result()
+    val trimmedLines = neTrimmed.result()
     val nLines = nonEmptyLines.length
     var bullet = 0; var ellEnd = 0; var punctEnd = 0; var short = 0
-    nonEmptyLines.foreach { l =>
-      val t = l.trim
-      if (t.nonEmpty && BulletChars.contains(t.charAt(0))) bullet += 1
+    var lj = 0
+    while (lj < nLines) {
+      val l = nonEmptyLines(lj)
+      val t = trimmedLines(lj)
+      if (BulletChars.contains(t.charAt(0))) bullet += 1
       if (t.endsWith("...") || t.endsWith("…")) ellEnd += 1
-      if (t.nonEmpty && PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
+      if (PunctEnd.contains(t.charAt(t.length - 1))) punctEnd += 1
       if (l.length < 30) short += 1
+      lj += 1
     }
     val bulletFrac = if (nLines == 0) 0.0 else bullet.toDouble / nLines
     val ellFrac = if (nLines == 0) 0.0 else ellEnd.toDouble / nLines
     val punctRatio = if (nLines == 0) 0.0 else punctEnd.toDouble / nLines
     val shortFrac = if (nLines == 0) 0.0 else short.toDouble / nLines
 
+    // per-word letter scan over the spans: alpha presence + a stopword
+    // bitmask fold replacing lettersLower + HashSet. The fold mirrors
+    // lettersLower exactly (Character.toLowerCase first, keep only
+    // a–z); folding stops once the letter count exceeds the longest
+    // stopword, since a longer fold can never match. Distinct stopword
+    // count = set bits.
     var nonAlpha = 0
-    val stopsSeen = mutable.HashSet.empty[String]
-    ws.foreach { w =>
-      if (!hasAlpha(w)) nonAlpha += 1
-      val lw = lettersLower(w)
-      if (StopWords.contains(lw)) stopsSeen += lw
+    var stopMask = 0L
+    val foldBuf = new Array[Char](MaxStopLen + 1)
+    var wk = 0
+    while (wk < nWords) {
+      var alpha = false
+      var bl = 0
+      var j = wStarts(wk)
+      val e = wEnds(wk)
+      while (j < e && bl <= MaxStopLen) {
+        val c0 = text.charAt(j)
+        if (!alpha && Character.isLetter(c0)) alpha = true
+        val c = Character.toLowerCase(c0)
+        if (c >= 'a' && c <= 'z') { foldBuf(bl) = c; bl += 1 }
+        j += 1
+      }
+      // the alpha scan must cover the whole word even when the fold
+      // stopped early
+      while (!alpha && j < e) {
+        if (Character.isLetter(text.charAt(j))) alpha = true
+        j += 1
+      }
+      if (!alpha) nonAlpha += 1
+      if (bl > 0 && bl <= MaxStopLen) {
+        var k = 0
+        var matched = false
+        while (!matched && k < StopWordsArr.length) {
+          val sw = StopWordsArr(k)
+          if (sw.length == bl) {
+            var m = 0
+            while (m < bl && sw.charAt(m) == foldBuf(m)) m += 1
+            if (m == bl) { stopMask |= 1L << k; matched = true }
+          }
+          k += 1
+        }
+      }
+      wk += 1
     }
     val nonAlphaFrac = if (nWords == 0) 0.0 else nonAlpha.toDouble / nWords
 
-    val (dlf, dlcf) = dupFractions(nonEmptyLines.map(_.trim))
+    val (dlf, dlcf) = dupFractions(trimmedLines)
     val (dpf, dpcf) = dupFractions(ps.map(_.trim).filter(_.nonEmpty))
 
     val newLineRatio =
@@ -358,27 +452,27 @@ object TextStats {
     // n-gram passes to two, which ProfileBench measured as the dominant
     // allocation pressure in compute at 32 threads (161 µs·core/doc,
     // 3.9× thread inflation).
-    val top2 = topNgramCharFrac(ws, hs, 2, totWordChars)
+    val top2 = topNgramCharFrac(wl, hs, 2, totWordChars)
     val top3 =
-      if (top2 == 0.0) 0.0 else topNgramCharFrac(ws, hs, 3, totWordChars)
+      if (top2 == 0.0) 0.0 else topNgramCharFrac(wl, hs, 3, totWordChars)
     val top4 =
-      if (top3 == 0.0) 0.0 else topNgramCharFrac(ws, hs, 4, totWordChars)
-    val dup5 = dupNgramCharFrac(ws, hs, 5, totWordChars, dupIdx)
+      if (top3 == 0.0) 0.0 else topNgramCharFrac(wl, hs, 4, totWordChars)
+    val dup5 = dupNgramCharFrac(wl, hs, 5, totWordChars, dupIdx)
     val dup6 =
       if (dup5 == 0.0) 0.0
-      else dupNgramCharFrac(ws, hs, 6, totWordChars, dupIdx)
+      else dupNgramCharFrac(wl, hs, 6, totWordChars, dupIdx)
     val dup7 =
       if (dup6 == 0.0) 0.0
-      else dupNgramCharFrac(ws, hs, 7, totWordChars, dupIdx)
+      else dupNgramCharFrac(wl, hs, 7, totWordChars, dupIdx)
     val dup8 =
       if (dup7 == 0.0) 0.0
-      else dupNgramCharFrac(ws, hs, 8, totWordChars, dupIdx)
+      else dupNgramCharFrac(wl, hs, 8, totWordChars, dupIdx)
     val dup9 =
       if (dup8 == 0.0) 0.0
-      else dupNgramCharFrac(ws, hs, 9, totWordChars, dupIdx)
+      else dupNgramCharFrac(wl, hs, 9, totWordChars, dupIdx)
     val dup10 =
       if (dup9 == 0.0) 0.0
-      else dupNgramCharFrac(ws, hs, 10, totWordChars, dupIdx)
+      else dupNgramCharFrac(wl, hs, 10, totWordChars, dupIdx)
 
     DocStats(
       nChars = text.length,
@@ -389,7 +483,7 @@ object TextStats {
       bulletLineFrac = bulletFrac,
       ellipsisLineFrac = ellFrac,
       nonAlphaWordFrac = nonAlphaFrac,
-      stopWordCount = stopsSeen.size,
+      stopWordCount = java.lang.Long.bitCount(stopMask),
       nLines = nLines,
       dupLineFrac = dlf,
       dupLineCharFrac = dlcf,
