@@ -35,6 +35,21 @@ object SparkUtil {
       finally df.unpersist(blocking = false)
     } else df.localCheckpoint()
 
+  /** Explicitly drop a [[materialize]]d frame's stored blocks NOW instead
+    * of waiting for the ContextCleaner's weak-reference GC. Matters for
+    * corpus-sized intermediates that are finished mid-pipeline: their
+    * blocks otherwise occupy unified storage memory through the
+    * remaining phases until a driver GC happens to run (measured on the
+    * 10M capstone as multi-GB retained signature blocks). Callers must
+    * only release frames whose data no other live frame's plan still
+    * reads. No-op for plans that are not local checkpoints.
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false); ()
+    case _ => ()
+  }
+
   /** Run `action` and return (its result, records read from sources
     * during it) via task `inputMetrics`. Listener delivery is async, so
     * after the action the counter is polled until stable, bounded by a

@@ -463,6 +463,7 @@ object MinHash {
             >= cfg.verifyThreshold)
           .select("id").distinct()
           .transform(graft.SparkUtil.materialize)
+        graft.SparkUtil.release(newVecs) // verified is checkpointed
         verified
       } else {
         val refBands =
@@ -941,12 +942,14 @@ object MinHash {
     // on the driver (localSize known) — checkpointing it would launch a
     // job to re-materialize data that is already local, and counting it
     // for the broadcast decision another; both are skipped. The
-    // distributed path keeps the materialize exactly as before. No
-    // unpersist bookkeeping remains: the signature intermediates are
-    // eager checkpoints (ContextCleaner-managed), released when the
-    // frames go out of scope even on the failure path.
+    // distributed path keeps the materialize exactly as before.
+    // finally: the corpus-sized signature checkpoints are released
+    // EXPLICITLY once the cluster map exists (or the computation failed)
+    // — waiting for the ContextCleaner's weak-ref GC left multi-GB
+    // blocks occupying unified storage memory through the remaining
+    // pipeline phases on the 10M capstone.
     val (cl, clSize): (DataFrame, Option[Long]) =
-      stageDir match {
+      try stageDir match {
         case Some(d) =>
           (committed(spark, s"$d/$clustersLeaf")(computeClusters().labels),
             None)
@@ -957,6 +960,9 @@ object MinHash {
             case None =>
               (res.labels.transform(graft.SparkUtil.materialize), None)
           }
+      } finally {
+        graft.SparkUtil.release(sigs)
+        vecs.foreach(graft.SparkUtil.release)
       }
     (cl, clSize)
   }
