@@ -666,8 +666,10 @@ object MinHash {
     // are O(duplicates)), IS the edge list the union-find needs. Above
     // the cap the distributed loop takes over exactly as before, with
     // the persisted frame re-counted only for its log line / throw text.
+    val srcType = e.schema("src").dataType
     if (driverMaxEdges > 0 &&
-        e.schema("src").dataType == org.apache.spark.sql.types.StringType) {
+        (srcType == org.apache.spark.sql.types.StringType ||
+          srcType == org.apache.spark.sql.types.LongType)) {
       val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
       // scoped conf: without it the limited collect walks Spark's take
       // ladder (1 → 4 → 16 → … partitions, one sequential job each,
@@ -694,7 +696,10 @@ object MinHash {
                 e.schema("src").dataType),
               org.apache.spark.sql.types.StructField("cluster",
                 e.schema("src").dataType)))), 0, Some(0L))
-        val (out, n) = driverUnionFind(e.sparkSession, rows)
+        val (out, n) =
+          if (srcType == org.apache.spark.sql.types.StringType)
+            driverUnionFind(e.sparkSession, rows)
+          else driverUnionFindLong(e.sparkSession, rows)
         return CcResult(out, 0, Some(n))
       }
     }
@@ -785,6 +790,40 @@ object MinHash {
     rows.foreach { row =>
       val (a, b) = (row.getString(0), row.getString(1))
       val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      } else { parent.getOrElseUpdate(a, ra); () }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      ()
+    }
+    val pairs = parent.keysIterator.map(v => (v, find(v))).toSeq
+    import spark.implicits._
+    (pairs.toDF("id", "cluster"), pairs.size.toLong)
+  }
+
+  /** [[driverUnionFind]] for LONG ids (r6): representative = NUMERIC min
+    * of the component — exactly what the distributed loop's `min(lbl)`
+    * computes over a LongType label column, so the two paths stay
+    * bit-identical for numeric ids the way they always were for strings.
+    * Before this, long-id inputs (`doc_id` corpora) paid the full
+    * distributed CC loop (~18 driver actions) for even a few hundred
+    * edges.
+    */
+  private def driverUnionFindLong(spark: SparkSession,
+                                  rows: Array[org.apache.spark.sql.Row])
+      : (DataFrame, Long) = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      val ra = find(a); val rb = find(b)
       if (ra != rb) {
         if (ra < rb) parent(rb) = ra else parent(ra) = rb
       } else { parent.getOrElseUpdate(a, ra); () }

@@ -748,6 +748,25 @@ class MinHashSpec extends SparkSpec {
     assert(gotDistributed == expected)
   }
 
+  test("long-id cc: driver fast path matches the distributed loop bit-for-bit") {
+    // r6 extends the driver union-find to LONG ids (numeric component
+    // min, exactly the distributed loop's min(lbl) over LongType); the
+    // two paths must agree on random long graphs just as they do for
+    // strings
+    val rng = new scala.util.Random(11)
+    val edges = (1 to 120).map { _ =>
+      val a = rng.nextInt(80).toLong; val b = rng.nextInt(80).toLong
+      (math.max(a, b), math.min(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val gotDriver = MinHash.clusters(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val gotDistributed = MinHash.clusters(edges.toDF("src", "dst"),
+        driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDriver == gotDistributed)
+    assert(gotDriver.nonEmpty)
+  }
+
   test("distributed cc resolves a 200-link drift chain in O(log n) rounds") {
     // A near-dup CHAIN (templated pages with incremental drift: A~B, B~C,
     // … — adjacent pairs share a band, ends don't) is the adversarial
