@@ -261,15 +261,25 @@ object NearDup {
         "corpus-sized reference sets")
     val refRow = ref.agg(
       collect_list(shingleSet(col(textCol), n)).as("_ref_sh"))
+    // r6: the document's shingle set is BOUND ONCE as a lambda variable
+    // (one-element-array transform). As a plain `withColumn`
+    // intermediate, CollapseProject could inline the shingleSet subtree
+    // into the per-ref lambda, where higher-order functions evaluate
+    // interpreted with no subexpression sharing. Values are identical;
+    // measured 15.9 → 14.3 s on q_jaccard_decon under a noop sink —
+    // modest, because the intrinsic cost is the |ref| interpreted
+    // array_intersect kernels per row (the price of the EXACT small-ref
+    // path the MaxExactRefDocs guard documents).
     corpus.crossJoin(broadcast(refRow))
-      .withColumn("_s", shingleSet(col(textCol), n))
-      .withColumn(simCol, round(array_max(transform(col("_ref_sh"), r => {
-        val inter = size(array_intersect(col("_s"), r)).cast("double")
-        val uni = (size(col("_s")) + size(r)).cast("double") - inter
-        when(uni > 0.0, inter / uni).otherwise(lit(0.0))
-      })), 4))
+      .withColumn(simCol, round(
+        transform(array(shingleSet(col(textCol), n)), s =>
+          array_max(transform(col("_ref_sh"), r => {
+            val inter = size(array_intersect(s, r)).cast("double")
+            val uni = (size(s) + size(r)).cast("double") - inter
+            when(uni > 0.0, inter / uni).otherwise(lit(0.0))
+          }))).getItem(0), 4))
       .withColumn(flagCol, col(simCol) >= minJaccard)
-      .drop("_ref_sh", "_s")
+      .drop("_ref_sh")
   }
 
   /** Embedding-cosine near-dup marking: LSH-bucketed pairs above `minSim`

@@ -89,19 +89,27 @@ object Similarity {
     val refRow = ref.agg(collect_list(struct(refVec.as("v"),
       sqrt(dotc(refVec, refVec)).as("n"))).as("_refs"))
     val dv = col(vecCol).cast("array<double>")
+    // zero-norm guard on BOTH sides: 0/0 = NaN, and NaN >= minSim is
+    // TRUE under Spark's NaN-greatest ordering — an all-zero vector
+    // (e.g. the hashed embedding of an empty doc) would flag the whole
+    // corpus contaminated. Incomparable pairs score 0.0, matching the
+    // jaccardAgainst / SemDedup convention.
+    // r6: the document vector (cast) and its norm are BOUND ONCE as a
+    // lambda-variable struct — as withColumn intermediates the cast and
+    // the norm aggregate could re-inline into the per-ref lambda, where
+    // HOFs evaluate interpreted with no subexpression sharing (same
+    // class as the jaccardAgainst / dedupLinesWithinDoc fixes). Same
+    // values, same fold order.
     corpus.crossJoin(broadcast(refRow))
-      .withColumn("_an", sqrt(dotc(dv, dv)))
-      // zero-norm guard on BOTH sides: 0/0 = NaN, and NaN >= minSim is
-      // TRUE under Spark's NaN-greatest ordering — an all-zero vector
-      // (e.g. the hashed embedding of an empty doc) would flag the whole
-      // corpus contaminated. Incomparable pairs score 0.0, matching the
-      // jaccardAgainst / SemDedup convention.
-      .withColumn(simCol, round(array_max(transform(col("_refs"),
-        r => when(col("_an") > 0.0 && r("n") > 0.0,
-          dotc(dv, r("v")) / (col("_an") * r("n"))).otherwise(lit(0.0)))),
-        4))
+      .withColumn(simCol, round(
+        transform(array(struct(dv.as("v"), sqrt(dotc(dv, dv)).as("n"))),
+          d => array_max(transform(col("_refs"),
+            r => when(d("n") > 0.0 && r("n") > 0.0,
+              dotc(d("v"), r("v")) / (d("n") * r("n")))
+              .otherwise(lit(0.0)))))
+          .getItem(0), 4))
       .withColumn(flagCol, col(simCol) >= minSim)
-      .drop("_refs", "_an")
+      .drop("_refs")
   }
 
   /** Deterministic random hyperplanes: `planes(p)(d)` from a seeded mix —
