@@ -174,6 +174,15 @@ object Run {
     // discarded with the listener on execute() return
     private val stagePhase =
       scala.collection.mutable.HashMap.empty[Int, String]
+    // top-N slowest tasks run-wide (r6 — the diagnostic the r5 verdict
+    // asked for: the per-phase aggregates name the PHASE of a 150 s max
+    // task but not the stage/shape; these rows do). Bounded at 5 entries
+    // of 6 longs — O(1) driver state.
+    private final case class TopTask(runMs: Long, stageId: Int,
+        phase: String, inputRecords: Long, srBytes: Long, swBytes: Long)
+    private val topTasks =
+      scala.collection.mutable.ArrayBuffer.empty[TopTask]
+    private val TopN = 5
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       synchronized {
@@ -186,14 +195,27 @@ object Run {
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       synchronized {
         total.add(t)
-        byPhase.getOrElseUpdate(
-          stagePhase.getOrElse(t.stageId, "other"), new Agg).add(t)
+        val phase = stagePhase.getOrElse(t.stageId, "other")
+        byPhase.getOrElseUpdate(phase, new Agg).add(t)
+        val m = t.taskMetrics
+        if (m != null &&
+            (topTasks.size < TopN || m.executorRunTime > topTasks.last.runMs)) {
+          topTasks += TopTask(m.executorRunTime, t.stageId, phase,
+            m.inputMetrics.recordsRead, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten)
+          val sorted = topTasks.sortBy(-_.runMs).take(TopN)
+          topTasks.clear(); topTasks ++= sorted
+        }
       }
     def taskCount: Long = synchronized(total.tasks)
     def json: String = synchronized {
       val phases = byPhase.map { case (g, a) => s""""$g":${a.json}""" }
         .mkString(",")
-      s"""${total.json.dropRight(1)},"by_stage":{$phases}}"""
+      def mb(b: Long) = b / (1024.0 * 1024.0)
+      val top = topTasks.map(tt =>
+        f"""{"stage":${tt.stageId},"phase":"${tt.phase}","sec":${tt.runMs / 1e3}%.1f,"input_records":${tt.inputRecords},"shuffle_read_mb":${mb(tt.srBytes)}%.1f,"shuffle_write_mb":${mb(tt.swBytes)}%.1f}""")
+        .mkString("[", ",", "]")
+      s"""${total.json.dropRight(1)},"top_tasks":$top,"by_stage":{$phases}}"""
     }
   }
 
